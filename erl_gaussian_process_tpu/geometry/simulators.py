@@ -1,0 +1,124 @@
+"""Test/data-generation simulators (equivalent of the erl_geometry Lidar2D +
+Space2D used by the reference's occupancy-map test,
+test_spgp_occupancy_map_2d.cpp:284-316): a 2D polygon world with a vectorized
+ray caster. Host-side numpy — these only synthesize data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+class Space2D:
+    """A set of closed polylines (obstacle boundaries + an enclosing box)."""
+
+    def __init__(self, polygons):
+        """polygons: list of (k_i, 2) vertex arrays, each treated as a closed
+        loop."""
+        segs_a, segs_b = [], []
+        self.polygons = [np.asarray(p, float) for p in polygons]
+        for poly in self.polygons:
+            a = poly
+            b = np.roll(poly, -1, axis=0)
+            segs_a.append(a)
+            segs_b.append(b)
+        self.seg_a = np.concatenate(segs_a, axis=0)  # (S, 2)
+        self.seg_b = np.concatenate(segs_b, axis=0)
+
+    @property
+    def surface_vertices(self):
+        return np.concatenate(self.polygons, axis=0)
+
+    def surface_points(self, spacing: float):
+        """Uniformly resampled points along every boundary."""
+        pts = []
+        for poly in self.polygons:
+            a, b = poly, np.roll(poly, -1, axis=0)
+            for pa, pb in zip(a, b):
+                L = np.linalg.norm(pb - pa)
+                k = max(1, int(L / spacing))
+                t = np.arange(k) / k
+                pts.append(pa + t[:, None] * (pb - pa))
+        return np.concatenate(pts, axis=0)
+
+    def cast_rays(self, origin, directions, max_range=np.inf):
+        """origin (2,), directions (R, 2) unit; returns ranges (R,)
+        (inf when no hit within max_range)."""
+        o = np.asarray(origin, float)
+        d = np.asarray(directions, float)          # (R, 2)
+        a = self.seg_a[None, :, :]                 # (1, S, 2)
+        ab = (self.seg_b - self.seg_a)[None, :, :]
+        ao = o[None, None, :] - a                  # (1, S, 2) broadcast with R
+        dd = d[:, None, :]                         # (R, 1, 2)
+        denom = dd[..., 0] * (-ab[..., 1]) + dd[..., 1] * ab[..., 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (ao[..., 0] * (-ab[..., 1]) + ao[..., 1] * ab[..., 0]) / -denom
+            s = (dd[..., 0] * ao[..., 1] - dd[..., 1] * ao[..., 0]) / -denom
+        hit = (np.abs(denom) > 1e-14) & (t > 1e-9) & (s >= 0.0) & (s <= 1.0)
+        t = np.where(hit, t, np.inf)
+        r = t.min(axis=1)
+        return np.where(r <= max_range, r, np.inf)
+
+
+@dataclasses.dataclass
+class Lidar2DSetting:
+    min_angle: float = -np.pi
+    max_angle: float = np.pi
+    num_lines: int = 360
+    max_range: float = np.inf
+
+
+class Lidar2D:
+    """2D lidar simulator (reference: erl_geometry Lidar2D,
+    test_spgp_occupancy_map_2d.cpp:284-290)."""
+
+    Setting = Lidar2DSetting
+
+    def __init__(self, setting: Lidar2DSetting, space: Space2D):
+        self.setting = setting
+        self.space = space
+        self.angles = np.linspace(
+            setting.min_angle, setting.max_angle, setting.num_lines)
+
+    def ray_directions_in_frame(self):
+        return np.stack([np.cos(self.angles), np.sin(self.angles)], axis=-1)
+
+    def scan(self, pose_angle: float, position) -> np.ndarray:
+        c, s = np.cos(pose_angle), np.sin(pose_angle)
+        rot = np.array([[c, -s], [s, c]])
+        dirs = self.ray_directions_in_frame() @ rot.T
+        return self.space.cast_rays(position, dirs, self.setting.max_range)
+
+
+def reference_space_2d() -> Space2D:
+    """The reference test's procedural world: two circles inside a 4x4 box
+    (test_spgp_occupancy_map_2d.cpp:41-97)."""
+    def circle(r, cx, cy, n):
+        a = np.arange(n) * (2 * np.pi / n)
+        return np.stack([r * np.cos(a) + cx, r * np.sin(a) + cy], axis=-1)
+
+    n = 40
+    half = 2.0
+    v = -half + 2 * half * np.arange(n) / n
+    box = np.concatenate([
+        np.stack([np.full(n, -half), v], axis=-1),
+        np.stack([v, np.full(n, half)], axis=-1),
+        np.stack([np.full(n, half), -v], axis=-1),
+        np.stack([-v, np.full(n, -half)], axis=-1),
+    ], axis=0)
+    return Space2D([circle(0.3, -1.0, 0.2, 50), circle(0.8, 0.3, 0.0, 100),
+                    box])
+
+
+def reference_trajectory_2d(n: int = 50, repeats: int = 1) -> np.ndarray:
+    """Elliptical 50-pose trajectory (x, y, heading)
+    (test_spgp_occupancy_map_2d.cpp:16-39)."""
+    a, b = 1.6, 1.2
+    ang = 2 * np.pi * np.arange(n) / n
+    xy = np.stack([a * np.cos(ang), b * np.sin(ang)], axis=-1)
+    heading = np.zeros(n)
+    heading[1:] = np.arctan2(np.diff(xy[:, 1]), np.diff(xy[:, 0]))
+    traj = np.concatenate([xy, heading[:, None]], axis=-1)
+    return np.tile(traj, (repeats, 1))

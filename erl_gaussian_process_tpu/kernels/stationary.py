@@ -1,0 +1,113 @@
+"""Stationary kernel gram builders (pure jnp; Pallas fused variants live in
+``pallas_gram.py`` and are selected automatically for large problems).
+
+Kernel families (conventions pinned numerically against the reference's
+golden-accuracy tests, see tests/test_vanilla_gp.py):
+
+- ``rbf``      : k(r) = exp(-r^2 / (2 s^2))      (reference name RadialBiasFunction)
+- ``ou``       : k(r) = exp(-r / s)              (OrnsteinUhlenbeck)
+- ``matern32`` : k(r) = (1 + c r) exp(-c r),  c = sqrt(3)/s
+
+All are unit variance. ``train_gram`` adds per-sample noise to the diagonal —
+the reference keeps noise inside ``ComputeKtrain`` (src/vanilla_gp.cpp:487) —
+and applies identity padding for masked-out rows so padded Choleskys remain
+valid (identity-padding trick, reference: src/batch_gp_update_torch.cpp:60-67).
+
+Array layout: inputs are row-major ``(n, d)`` (the reference uses Eigen
+column-major ``(d, n)``; the class-level API accepts both, see models/).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+
+from erl_gaussian_process_tpu.kernels.base import register_kernel, get_kernel
+
+
+def pairwise_sqdist(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distances. x1: (n, d), x2: (m, d) -> (n, m).
+
+    Uses the exact elementwise-difference form (matches Eigen's arithmetic for
+    float64 golden parity); XLA fuses the broadcast + reduce, and for the tiny
+    feature dims used here (d <= 3) this is VPU-bound, not MXU-bound.
+    """
+    diff = x1[:, None, :] - x2[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def pairwise_dist(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(pairwise_sqdist(x1, x2))
+
+
+# --- kernel families ---------------------------------------------------------
+
+def _rbf_from_sqdist(r2, scale):
+    return jnp.exp(r2 * (-0.5 / (scale * scale)))
+
+
+def _ou_from_dist(r, scale):
+    return jnp.exp(-r / scale)
+
+
+def _matern32_from_dist(r, scale):
+    c = math.sqrt(3.0) / scale
+    cr = c * r
+    return (1.0 + cr) * jnp.exp(-cr)
+
+
+def _rbf(x1, x2, scale):
+    return _rbf_from_sqdist(pairwise_sqdist(x1, x2), scale)
+
+
+def _ou(x1, x2, scale):
+    return _ou_from_dist(pairwise_dist(x1, x2), scale)
+
+
+def _matern32(x1, x2, scale):
+    return _matern32_from_dist(pairwise_dist(x1, x2), scale)
+
+
+register_kernel("rbf", cross=_rbf)
+register_kernel("ou", cross=_ou)
+register_kernel("matern32", cross=_matern32)
+
+
+def kernel_fn(name: str):
+    """Return k(x1, x2, scale) -> (n, m) for a kernel family name."""
+    return get_kernel(name)["cross"]
+
+
+# --- gram builders -----------------------------------------------------------
+
+def cross_gram(name: str, x1, x2, scale, mask1=None) -> jnp.ndarray:
+    """K[i, j] = k(x1_i, x2_j); rows with mask1 False are zeroed.
+
+    Equivalent of ``Covariance::ComputeKtest`` (reference call site:
+    src/vanilla_gp.cpp:537) transposed to (n_train, n_test)-as-(rows, cols) =
+    reference's column layout.
+    """
+    k = kernel_fn(name)(x1, x2, scale)
+    if mask1 is not None:
+        k = jnp.where(mask1[:, None], k, 0.0)
+    return k
+
+
+def train_gram(name: str, x, var, scale, mask=None) -> jnp.ndarray:
+    """K = k(x, x) + diag(var), identity-padded outside ``mask``.
+
+    Equivalent of ``Covariance::ComputeKtrain(x, var, n, K, alpha)``
+    (reference call site: src/vanilla_gp.cpp:487). With ``mask`` given,
+    masked-out rows/cols become identity rows: the Cholesky factor and all
+    solves then agree exactly with the compacted (mask-gathered) problem.
+    """
+    k = kernel_fn(name)(x, x, scale)
+    n = x.shape[0]
+    k = k + jnp.diag(var.astype(k.dtype))
+    if mask is not None:
+        m2 = mask[:, None] & mask[None, :]
+        eye = jnp.eye(n, dtype=k.dtype)
+        k = jnp.where(m2, k, eye)
+    return k

@@ -1,0 +1,345 @@
+"""One 2D lidar scan → a bank of small 1-D local GPs over overlapping angle
+partitions (reference: LidarGaussianProcess2D,
+include/erl_gaussian_process/lidar_gp_2d.hpp, src/lidar_gp_2d.cpp).
+
+TPU-native redesign: the reference trains each partition GP in an OpenMP loop
+(src/lidar_gp_2d.cpp:366-392); here every scan is ONE ``bank_fit`` call — a
+padded (B, group_size) batch with a single batched Cholesky on the MXU.
+Query routing (SearchPartition, :398-411) is a vectorized interval test plus
+a gathered per-query 1-point predict (models/batch_gp.bank_predict_assigned).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from erl_gaussian_process_tpu.geometry.lidar_frame_2d import (
+    LidarFrame2D,
+    LidarFrame2DSetting,
+)
+from erl_gaussian_process_tpu.kernels import KernelSetting, resolve_kernel_name
+from erl_gaussian_process_tpu.models.batch_gp import (
+    BankState,
+    bank_fit,
+    bank_predict_assigned,
+)
+from erl_gaussian_process_tpu.models.mapping import Mapping, MappingSetting, MappingType
+from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
+from erl_gaussian_process_tpu.utils.serialization import (
+    eq_state,
+    load_pytree,
+    save_pytree,
+)
+
+
+def partition_on_angles(n: int, group_size: int, overlap_size: int,
+                        margin: int, symmetric: bool, coords: np.ndarray):
+    """Angle-partition index/coord tables; exact port of the reference math
+    (PartitionOnAngles, src/lidar_gp_2d.cpp:239-300). Returns a list of
+    (index_left, index_right, coord_left, coord_right)."""
+    gs = group_size
+    step = group_size - overlap_size
+    num_groups = max(1, n // step) + 1
+    gs2 = (n - (num_groups - 2) * step) // 2
+    half = overlap_size // 2
+    parts = []
+    if symmetric:
+        parts.append((0, gs2 + half, coords[margin], coords[gs2]))
+        for i in range(num_groups - 2):
+            il = i * step + gs2 - half
+            ir = il + gs
+            parts.append((il, ir, coords[il + half], coords[ir - half]))
+        parts.append((n - gs2 - half, n, coords[n - 1 - gs2],
+                      coords[n - 1 - margin]))
+        return parts
+    for i in range(num_groups - 2):
+        il = i * step
+        ir = il + gs
+        parts.append((il, ir, coords[il], coords[ir - half]))
+    il = (num_groups - 2) * step
+    ir = il + (n - il + overlap_size) // 2
+    parts.append((il, ir, coords[il], coords[ir - half]))
+    il = il + (n - il - overlap_size) // 2
+    ir = n
+    parts.append((il, ir, coords[il], coords[ir - 1]))
+    return parts
+
+
+def partition_on_hit_rays(hit_ray_indices: np.ndarray, n_hit: int,
+                          group_size: int, overlap_size: int,
+                          coords: np.ndarray):
+    """Port of PartitionOnHitRays (src/lidar_gp_2d.cpp:302-348)."""
+    step = group_size - overlap_size
+    num_groups = max(1, n_hit // step) + 1
+    h = hit_ray_indices
+    parts = []
+    for i in range(num_groups - 2):
+        il, ir = i * step, i * step + group_size
+        il, ir = int(h[il]), int(h[ir])
+        parts.append((il, ir, coords[il], coords[ir]))
+    il = (num_groups - 2) * step
+    ir = il + (n_hit - il + overlap_size) // 2
+    il2, ir2 = int(h[il]), int(h[ir])
+    parts.append((il2, ir2, coords[il2], coords[ir2]))
+    il = il + (n_hit - il - overlap_size) // 2
+    il3 = int(h[il])
+    ir3 = int(h[n_hit - 1]) + 1
+    parts.append((il3, ir3, coords[il3], coords[ir3]))
+    return parts
+
+
+@dataclasses.dataclass
+class LidarGP2DSetting:
+    """Mirror of LidarGaussianProcess2D::Setting (lidar_gp_2d.hpp:30-71)."""
+
+    partition_on_hit_rays: bool = False
+    symmetric_partitions: bool = False
+    group_size: int = 26
+    overlap_size: int = 6
+    margin: int = 1
+    init_variance: float = 1e6
+    sensor_range_var: float = 0.01
+    discontinuity_var: float = 10.0
+    max_valid_range_var: float = 0.1
+    occ_test_temperature: float = 30.0
+    sensor_frame: LidarFrame2DSetting = dataclasses.field(
+        default_factory=LidarFrame2DSetting)
+    gp: VanillaGPSetting = dataclasses.field(
+        default_factory=lambda: VanillaGPSetting(kernel_type="ou"))
+    mapping: MappingSetting = dataclasses.field(
+        default_factory=lambda: MappingSetting(type=MappingType.INVERSE_SQRT))
+
+    def to_dict(self):
+        d = dataclasses.asdict(self)
+        d["mapping"] = self.mapping.to_dict()
+        return d
+
+    @classmethod
+    def from_dict(cls, d):
+        d = dict(d or {})
+        if "sensor_frame" in d:
+            d["sensor_frame"] = LidarFrame2DSetting.from_dict(d["sensor_frame"])
+        if "gp" in d:
+            d["gp"] = VanillaGPSetting.from_dict(d["gp"])
+        if "mapping" in d:
+            d["mapping"] = MappingSetting.from_dict(d["mapping"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class LidarGP2DTestResult:
+    """Routed query result (reference TestResult, src/lidar_gp_2d.cpp:48-167):
+    mean/variance per query angle, with validity flags for unresolved
+    queries."""
+
+    def __init__(self, gp: "LidarGaussianProcess2D", angles: np.ndarray,
+                 angles_are_local: bool, un_map: bool):
+        self._gp = gp
+        a = np.asarray(angles, gp.dtype).reshape(-1)
+        if not angles_are_local:
+            a = gp.sensor_frame.angles_world_to_frame(a)
+        idx = gp.search_partition(a)
+        mean, var, valid = bank_predict_assigned(
+            gp.bank, jnp.asarray(a[:, None]), jnp.asarray(idx),
+            gp.dtype.type(gp._scale), kernel=gp._kernel)
+        self._mean = np.asarray(mean[:, 0])
+        self._var = np.asarray(var)
+        self._valid = np.asarray(valid)
+        self._un_map = un_map
+
+    @property
+    def num_test(self):
+        return self._mean.shape[0]
+
+    def get_mean(self, parallel: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (mean, valid). Mapped back through inv() when un_map."""
+        del parallel
+        f = self._mean
+        if self._un_map:
+            f = np.asarray(Mapping(self._gp.setting.mapping).inv(f))
+        return f, self._valid.copy()
+
+    def get_variance(self, parallel: bool = True):
+        del parallel
+        var = np.where(self._valid, self._var,
+                       self._gp.setting.init_variance)
+        return var, self._valid.copy()
+
+
+class LidarGaussianProcess2D:
+    Setting = LidarGP2DSetting
+    TestResult = LidarGP2DTestResult
+
+    def __init__(self, setting: Optional[LidarGP2DSetting] = None,
+                 dtype=np.float64):
+        self.setting = setting or LidarGP2DSetting()
+        self.dtype = np.dtype(dtype)
+        self.sensor_frame = LidarFrame2D(self.setting.sensor_frame,
+                                         dtype=dtype)
+        self.mapping = Mapping(self.setting.mapping)
+        self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
+        self._scale = float(self.setting.gp.kernel.scale)
+        self._trained = False
+        self.bank: Optional[BankState] = None
+        self.mapped_distances = None
+        angles = self.sensor_frame.angles_in_frame
+        n = angles.shape[0]
+        self.partitions = []
+        if n > self.setting.overlap_size and not self.setting.partition_on_hit_rays:
+            self.partitions = partition_on_angles(
+                n, self.setting.group_size, self.setting.overlap_size,
+                self.setting.margin, self.setting.symmetric_partitions, angles)
+        self._part_bounds = self._bounds_array()
+
+    def _bounds_array(self):
+        if not self.partitions:
+            return np.zeros((0, 2), self.dtype)
+        return np.asarray([[cl, cr] for (_, _, cl, cr) in self.partitions],
+                          self.dtype)
+
+    @property
+    def is_trained(self):
+        return self._trained
+
+    @property
+    def angle_partitions(self):
+        return list(self.partitions)
+
+    def train(self, rotation, translation, ranges) -> bool:
+        """Store the scan, map distances, build the padded partition bank,
+        and fit it in one batched call (reference Train,
+        src/lidar_gp_2d.cpp:350-396)."""
+        self._trained = False
+        self.sensor_frame.update_ranges(rotation, translation, ranges)
+        if not self.sensor_frame.is_valid():
+            return False
+        r = self.sensor_frame.ranges
+        self.mapped_distances = np.asarray(
+            Mapping(self.setting.mapping).map(r), self.dtype)
+
+        if self.setting.partition_on_hit_rays:
+            if self.sensor_frame.num_hit_rays == 0:
+                return False
+            self.partitions = partition_on_hit_rays(
+                self.sensor_frame.hit_ray_indices,
+                self.sensor_frame.num_hit_rays,
+                self.setting.group_size, self.setting.overlap_size,
+                self.sensor_frame.angles_in_frame)
+            self._part_bounds = self._bounds_array()
+
+        angles = self.sensor_frame.angles_in_frame
+        hit = self.sensor_frame.hit_mask
+        cont = self.sensor_frame.continuity_mask
+        discon_on = self.setting.sensor_frame.discontinuity_detection
+
+        B = len(self.partitions)
+        width = max(ir - il for (il, ir, _, _) in self.partitions)
+        xs = np.zeros((B, width, 1), self.dtype)
+        ys = np.zeros((B, width, 1), self.dtype)
+        vs = np.zeros((B, width), self.dtype)
+        ms = np.zeros((B, width), bool)
+        for b, (il, ir, _, _) in enumerate(self.partitions):
+            sel = np.arange(il, ir)[hit[il:ir]]
+            cnt = sel.shape[0]
+            xs[b, :cnt, 0] = angles[sel]
+            ys[b, :cnt, 0] = self.mapped_distances[sel]
+            if discon_on:
+                vs[b, :cnt] = np.where(cont[sel],
+                                       self.setting.sensor_range_var,
+                                       self.setting.discontinuity_var)
+            else:
+                vs[b, :cnt] = self.setting.sensor_range_var
+            ms[b, :cnt] = True
+
+        self.bank = bank_fit(
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+            jnp.asarray(ms), self.dtype.type(self._scale),
+            kernel=self._kernel)
+        self._trained = True
+        return True
+
+    def search_partition(self, angles_local: np.ndarray) -> np.ndarray:
+        """First partition whose [coord_left, coord_right] contains each
+        angle; -1 when none (vectorized SearchPartition,
+        src/lidar_gp_2d.cpp:398-411)."""
+        a = np.asarray(angles_local)[:, None]               # (m, 1)
+        lo = self._part_bounds[None, :, 0]
+        hi = self._part_bounds[None, :, 1]
+        ok = (a >= lo) & (a <= hi) & np.isfinite(a)
+        idx = np.argmax(ok, axis=1).astype(np.int32)
+        idx[~ok.any(axis=1)] = -1
+        return idx
+
+    def test(self, angles, angles_are_local: bool, un_map: bool
+             ) -> Optional[LidarGP2DTestResult]:
+        if not self._trained:
+            return None
+        return LidarGP2DTestResult(self, angles, angles_are_local, un_map)
+
+    def compute_occ(self, pos_local: np.ndarray):
+        """Occupancy test for local positions (n, 2) — vectorized version of
+        the reference's per-point ComputeOcc (src/lidar_gp_2d.cpp:428-459):
+        occ = 2 / (1 + exp(dist·T·(r̂ - map(dist)))) - 1, gated on variance.
+
+        Returns (valid (n,), dist (n,), range_pred (n,), occ (n,)).
+        """
+        p = np.atleast_2d(np.asarray(pos_local, self.dtype))
+        dist = np.linalg.norm(p, axis=-1)
+        ang = np.arctan2(p[:, 1], p[:, 0])
+        idx = self.search_partition(ang)
+        mean, var, valid = bank_predict_assigned(
+            self.bank, jnp.asarray(ang[:, None]), jnp.asarray(idx),
+            self.dtype.type(self._scale), kernel=self._kernel)
+        mean = np.asarray(mean[:, 0])
+        var = np.asarray(var)
+        valid = np.asarray(valid) & (var <= self.setting.max_valid_range_var)
+        a = dist * self.setting.occ_test_temperature
+        mapped = np.asarray(self.mapping.map(dist))
+        occ = 2.0 / (1.0 + np.exp(a * (mean - mapped))) - 1.0
+        range_pred = np.asarray(self.mapping.inv(mean))
+        return valid, dist, range_pred, occ
+
+    # -- checkpoint ---------------------------------------------------------
+    def state_dict(self):
+        return {
+            "setting": self.setting.to_dict(),
+            "trained": self._trained,
+            "partitions": np.asarray(
+                [[il, ir, cl, cr] for (il, ir, cl, cr) in self.partitions]),
+            "sensor_frame": self.sensor_frame.state_dict(),
+            "mapped_distances": self.mapped_distances,
+            "bank": None if self.bank is None else self.bank._asdict(),
+        }
+
+    def load_state_dict(self, d):
+        self.setting = LidarGP2DSetting.from_dict(d["setting"])
+        self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
+        self._scale = float(self.setting.gp.kernel.scale)
+        self.mapping = Mapping(self.setting.mapping)
+        self._trained = bool(d["trained"])
+        self.partitions = [
+            (int(il), int(ir), float(cl), float(cr))
+            for il, ir, cl, cr in np.asarray(d["partitions"])]
+        self._part_bounds = self._bounds_array()
+        self.sensor_frame = LidarFrame2D(self.setting.sensor_frame,
+                                         dtype=self.dtype)
+        self.sensor_frame.load_state_dict(d["sensor_frame"])
+        self.mapped_distances = d["mapped_distances"]
+        b = d["bank"]
+        self.bank = None if b is None else BankState(
+            **{k: jnp.asarray(v) for k, v in b.items()})
+
+    def save(self, path):
+        save_pytree(path, self.state_dict())
+
+    def load(self, path):
+        self.load_state_dict(load_pytree(path))
+
+    def __eq__(self, other):
+        if not isinstance(other, LidarGaussianProcess2D):
+            return NotImplemented
+        return eq_state(self.state_dict(), other.state_dict())

@@ -1,0 +1,338 @@
+"""GP with noisy inputs and optional per-sample gradient observations
+(NIGP/GPIS-style; reference: NoisyInputGaussianProcess,
+include/erl_gaussian_process/noisy_input_gp.hpp, src/noisy_input_gp.cpp).
+
+Joint value/gradient system layout and noise placement are documented in
+kernels/gradient.py. Per-sample ``grad_flag`` becomes a boolean mask over
+fixed-shape gradient slots (one per sample per dim) — unflagged slots are
+identity rows with zero alpha, which reproduces the reference's packed
+variable-size system exactly while keeping shapes static for XLA.
+
+Predictive quantities (reference formulas):
+- mean:          k*ᵀ alpha                         (src/noisy_input_gp.cpp:140-143)
+- gradient:      grad-column dot alpha              (:194-204)
+- mean var:      1 - ||L⁻¹ k*||²                    (:238-250)
+- grad var:      3/s² - ||L⁻¹ k*_grad||²            (:270-280, the 3/s² quirk)
+- mean/grad cov: lower triangle of -(L⁻¹k*_j)ᵀ(L⁻¹k*_k)  (:320-331)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from erl_gaussian_process_tpu.kernels import (
+    KernelSetting,
+    cross_gram_with_gradient,
+    gradient_prior_variance,
+    resolve_kernel_name,
+    train_gram,
+    train_gram_with_gradient,
+)
+from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, whiten
+from erl_gaussian_process_tpu.utils.serialization import (
+    eq_state,
+    load_pytree,
+    save_pytree,
+)
+
+
+class NoisyInputGPState(NamedTuple):
+    """x (n, d); masks (n,); L/alpha over the joint system
+    (N = n if trained without gradient observations, else n(1+d))."""
+
+    x: jnp.ndarray
+    sample_mask: jnp.ndarray
+    grad_mask: jnp.ndarray
+    L: jnp.ndarray
+    alpha: jnp.ndarray
+
+
+def pack_alpha(y, grad, sample_mask, grad_mask):
+    """alpha rows = [y(n); dim-major gradient blocks], masked to zero.
+    y: (n, q); grad: (n, d, q). Mirrors the reference's interleaved packing
+    (src/noisy_input_gp.cpp:845-857) with fixed-size blocks."""
+    n, d, q = grad.shape
+    yv = jnp.where(sample_mask[:, None], y, 0.0)
+    gv = jnp.where(grad_mask[:, None, None], grad, 0.0)
+    gflat = gv.transpose(1, 0, 2).reshape(d * n, q)
+    return jnp.concatenate([yv, gflat], axis=0)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def nigp_fit(x, y, grad, var_x, var_y, var_grad, sample_mask, grad_mask,
+             scale, *, kernel: str) -> NoisyInputGPState:
+    """Train with gradient observations: joint gram + LLT solve
+    (src/noisy_input_gp.cpp:807-898)."""
+    K = train_gram_with_gradient(
+        kernel, x, jnp.where(sample_mask, var_x, 0.0),
+        jnp.where(sample_mask, var_y, 0.0),
+        jnp.where(grad_mask, var_grad, 0.0),
+        sample_mask, grad_mask, scale)
+    alpha = pack_alpha(y, grad, sample_mask, grad_mask)
+    L, a = cholesky_fit(K, alpha)
+    return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def nigp_fit_nograd(x, y, var_x, var_y, sample_mask, scale, *, kernel: str
+                    ) -> NoisyInputGPState:
+    """Train without gradient observations: plain gram with
+    var = var_x + var_y (src/noisy_input_gp.cpp:821-829)."""
+    var = jnp.where(sample_mask, var_x + var_y, 0.0)
+    K = train_gram(kernel, x, var, scale, mask=sample_mask)
+    yv = jnp.where(sample_mask[:, None], y, 0.0)
+    L, a = cholesky_fit(K, yv)
+    grad_mask = jnp.zeros_like(sample_mask)
+    return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
+
+
+@partial(jax.jit, static_argnames=("kernel", "with_test_grad", "with_train_grad"))
+def nigp_ktest(state: NoisyInputGPState, xq, scale, *, kernel: str,
+               with_test_grad: bool, with_train_grad: bool):
+    return cross_gram_with_gradient(
+        kernel, state.x, xq, scale, state.sample_mask, state.grad_mask,
+        with_test_grad=with_test_grad, with_train_grad=with_train_grad)
+
+
+@partial(jax.jit, static_argnames=("num_test",))
+def nigp_mean(state: NoisyInputGPState, ktest, num_test: int):
+    """Means from the first num_test columns. Returns (m, q)."""
+    return ktest[:, :num_test].T @ state.alpha
+
+
+def nigp_gradient(state: NoisyInputGPState, ktest, num_test: int, d: int):
+    """Gradients from dim-major columns m..m(1+d). Returns (m, d, q)."""
+    gcols = ktest[:, num_test:num_test * (1 + d)]
+    g = gcols.T @ state.alpha                      # (d*m, q)
+    return g.reshape(d, num_test, -1).transpose(1, 0, 2)
+
+
+@partial(jax.jit, static_argnames=("d", "reduced_rank"))
+def nigp_variance_cov(state: NoisyInputGPState, ktest, scale, *, d: int,
+                      reduced_rank: bool = False):
+    """(mean_var (m,), grad_var (m, d), cov (m, d(d+1)/2)) from the whitened
+    alpha_test = L⁻¹ ktest. cov rows follow the reference's lower-triangle
+    order: [cov(g0,f), cov(g1,f), cov(g1,g0), cov(g2,f), ...]."""
+    at = whiten(state.L, ktest)                    # (N, m(1+d))
+    m = ktest.shape[1] // (1 + d)
+    cols = at.T.reshape(1 + d, m, -1)              # (1+d, m, N)
+    sq = jnp.sum(cols * cols, axis=-1)             # (1+d, m)
+    mean_var = sq[0] if reduced_rank else 1.0 - sq[0]
+    gvar_prior = gradient_prior_variance(scale)
+    grad_var = sq[1:].T if reduced_rank else gvar_prior - sq[1:].T
+    sign = 1.0 if reduced_rank else -1.0
+    covs = []
+    for j in range(d):
+        covs.append(sign * jnp.sum(cols[1 + j] * cols[0], axis=-1))
+        for k in range(j):
+            covs.append(sign * jnp.sum(cols[1 + j] * cols[1 + k], axis=-1))
+    cov = jnp.stack(covs, axis=1) if covs else jnp.zeros((m, 0), at.dtype)
+    return mean_var, grad_var, cov
+
+
+@dataclasses.dataclass
+class NoisyInputGPSetting:
+    """Mirror of NoisyInputGaussianProcess::Setting
+    (noisy_input_gp.hpp; YAML codec src/noisy_input_gp.cpp:11-36)."""
+
+    kernel_type: str = "rbf"
+    kernel: KernelSetting = dataclasses.field(default_factory=KernelSetting)
+    max_num_samples: int = 256
+    no_gradient_observation: bool = False
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        d = dict(d or {})
+        d.pop("kernel_setting_type", None)
+        if "kernel" in d:
+            d["kernel"] = KernelSetting.from_dict(d["kernel"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class NigpTestResult:
+    """Lazy TestResult mirroring the reference
+    (noisy_input_gp.hpp TestResult; lazy whitening in PrepareAlphaTest,
+    src/noisy_input_gp.cpp:363-375)."""
+
+    def __init__(self, gp: "NoisyInputGaussianProcess", xq: np.ndarray,
+                 will_predict_gradient: bool):
+        self._gp = gp
+        self._xq = xq
+        self._with_grad = will_predict_gradient
+        self._ktest = nigp_ktest(
+            gp.state, xq, gp._scale, kernel=gp._kernel,
+            with_test_grad=will_predict_gradient,
+            with_train_grad=not gp.setting.no_gradient_observation)
+        self._varcov = None
+
+    @property
+    def num_test(self):
+        return self._xq.shape[0]
+
+    @property
+    def k_test(self):
+        return np.asarray(self._ktest)
+
+    def get_mean(self, y_index: int = 0, parallel: bool = True):
+        del parallel
+        return np.asarray(
+            nigp_mean(self._gp.state, self._ktest, self.num_test)[:, y_index])
+
+    def get_gradient(self, y_index: int = 0, parallel: bool = True):
+        del parallel
+        assert self._with_grad, "TestResult built without gradient support"
+        g = nigp_gradient(self._gp.state, self._ktest, self.num_test,
+                          self._gp._x_dim)
+        return np.asarray(g[:, :, y_index]).T  # (d, m) as in the reference
+
+    def _prepare(self):
+        if self._varcov is None:
+            d = self._gp._x_dim if self._with_grad else 0
+            self._varcov = nigp_variance_cov(
+                self._gp.state, self._ktest, self._gp._scale, d=d,
+                reduced_rank=self._gp.reduced_rank_kernel)
+        return self._varcov
+
+    def get_mean_variance(self, parallel: bool = True):
+        del parallel
+        return np.asarray(self._prepare()[0])
+
+    def get_gradient_variance(self, parallel: bool = True):
+        del parallel
+        assert self._with_grad
+        return np.asarray(self._prepare()[1]).T  # (d, m)
+
+    def get_covariance(self, parallel: bool = True):
+        """Lower-triangle covariances, (d(d+1)/2, m)."""
+        del parallel
+        assert self._with_grad
+        return np.asarray(self._prepare()[2]).T
+
+
+class NoisyInputGaussianProcess:
+    """Stateful wrapper mirroring the reference binding API
+    (python/binding/bind_noisy_input_gp.cpp). Reference layout: x (d, n),
+    y (n, q), grad (d*q, n), var_* (n,), grad_flag (n,)."""
+
+    Setting = NoisyInputGPSetting
+    TestResult = NigpTestResult
+
+    def __init__(self, setting: Optional[NoisyInputGPSetting] = None,
+                 dtype=np.float64):
+        self.setting = setting or NoisyInputGPSetting()
+        self.dtype = np.dtype(dtype)
+        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._scale = float(self.setting.kernel.scale)
+        self.state: Optional[NoisyInputGPState] = None
+        self.reduced_rank_kernel = False
+        self._trained = False
+        self._x_dim = 0
+        self._y_dim = 0
+
+    @property
+    def is_trained(self):
+        return self._trained
+
+    def train(self, mat_x, mat_y, mat_grad=None, var_x=None, var_y=None,
+              var_grad=None, grad_flag=None) -> bool:
+        """x: (d, n); y: (n, q) or (n,); grad: (d*q, n) per the reference's
+        TrainSet.grad layout (output-major row blocks of size d)."""
+        x = np.asarray(mat_x, self.dtype)
+        if x.ndim == 1:
+            x = x[None, :]
+        d, n = x.shape
+        y = np.asarray(mat_y, self.dtype)
+        if y.ndim == 1:
+            y = y[:, None]
+        q = y.shape[1]
+        nmax = max(self.setting.max_num_samples, n)
+        self._x_dim, self._y_dim = d, q
+
+        def padv(v, fill=0.0):
+            out = np.full((nmax,), fill, self.dtype)
+            if v is not None:
+                out[:n] = np.broadcast_to(np.asarray(v, self.dtype), (n,))
+            return out
+
+        xp = np.zeros((nmax, d), self.dtype)
+        xp[:n] = x.T
+        yp = np.zeros((nmax, q), self.dtype)
+        yp[:n] = y
+        vx, vy, vg = padv(var_x), padv(var_y), padv(var_grad)
+        smask = np.zeros((nmax,), bool)
+        smask[:n] = True
+
+        if self.setting.no_gradient_observation:
+            self.state = nigp_fit_nograd(
+                xp, yp, vx, vy, smask, self.dtype.type(self._scale),
+                kernel=self._kernel)
+        else:
+            gmask = np.zeros((nmax,), bool)
+            if grad_flag is None:
+                gmask[:n] = True
+            else:
+                gmask[:n] = np.asarray(grad_flag).astype(bool)[:n]
+            gp_ = np.zeros((nmax, d, q), self.dtype)
+            if mat_grad is not None:
+                g = np.asarray(mat_grad, self.dtype)
+                if g.ndim == 1:
+                    g = g[None, :]
+                # reference grad layout: rows d*q, col per sample
+                gp_[:n] = g.T.reshape(n, q, d).transpose(0, 2, 1)
+            self.state = nigp_fit(
+                xp, yp, gp_, vx, vy, vg, smask, gmask,
+                self.dtype.type(self._scale), kernel=self._kernel)
+        self._trained = True
+        return True
+
+    def test(self, mat_x_test, predict_gradient: bool = False
+             ) -> Optional[NigpTestResult]:
+        if not self._trained:
+            return None
+        xq = np.asarray(mat_x_test, self.dtype)
+        if xq.ndim == 1:
+            xq = xq[None, :]
+        return NigpTestResult(self, np.ascontiguousarray(xq.T),
+                              predict_gradient)
+
+    # -- checkpoint --------------------------------------------------------
+    def state_dict(self):
+        return {
+            "setting": self.setting.to_dict(),
+            "trained": self._trained,
+            "x_dim": self._x_dim,
+            "y_dim": self._y_dim,
+            "state": None if self.state is None else self.state._asdict(),
+        }
+
+    def load_state_dict(self, dd):
+        self.setting = NoisyInputGPSetting.from_dict(dd["setting"])
+        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._scale = float(self.setting.kernel.scale)
+        self._trained = bool(dd["trained"])
+        self._x_dim = int(dd["x_dim"])
+        self._y_dim = int(dd["y_dim"])
+        s = dd["state"]
+        self.state = None if s is None else NoisyInputGPState(
+            **{k: jnp.asarray(v) for k, v in s.items()})
+
+    def save(self, path):
+        save_pytree(path, self.state_dict())
+
+    def load(self, path):
+        self.load_state_dict(load_pytree(path))
+
+    def __eq__(self, other):
+        if not isinstance(other, NoisyInputGaussianProcess):
+            return NotImplemented
+        return eq_state(self.state_dict(), other.state_dict())

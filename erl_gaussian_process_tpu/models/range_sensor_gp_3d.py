@@ -1,0 +1,258 @@
+"""3D range-sensor GP: a 2D grid of local 2-input GPs over
+(azimuth-row × elevation-col) partitions of a 3D sensor frame
+(reference: RangeSensorGaussianProcess3D,
+include/erl_gaussian_process/range_sensor_gp_3d.hpp,
+src/range_sensor_gp_3d.cpp).
+
+TPU-native redesign: the reference's ``collapse(2)`` OpenMP grid loop
+(src/range_sensor_gp_3d.cpp:334-360) becomes one flattened ``bank_fit`` over
+all row×col partitions; query routing is a vectorized two-axis interval
+search feeding ``bank_predict_assigned``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from erl_gaussian_process_tpu.geometry.frames_3d import (
+    create_range_sensor_frame_3d,
+    LidarFrame3DSetting,
+)
+from erl_gaussian_process_tpu.kernels import resolve_kernel_name
+from erl_gaussian_process_tpu.models.batch_gp import (
+    BankState,
+    bank_fit,
+    bank_predict_assigned,
+)
+from erl_gaussian_process_tpu.models.mapping import Mapping, MappingSetting, MappingType
+from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
+from erl_gaussian_process_tpu.utils.serialization import eq_state
+
+
+def _grid_partitions(coords: np.ndarray, group_size: int, overlap: int,
+                     margin: int):
+    """Symmetric 1-axis partitioning used for both row and col axes
+    (port of the reference ctor math, src/range_sensor_gp_3d.cpp:199-259)."""
+    n = coords.shape[0]
+    step = group_size - overlap
+    half = overlap // 2
+    num_groups = max(1, n // step) + 1
+    gs2 = (n - (num_groups - 2) * step) // 2
+    parts = [(0, gs2 + half, coords[margin], coords[gs2])]
+    for i in range(num_groups - 2):
+        il = i * step + gs2 - half
+        ir = il + group_size
+        parts.append((il, ir, coords[il + half], coords[ir - half]))
+    parts.append((n - gs2 - half, n, coords[n - 1 - gs2],
+                  coords[n - 1 - margin]))
+    return parts
+
+
+@dataclasses.dataclass
+class RangeSensorGP3DSetting:
+    """Mirror of RangeSensorGaussianProcess3D::Setting (fields from YAML codec
+    and test setup, src/range_sensor_gp_3d.cpp:7-50,
+    test_range_sensor_gp_3d.cpp:39-56)."""
+
+    row_group_size: int = 12
+    row_overlap_size: int = 4
+    row_margin: int = 0
+    col_group_size: int = 12
+    col_overlap_size: int = 4
+    col_margin: int = 0
+    min_num_samples_per_group: int = 10
+    init_variance: float = 1e6
+    sensor_range_var: float = 0.01
+    max_valid_range_var: float = 0.1
+    occ_test_temperature: float = 30.0
+    sensor_frame_type: str = "lidar"
+    sensor_frame: dict | object = dataclasses.field(
+        default_factory=LidarFrame3DSetting)
+    gp: VanillaGPSetting = dataclasses.field(
+        default_factory=lambda: VanillaGPSetting(kernel_type="ou"))
+    mapping: MappingSetting = dataclasses.field(
+        default_factory=lambda: MappingSetting(type=MappingType.INVERSE_SQRT))
+
+    @classmethod
+    def from_dict(cls, d):
+        d = dict(d or {})
+        if "gp" in d:
+            d["gp"] = VanillaGPSetting.from_dict(d["gp"])
+        if "mapping" in d:
+            d["mapping"] = MappingSetting.from_dict(d["mapping"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class RangeSensorGP3DTestResult:
+    def __init__(self, gp: "RangeSensorGaussianProcess3D",
+                 directions: np.ndarray, directions_are_local: bool,
+                 un_map: bool):
+        d = np.asarray(directions, gp.dtype)
+        if d.ndim == 1:
+            d = d[None, :]
+        if d.shape[0] == 3 and d.shape[1] != 3:
+            d = d.T  # accept reference (3, m) layout
+        if not directions_are_local:
+            d = gp.sensor_frame.dir_world_to_frame(d)
+        coords, ok = gp.sensor_frame.compute_frame_coords(d)
+        ok = ok & gp.sensor_frame.coords_in_frame(coords)
+        idx = gp.search_partition(coords)
+        idx = np.where(ok, idx, -1).astype(np.int32)
+        mean, var, valid = bank_predict_assigned(
+            gp.bank, jnp.asarray(coords), jnp.asarray(idx),
+            gp.dtype.type(gp._scale), kernel=gp._kernel)
+        self._gp = gp
+        self._mean = np.asarray(mean[:, 0])
+        self._var = np.asarray(var)
+        self._valid = np.asarray(valid)
+        self._un_map = un_map
+
+    @property
+    def num_test(self):
+        return self._mean.shape[0]
+
+    def get_mean(self, parallel: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        del parallel
+        f = self._mean
+        if self._un_map:
+            f = np.asarray(Mapping(self._gp.setting.mapping).inv(f))
+        return f, self._valid.copy()
+
+    def get_variance(self, parallel: bool = True):
+        del parallel
+        var = np.where(self._valid, self._var, self._gp.setting.init_variance)
+        return var, self._valid.copy()
+
+
+class RangeSensorGaussianProcess3D:
+    Setting = RangeSensorGP3DSetting
+    TestResult = RangeSensorGP3DTestResult
+
+    def __init__(self, setting: Optional[RangeSensorGP3DSetting] = None,
+                 dtype=np.float64):
+        self.setting = setting or RangeSensorGP3DSetting()
+        assert self.setting.row_overlap_size % 2 == 0
+        assert self.setting.col_overlap_size % 2 == 0
+        self.dtype = np.dtype(dtype)
+        self.sensor_frame = create_range_sensor_frame_3d(
+            self.setting.sensor_frame_type, self.setting.sensor_frame,
+            dtype=dtype)
+        self.mapping = Mapping(self.setting.mapping)
+        self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
+        self._scale = float(self.setting.gp.kernel.scale)
+        fc = self.sensor_frame.frame_coords()
+        self.row_partitions = _grid_partitions(
+            fc[:, 0, 0], self.setting.row_group_size,
+            self.setting.row_overlap_size, self.setting.row_margin)
+        self.col_partitions = _grid_partitions(
+            fc[0, :, 1], self.setting.col_group_size,
+            self.setting.col_overlap_size, self.setting.col_margin)
+        self._row_bounds = np.asarray(
+            [[cl, cr] for (_, _, cl, cr) in self.row_partitions], self.dtype)
+        self._col_bounds = np.asarray(
+            [[cl, cr] for (_, _, cl, cr) in self.col_partitions], self.dtype)
+        self._trained = False
+        self.bank: Optional[BankState] = None
+        self.mapped_distances = None
+
+    @property
+    def is_trained(self):
+        return self._trained
+
+    @property
+    def num_partitions(self):
+        return len(self.row_partitions), len(self.col_partitions)
+
+    def train(self, rotation, translation, ranges) -> bool:
+        """One scan → one flattened padded bank fit
+        (reference Train, src/range_sensor_gp_3d.cpp:321-364)."""
+        self._trained = False
+        self.sensor_frame.update_ranges(rotation, translation, ranges)
+        if not self.sensor_frame.is_valid():
+            return False
+        self.mapped_distances = np.asarray(
+            Mapping(self.setting.mapping).map(self.sensor_frame.ranges),
+            self.dtype)
+        fc = self.sensor_frame.frame_coords()
+        hit = self.sensor_frame.hit_mask
+        R, C = self.num_partitions
+        width = (max(ir - il for (il, ir, _, _) in self.row_partitions)
+                 * max(ir - il for (il, ir, _, _) in self.col_partitions))
+        B = R * C
+        xs = np.zeros((B, width, 2), self.dtype)
+        ys = np.zeros((B, width, 1), self.dtype)
+        vs = np.full((B, width), self.setting.sensor_range_var, self.dtype)
+        ms = np.zeros((B, width), bool)
+        for i, (ril, rir, _, _) in enumerate(self.row_partitions):
+            for j, (cil, cir, _, _) in enumerate(self.col_partitions):
+                b = i * C + j
+                sub_hit = hit[ril:rir, cil:cir]
+                cnt = int(sub_hit.sum())
+                if cnt <= self.setting.min_num_samples_per_group:
+                    continue
+                sub_fc = fc[ril:rir, cil:cir][sub_hit]
+                sub_y = self.mapped_distances[ril:rir, cil:cir][sub_hit]
+                xs[b, :cnt] = sub_fc
+                ys[b, :cnt, 0] = sub_y
+                ms[b, :cnt] = True
+        self.bank = bank_fit(
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+            jnp.asarray(ms), self.dtype.type(self._scale), kernel=self._kernel)
+        self._trained = True
+        return True
+
+    def search_partition(self, coords: np.ndarray) -> np.ndarray:
+        """coords (m, 2) → flat bank index i*C + j; -1 when unresolved.
+        Row interval is [left, right), col interval is [left, right]
+        (reference SearchPartition, src/range_sensor_gp_3d.cpp:366-393)."""
+        rc = coords[:, 0][:, None]
+        cc = coords[:, 1][:, None]
+        rok = (rc >= self._row_bounds[None, :, 0]) & (rc < self._row_bounds[None, :, 1])
+        cok = (cc >= self._col_bounds[None, :, 0]) & (cc <= self._col_bounds[None, :, 1])
+        ri = np.argmax(rok, axis=1)
+        ci = np.argmax(cok, axis=1)
+        ok = rok.any(axis=1) & cok.any(axis=1)
+        idx = (ri * len(self.col_partitions) + ci).astype(np.int32)
+        idx[~ok] = -1
+        return idx
+
+    def test(self, directions, directions_are_local: bool, un_map: bool
+             ) -> Optional[RangeSensorGP3DTestResult]:
+        if not self._trained:
+            return None
+        return RangeSensorGP3DTestResult(self, directions,
+                                         directions_are_local, un_map)
+
+    def compute_occ(self, pos_local: np.ndarray):
+        """Vectorized ComputeOcc (reference src/range_sensor_gp_3d.cpp:409-439).
+        pos_local (n, 3). Returns (valid, dist, range_pred, occ)."""
+        p = np.atleast_2d(np.asarray(pos_local, self.dtype))
+        dist = np.linalg.norm(p, axis=-1)
+        dirs = p / np.where(dist > 0, dist, 1.0)[:, None]
+        coords, ok = self.sensor_frame.compute_frame_coords(dirs)
+        ok = ok & self.sensor_frame.coords_in_frame(coords)
+        idx = np.where(ok, self.search_partition(coords), -1).astype(np.int32)
+        mean, var, valid = bank_predict_assigned(
+            self.bank, jnp.asarray(coords), jnp.asarray(idx),
+            self.dtype.type(self._scale), kernel=self._kernel)
+        mean = np.asarray(mean[:, 0])
+        var = np.asarray(var)
+        valid = np.asarray(valid) & (var <= self.setting.max_valid_range_var)
+        a = dist * self.setting.occ_test_temperature
+        mapped = np.asarray(self.mapping.map(dist))
+        occ = 2.0 / (1.0 + np.exp(a * (mean - mapped))) - 1.0
+        range_pred = np.asarray(self.mapping.inv(mean))
+        return valid, dist, range_pred, occ
+
+    def __eq__(self, other):
+        if not isinstance(other, RangeSensorGaussianProcess3D):
+            return NotImplemented
+        a = None if self.bank is None else self.bank._asdict()
+        b = None if other.bank is None else other.bank._asdict()
+        return self._trained == other._trained and eq_state(
+            {"bank": a}, {"bank": b})

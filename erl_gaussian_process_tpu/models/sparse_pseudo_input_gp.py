@@ -1,0 +1,310 @@
+"""Incremental sparse pseudo-input GP (SPGP/FITC) over fixed pseudo-points.
+
+Reference: SparsePseudoInputGaussianProcess
+(include/erl_gaussian_process/sparse_pseudo_input_gp.hpp:13-33 documents the
+algorithm; src/sparse_pseudo_input_gp.cpp implements it):
+
+    init:    K_M = k(P, P);  L_KM = chol(K_M);  Q_M = K_M;  alpha = 0
+    update:  Q_M   += K_MN (Lambda + diag(var))^{-1} K_MN^T
+             alpha += K_MN (Lambda + diag(var))^{-1} y
+             lambda_i = 1 - ||L_KM^{-1} k_i||^2
+    predict: mean  = k*^T Q_M^{-1} alpha
+             var   = 1 - ||L_KM^{-1} k*||^2 + ||L_QM^{-1} k*||^2
+             (noise NOT added, matching the implementation rather than the
+             header comment, src/sparse_pseudo_input_gp.cpp:280-300)
+
+TPU design: the whole update is three dense ops — one (M, N) cross gram, one
+batched triangular solve against L_KM, and one M×M×N GEMM on the MXU — as a
+single jitted step with donated (Q_M, alpha) buffers, replacing the
+reference's per-column OpenMP loop (src/sparse_pseudo_input_gp.cpp:768-774).
+The reference's sparse-matrix variant (``use_sparse``) is a CPU optimization
+with no TPU benefit (it would force dynamic shapes); dense mode covers it.
+
+Note: the reference's vector-valued ``TestResult::GetGradient`` dots the RAW
+accumulated alpha instead of Q_M^{-1} alpha (src/sparse_pseudo_input_gp.cpp:
+212 vs :263); the scalar overload uses the solved alpha. We implement the
+mathematically consistent solved-alpha form everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import solve_triangular
+
+from erl_gaussian_process_tpu.kernels import (
+    KernelSetting,
+    cross_gram,
+    cross_gram_with_gradient,
+    kernel_fn,
+    resolve_kernel_name,
+)
+from erl_gaussian_process_tpu.utils.serialization import (
+    eq_state,
+    load_pytree,
+    save_pytree,
+)
+
+
+class SpGpState(NamedTuple):
+    """pseudo (M, d); L_km (M, M); qm (M, M) [or (M, 1) when diagonal];
+    alpha (M, q)."""
+
+    pseudo: jnp.ndarray
+    L_km: jnp.ndarray
+    qm: jnp.ndarray
+    alpha: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "y_dim"))
+def spgp_init(pseudo, scale, *, kernel: str, diagonal_qm: bool = False,
+              y_dim: int = 1) -> SpGpState:
+    """K_M, chol, Q_M <- K_M (or ones when diagonal), alpha <- 0
+    (reference ctor, src/sparse_pseudo_input_gp.cpp:336-350)."""
+    m = pseudo.shape[0]
+    km = kernel_fn(kernel)(pseudo, pseudo, scale)
+    L_km = jnp.linalg.cholesky(km)
+    qm = jnp.ones((m, 1), km.dtype) if diagonal_qm else km
+    alpha = jnp.zeros((m, y_dim), km.dtype)
+    return SpGpState(pseudo=pseudo, L_km=L_km, qm=qm, alpha=alpha)
+
+
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm"),
+         donate_argnames=("state",))
+def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
+                diagonal_qm: bool = False) -> SpGpState:
+    """Rank-N FITC update (UpdateDense, src/sparse_pseudo_input_gp.cpp:751-791)
+    with fixed-shape masking: masked-out columns contribute nothing.
+
+    x (n, d); y (n, q); var/mask (n,).
+    """
+    kmn = cross_gram(kernel, state.pseudo, x, scale)          # (M, n)
+    beta = solve_triangular(state.L_km, kmn, lower=True)       # (M, n)
+    lam = 1.0 - jnp.sum(beta * beta, axis=0)                   # (n,)
+    inv = jnp.where(mask, 1.0 / (lam + var), 0.0)              # (n,)
+    ksc = kmn * inv[None, :]
+    if diagonal_qm:
+        qm = state.qm + jnp.sum(ksc * kmn, axis=1, keepdims=True)
+    else:
+        qm = state.qm + ksc @ kmn.T
+    yv = jnp.where(mask[:, None], y, 0.0)
+    alpha = state.alpha + ksc @ yv
+    return SpGpState(pseudo=state.pseudo, L_km=state.L_km, qm=qm, alpha=alpha)
+
+
+@partial(jax.jit, static_argnames=("diagonal_qm",))
+def spgp_prepare(state: SpGpState, *, diagonal_qm: bool = False):
+    """(L_qm, alpha_solved = Q_M^{-1} alpha) — the lazy PrepareLqm +
+    TestResult ctor solve (src/sparse_pseudo_input_gp.cpp:834-842, :100-109)."""
+    if diagonal_qm:
+        L_qm = jnp.sqrt(state.qm[:, 0])
+        return jnp.diag(L_qm), state.alpha / state.qm
+    L_qm = jnp.linalg.cholesky(state.qm)
+    a = solve_triangular(L_qm, state.alpha, lower=True)
+    a = solve_triangular(L_qm.T, a, lower=False)
+    return L_qm, a
+
+
+@partial(jax.jit, static_argnames=("kernel", "with_grad", "with_var"))
+def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
+                 kernel: str, with_grad: bool = False, with_var: bool = True):
+    """mean (m_q, q), grad (m_q, d, q) | None, var (m_q,) | None."""
+    mq, d = xq.shape[0], xq.shape[1]
+    zeros = jnp.zeros(state.pseudo.shape[0], bool)
+    if with_grad:
+        kt = cross_gram_with_gradient(
+            kernel, state.pseudo, xq, scale,
+            sample_mask=jnp.ones(state.pseudo.shape[0], bool),
+            grad_mask=zeros, with_test_grad=True, with_train_grad=False)
+    else:
+        kt = cross_gram(kernel, state.pseudo, xq, scale)
+    mean = kt[:, :mq].T @ alpha_solved
+    grad = None
+    if with_grad:
+        g = kt[:, mq:].T @ alpha_solved                 # (d*mq, q)
+        grad = g.reshape(d, mq, -1).transpose(1, 0, 2)  # (mq, d, q)
+    var = None
+    if with_var:
+        kmean = kt[:, :mq]
+        beta = solve_triangular(state.L_km, kmean, lower=True)
+        gamma = solve_triangular(L_qm, kmean, lower=True)
+        var = 1.0 - jnp.sum(beta * beta, axis=0) + jnp.sum(gamma * gamma, axis=0)
+    return mean, grad, var
+
+
+@dataclasses.dataclass
+class SpGpSetting:
+    """Mirror of SparsePseudoInputGaussianProcess::Setting
+    (sparse_pseudo_input_gp.hpp:45-66). ``use_sparse`` and
+    ``sparse_zero_threshold`` are accepted for config compatibility; the TPU
+    path is always dense (see module docstring)."""
+
+    kernel_type: str = "rbf"
+    kernel: KernelSetting = dataclasses.field(default_factory=KernelSetting)
+    max_num_samples: int = 256
+    sparse_zero_threshold: float = 1e-6
+    use_sparse: bool = False
+    diagonal_qm: bool = False
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        d = dict(d or {})
+        d.pop("kernel_setting_type", None)
+        if "kernel" in d:
+            d["kernel"] = KernelSetting.from_dict(d["kernel"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class SpGpTestResult:
+    def __init__(self, gp: "SparsePseudoInputGaussianProcess", xq,
+                 will_predict_gradient: bool):
+        self._gp = gp
+        L_qm, a = gp._prepared()
+        self._mean, self._grad, self._var = spgp_predict(
+            gp.state, L_qm, a, xq, gp._scale, kernel=gp._kernel,
+            with_grad=will_predict_gradient, with_var=True)
+        self.num_test = xq.shape[0]
+
+    def get_mean(self, y_index: int = 0, parallel: bool = True):
+        del parallel
+        return np.asarray(self._mean[:, y_index])
+
+    def get_gradient(self, y_index: int = 0, parallel: bool = True):
+        del parallel
+        assert self._grad is not None
+        return np.asarray(self._grad[:, :, y_index]).T  # (d, m)
+
+    def get_variance(self, parallel: bool = True):
+        del parallel
+        return np.asarray(self._var)
+
+
+class SparsePseudoInputGaussianProcess:
+    """Stateful wrapper mirroring the reference API. ``pseudo_points`` is
+    (d, M) column-major as in the reference ctor
+    (sparse_pseudo_input_gp.cpp:313-356)."""
+
+    Setting = SpGpSetting
+    TestResult = SpGpTestResult
+
+    def __init__(self, setting: Optional[SpGpSetting], pseudo_points,
+                 dtype=np.float64, y_dim: int = 1):
+        self.setting = setting or SpGpSetting()
+        self.dtype = np.dtype(dtype)
+        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._scale = float(self.setting.kernel.scale)
+        p = np.asarray(pseudo_points, self.dtype)
+        if p.ndim == 1:
+            p = p[None, :]
+        self._y_dim = y_dim
+        self.state = spgp_init(
+            jnp.asarray(np.ascontiguousarray(p.T)),
+            self.dtype.type(self._scale), kernel=self._kernel,
+            diagonal_qm=self.setting.diagonal_qm, y_dim=y_dim)
+        self._trained = False
+        self._cache = None
+
+    # -- accessors mirroring the reference ---------------------------------
+    @property
+    def is_trained(self):
+        return self._trained
+
+    @property
+    def pseudo_points(self):
+        return np.asarray(self.state.pseudo).T
+
+    @property
+    def mat_l_km(self):
+        return np.asarray(self.state.L_km)
+
+    @property
+    def mat_qm(self):
+        return np.asarray(self.state.qm)
+
+    @property
+    def mat_alpha(self):
+        return np.asarray(self.state.alpha)
+
+    def _prepared(self):
+        if self._cache is None:
+            self._cache = spgp_prepare(
+                self.state, diagonal_qm=self.setting.diagonal_qm)
+        return self._cache
+
+    def update(self, x, y, var, parallel: bool = True) -> bool:
+        """Accumulate one batch. x (d, n); y (n, q) or (n,); var (n,) or
+        scalar. (reference: Update → UpdateDense)."""
+        del parallel
+        x = np.asarray(x, self.dtype)
+        if x.ndim == 1:
+            x = x[None, :]
+        n = x.shape[1]
+        if n == 0:
+            return False
+        y = np.asarray(y, self.dtype)
+        if y.ndim == 1:
+            y = y[:, None]
+        var = np.broadcast_to(np.asarray(var, self.dtype), (n,))
+        nmax = max(self.setting.max_num_samples, n)
+        xp = np.zeros((nmax, x.shape[0]), self.dtype)
+        xp[:n] = x.T
+        yp = np.zeros((nmax, y.shape[1]), self.dtype)
+        yp[:n] = y
+        vp = np.zeros((nmax,), self.dtype)
+        vp[:n] = var
+        mask = np.zeros((nmax,), bool)
+        mask[:n] = True
+        self.state = spgp_update(
+            self.state, jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(vp),
+            jnp.asarray(mask), self.dtype.type(self._scale),
+            kernel=self._kernel, diagonal_qm=self.setting.diagonal_qm)
+        self._trained = True
+        self._cache = None
+        return True
+
+    def test(self, mat_x_test, predict_gradient: bool = False
+             ) -> SpGpTestResult:
+        xq = np.asarray(mat_x_test, self.dtype)
+        if xq.ndim == 1:
+            xq = xq[None, :]
+        return SpGpTestResult(self, jnp.asarray(np.ascontiguousarray(xq.T)),
+                              predict_gradient)
+
+    # -- checkpoint ---------------------------------------------------------
+    def state_dict(self):
+        return {
+            "setting": self.setting.to_dict(),
+            "trained": self._trained,
+            "y_dim": self._y_dim,
+            "state": self.state._asdict(),
+        }
+
+    def load_state_dict(self, d):
+        self.setting = SpGpSetting.from_dict(d["setting"])
+        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._scale = float(self.setting.kernel.scale)
+        self._trained = bool(d["trained"])
+        self._y_dim = int(d["y_dim"])
+        self.state = SpGpState(
+            **{k: jnp.asarray(v) for k, v in d["state"].items()})
+        self._cache = None
+
+    def save(self, path):
+        save_pytree(path, self.state_dict())
+
+    def load(self, path):
+        self.load_state_dict(load_pytree(path))
+
+    def __eq__(self, other):
+        if not isinstance(other, SparsePseudoInputGaussianProcess):
+            return NotImplemented
+        return eq_state(self.state_dict(), other.state_dict())

@@ -1,0 +1,227 @@
+"""Online occupancy mapping on one global incremental SPGP
+(reference: SpGpOccupancyMap, include/erl_gaussian_process/
+spgp_occupancy_map.hpp, src/spgp_occupancy_map.cpp). This is the north-star
+workload (BASELINE.json: >= 10 map updates/sec on one v5e chip).
+
+TPU-native design: the per-pose step — free-space dataset sampling, logodds
+labeling, and the FITC rank-N update — is a single jitted function over fixed
+shapes with donated (Q_M, alpha) buffers. ``update_step``/``predict_step``
+below are the pure functional core; the class wraps them with the reference's
+API (Update/Predict/PredictGradient) and RNG-state checkpointing (the
+reference serializes its std::mt19937_64; we store the PRNG key,
+src/spgp_occupancy_map.cpp:194-197).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from erl_gaussian_process_tpu.geometry.aabb import Aabb
+from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
+    generate_dataset_fixed,
+)
+from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+    SparsePseudoInputGaussianProcess,
+    SpGpSetting,
+    SpGpState,
+    spgp_init,
+    spgp_predict,
+    spgp_prepare,
+    spgp_update,
+)
+from erl_gaussian_process_tpu.utils.serialization import (
+    eq_state,
+    load_pytree,
+    save_pytree,
+)
+
+
+@dataclasses.dataclass
+class SpGpOccupancyMapSetting:
+    """Mirror of SpGpOccupancyMap::Setting (spgp_occupancy_map.hpp:20-47);
+    loads the reference YAML (config/spgp_occupancy_map_2d.yaml) unchanged."""
+
+    sp_gp: SpGpSetting = dataclasses.field(default_factory=SpGpSetting)
+    min_distance: float = 0.5
+    max_distance: float = 30.0
+    free_points_per_meter: float = 2.0
+    free_sampling_margin: float = 0.05
+    parallel: bool = True
+    logodd_free: float = -5.0
+    logodd_occupied: float = 5.0
+    logodd_variance: float = 1e-4
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        d = dict(d or {})
+        if "sp_gp" in d:
+            d["sp_gp"] = SpGpSetting.from_dict(d["sp_gp"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_yaml_file(cls, path: str):
+        import yaml
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def as_yaml_file(self, path: str):
+        import yaml
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "free_slots",
+                                   "max_samples"),
+         donate_argnames=("state",))
+def update_step(state: SpGpState, key, sensor_position, points, point_mask,
+                aabb_min, aabb_max, scale, *, kernel, diagonal_qm,
+                free_slots, max_samples,
+                min_distance, max_distance, free_sampling_margin,
+                free_points_per_meter, logodd_occupied, logodd_free,
+                logodd_variance):
+    """One fused map update: sample dataset -> label -> FITC update.
+
+    ``max_samples`` caps the active sample count like the reference's
+    ``max_num_samples`` (src/spgp_occupancy_map.cpp:91): excess actives are
+    dropped (stable order: hits first, then free samples, matching the
+    reference's hits-then-free dataset layout).
+    """
+    pts, lbl, mask = generate_dataset_fixed(
+        key, sensor_position, points, point_mask, aabb_min, aabb_max,
+        min_distance, max_distance, free_sampling_margin,
+        free_points_per_meter, free_slots_per_ray=free_slots)
+    # cap at max_samples active entries (cumsum over the fixed slot order)
+    order_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    mask = mask & (order_rank < max_samples)
+    y = jnp.where(lbl > 0, logodd_occupied, logodd_free)[:, None]
+    var = jnp.full(pts.shape[0], logodd_variance, pts.dtype)
+    new_state = spgp_update(state, pts, y, var, mask, scale,
+                            kernel=kernel, diagonal_qm=diagonal_qm)
+    return new_state, jnp.sum(mask)
+
+
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "with_grad"))
+def predict_step(state: SpGpState, xq, scale, *, kernel, diagonal_qm,
+                 with_grad):
+    L_qm, a = spgp_prepare(state, diagonal_qm=diagonal_qm)
+    mean, grad, _ = spgp_predict(state, L_qm, a, xq, scale, kernel=kernel,
+                                 with_grad=with_grad, with_var=False)
+    return mean, grad
+
+
+class SpGpOccupancyMap:
+    Setting = SpGpOccupancyMapSetting
+
+    def __init__(self, setting: Optional[SpGpOccupancyMapSetting],
+                 pseudo_points, map_boundary: Aabb, seed: int = 0,
+                 dtype=np.float64, free_slots_per_ray: Optional[int] = None):
+        """pseudo_points: (d, M) column-major (reference ctor layout)."""
+        self.setting = setting or SpGpOccupancyMapSetting()
+        self.dtype = np.dtype(dtype)
+        self.map_boundary = map_boundary
+        self.sp_gp = SparsePseudoInputGaussianProcess(
+            self.setting.sp_gp, pseudo_points, dtype=dtype)
+        self.key = jax.random.PRNGKey(seed)
+        s = self.setting
+        if free_slots_per_ray is None:
+            free_slots_per_ray = max(
+                1, int(np.ceil(s.free_points_per_meter * s.max_distance)))
+        self.free_slots = int(free_slots_per_ray)
+        self._aabb_min = jnp.asarray(map_boundary.min(), self.dtype)
+        self._aabb_max = jnp.asarray(map_boundary.max(), self.dtype)
+
+    @property
+    def state(self) -> SpGpState:
+        return self.sp_gp.state
+
+    def update(self, sensor_position, points, point_mask=None) -> int:
+        """One scan update. points: (n, d) world end points (the reference
+        takes (d, n); both layouts accepted). Returns #samples used."""
+        p = np.asarray(points, self.dtype)
+        d = self.map_boundary.dim
+        if p.ndim == 2 and p.shape[0] == d and p.shape[1] != d:
+            p = p.T
+        if point_mask is None:
+            point_mask = np.isfinite(p).all(axis=-1)
+        self.key, sub = jax.random.split(self.key)
+        s = self.setting
+        new_state, n_used = update_step(
+            self.sp_gp.state, sub,
+            jnp.asarray(np.asarray(sensor_position, self.dtype)),
+            jnp.asarray(np.where(point_mask[:, None], p, 0.0)),
+            jnp.asarray(point_mask),
+            self._aabb_min, self._aabb_max, self.dtype.type(self.sp_gp._scale),
+            kernel=self.sp_gp._kernel, diagonal_qm=s.sp_gp.diagonal_qm,
+            free_slots=self.free_slots,
+            max_samples=int(s.sp_gp.max_num_samples),
+            min_distance=s.min_distance, max_distance=s.max_distance,
+            free_sampling_margin=s.free_sampling_margin,
+            free_points_per_meter=s.free_points_per_meter,
+            logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
+            logodd_variance=s.logodd_variance)
+        self.sp_gp.state = new_state
+        self.sp_gp._trained = True
+        self.sp_gp._cache = None
+        return int(n_used)
+
+    def predict(self, points, compute_gradient: bool = False,
+                parallel: bool = True):
+        """logodd (n,), gradient (n, d) | None
+        (reference Predict, src/spgp_occupancy_map.cpp:123-150)."""
+        del parallel
+        p = np.asarray(points, self.dtype)
+        d = self.map_boundary.dim
+        if p.ndim == 2 and p.shape[0] == d and p.shape[1] != d:
+            p = p.T
+        mean, grad = predict_step(
+            self.sp_gp.state, jnp.asarray(p),
+            self.dtype.type(self.sp_gp._scale), kernel=self.sp_gp._kernel,
+            diagonal_qm=self.setting.sp_gp.diagonal_qm,
+            with_grad=compute_gradient)
+        logodd = np.asarray(mean[:, 0])
+        g = None if grad is None else np.asarray(grad[:, :, 0])
+        return logodd, g
+
+    def predict_gradient(self, points, parallel: bool = True):
+        return self.predict(points, compute_gradient=True)[1]
+
+    # -- checkpoint ---------------------------------------------------------
+    def state_dict(self):
+        return {
+            "setting": self.setting.to_dict(),
+            "sp_gp": self.sp_gp.state_dict(),
+            "map_boundary": {"center": self.map_boundary.center,
+                             "half_sizes": self.map_boundary.half_sizes},
+            "key": np.asarray(self.key),
+        }
+
+    def load_state_dict(self, d):
+        self.setting = SpGpOccupancyMapSetting.from_dict(d["setting"])
+        self.sp_gp.load_state_dict(d["sp_gp"])
+        self.map_boundary = Aabb(
+            center=np.asarray(d["map_boundary"]["center"]),
+            half_sizes=np.asarray(d["map_boundary"]["half_sizes"]))
+        self._aabb_min = jnp.asarray(self.map_boundary.min(), self.dtype)
+        self._aabb_max = jnp.asarray(self.map_boundary.max(), self.dtype)
+        self.key = jnp.asarray(d["key"])
+
+    def save(self, path):
+        save_pytree(path, self.state_dict())
+
+    def load(self, path):
+        self.load_state_dict(load_pytree(path))
+
+    def __eq__(self, other):
+        if not isinstance(other, SpGpOccupancyMap):
+            return NotImplemented
+        return eq_state(self.state_dict(), other.state_dict())

@@ -1,0 +1,258 @@
+"""Exact multi-output GP regression (reference: VanillaGaussianProcess,
+include/erl_gaussian_process/vanilla_gp.hpp, src/vanilla_gp.cpp).
+
+Functional core: ``vanilla_fit`` / ``vanilla_ktest`` / mean / variance — pure,
+jittable, and vmappable (the whole class of "many small GPs" workloads runs
+these under ``vmap``, see models/batch_gp.py). The ``VanillaGaussianProcess``
+class mirrors the reference's Python API (train/test/TestResult,
+python/binding/bind_vanilla_gp.cpp) over padded fixed-shape buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from erl_gaussian_process_tpu.kernels import (
+    KernelSetting,
+    cross_gram,
+    resolve_kernel_name,
+    train_gram,
+)
+from erl_gaussian_process_tpu.models.gp_core import (
+    cholesky_fit,
+    mean_from_ktest,
+    variance_from_whitened,
+    whiten,
+)
+from erl_gaussian_process_tpu.utils.serialization import (
+    eq_state,
+    load_pytree,
+    save_pytree,
+)
+
+
+class VanillaGPState(NamedTuple):
+    """Trained-GP pytree. Shapes are static (padded to max_num_samples):
+    x (n, d), mask (n,) bool, L (n, n), alpha (n, y_dim)."""
+
+    x: jnp.ndarray
+    mask: jnp.ndarray
+    L: jnp.ndarray
+    alpha: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def vanilla_fit(x, y, var, mask, scale, *, kernel: str) -> VanillaGPState:
+    """Train: gram + noise diag (identity-padded) -> Cholesky -> alpha.
+
+    x: (n, d); y: (n, y_dim); var: (n,); mask: (n,) bool.
+    Mirrors Train() = UpdateKtrain + Solve (src/vanilla_gp.cpp:478-519).
+    """
+    y = jnp.where(mask[:, None], y, 0.0)
+    K = train_gram(kernel, x, jnp.where(mask, var, 0.0), scale, mask=mask)
+    L, alpha = cholesky_fit(K, y)
+    return VanillaGPState(x=x, mask=mask, L=L, alpha=alpha)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def vanilla_ktest(state: VanillaGPState, xq, scale, *, kernel: str):
+    """Cross gram (n, m); masked train rows zeroed
+    (ComputeKtest, src/vanilla_gp.cpp:523-552)."""
+    return cross_gram(kernel, state.x, xq, scale, mask1=state.mask)
+
+
+@jax.jit
+def vanilla_mean(state: VanillaGPState, ktest):
+    return mean_from_ktest(ktest, state.alpha)
+
+
+@partial(jax.jit, static_argnames=("reduced_rank",))
+def vanilla_variance(state: VanillaGPState, ktest, *, reduced_rank=False):
+    return variance_from_whitened(whiten(state.L, ktest), reduced_rank)
+
+
+@partial(jax.jit, static_argnames=("kernel", "reduced_rank"))
+def vanilla_predict(state: VanillaGPState, xq, scale, *, kernel: str,
+                    reduced_rank: bool = False):
+    """Fused mean+variance in one jit for the common full query path."""
+    ktest = cross_gram(kernel, state.x, xq, scale, mask1=state.mask)
+    mean = mean_from_ktest(ktest, state.alpha)
+    var = variance_from_whitened(whiten(state.L, ktest), reduced_rank)
+    return mean, var
+
+
+@dataclasses.dataclass
+class VanillaGPSetting:
+    """Mirror of VanillaGaussianProcess::Setting (vanilla_gp.hpp:23-37)."""
+
+    kernel_type: str = "rbf"
+    kernel: KernelSetting = dataclasses.field(default_factory=KernelSetting)
+    max_num_samples: int = 256
+
+    def to_dict(self):
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d):
+        d = dict(d or {})
+        d.pop("kernel_setting_type", None)  # reference YAML field, implied here
+        if "kernel" in d:
+            d["kernel"] = KernelSetting.from_dict(d["kernel"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class VanillaTestResult:
+    """Lazy test-result wrapper (reference TestResult pattern,
+    vanilla_gp.hpp:39-75): ktest computed at construction, the whitening
+    solve deferred to the first variance query."""
+
+    def __init__(self, gp: "VanillaGaussianProcess", xq: np.ndarray):
+        self._gp = gp
+        self._xq = xq
+        self._ktest = vanilla_ktest(
+            gp.state, xq, gp._scale, kernel=gp._kernel
+        )
+        self._mean = None
+        self._var = None
+
+    @property
+    def num_test(self):
+        return self._xq.shape[0]
+
+    @property
+    def k_test(self):
+        return np.asarray(self._ktest)
+
+    def get_mean(self, y_index: int = 0, parallel: bool = True):
+        del parallel  # XLA parallelizes; kept for API parity
+        if self._mean is None:
+            self._mean = vanilla_mean(self._gp.state, self._ktest)
+        return np.asarray(self._mean[:, y_index])
+
+    def get_variance(self, parallel: bool = True):
+        del parallel
+        if self._var is None:
+            self._var = vanilla_variance(
+                self._gp.state, self._ktest,
+                reduced_rank=self._gp.reduced_rank_kernel,
+            )
+        return np.asarray(self._var)
+
+
+class VanillaGaussianProcess:
+    """Stateful convenience wrapper mirroring the reference class/binding API.
+
+    Inputs follow the reference layout: ``x`` is (x_dim, n) column-major,
+    ``y`` is (n, y_dim), ``var`` is (n,).
+    """
+
+    Setting = VanillaGPSetting
+    TestResult = VanillaTestResult
+
+    def __init__(self, setting: Optional[VanillaGPSetting] = None,
+                 dtype=np.float64):
+        self.setting = setting or VanillaGPSetting()
+        self.dtype = np.dtype(dtype)
+        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._scale = float(self.setting.kernel.scale)
+        self.state: Optional[VanillaGPState] = None
+        self.reduced_rank_kernel = False
+        self._trained = False
+        self._n = 0
+        self._x_dim = 0
+        self._y_dim = 0
+
+    # -- reference API ---------------------------------------------------
+    @property
+    def is_trained(self) -> bool:
+        return self._trained
+
+    def reset(self, max_num_samples: int, x_dim: int, y_dim: int):
+        self.setting.max_num_samples = int(max_num_samples)
+        self._x_dim, self._y_dim = int(x_dim), int(y_dim)
+        self._n = 0
+        self._trained = False
+        self.state = None
+
+    def train(self, mat_x_train, mat_y_train, vec_var_y) -> bool:
+        """x: (x_dim, n); y: (n, y_dim) or (n,); var: (n,) or scalar."""
+        x = np.asarray(mat_x_train, dtype=self.dtype)
+        if x.ndim == 1:
+            x = x[None, :]
+        y = np.asarray(mat_y_train, dtype=self.dtype)
+        if y.ndim == 1:
+            y = y[:, None]
+        n = x.shape[1]
+        var = np.broadcast_to(
+            np.asarray(vec_var_y, dtype=self.dtype), (n,))
+        self.reset(max(self.setting.max_num_samples, n), x.shape[0], y.shape[1])
+        nmax = self.setting.max_num_samples
+
+        xp = np.zeros((nmax, x.shape[0]), self.dtype)
+        xp[:n] = x.T
+        yp = np.zeros((nmax, y.shape[1]), self.dtype)
+        yp[:n] = y
+        vp = np.zeros((nmax,), self.dtype)
+        vp[:n] = var
+        mask = np.zeros((nmax,), bool)
+        mask[:n] = True
+
+        self.state = vanilla_fit(
+            xp, yp, vp, mask, self.dtype.type(self._scale),
+            kernel=self._kernel,
+        )
+        self._n = n
+        self._trained = True
+        return True
+
+    def test(self, mat_x_test) -> Optional[VanillaTestResult]:
+        """x: (x_dim, m) column-major (or (m,) for 1-D inputs)."""
+        if not self._trained:
+            return None
+        xq = np.asarray(mat_x_test, dtype=self.dtype)
+        if xq.ndim == 1:
+            xq = xq[None, :]
+        return VanillaTestResult(self, np.ascontiguousarray(xq.T))
+
+    # -- checkpoint (reference Write/Read, src/vanilla_gp.cpp:606-790) ----
+    def state_dict(self) -> dict:
+        return {
+            "setting": self.setting.to_dict(),
+            "trained": self._trained,
+            "n": self._n,
+            "x_dim": self._x_dim,
+            "y_dim": self._y_dim,
+            "state": None if self.state is None else self.state._asdict(),
+        }
+
+    def load_state_dict(self, d: dict):
+        self.setting = VanillaGPSetting.from_dict(d["setting"])
+        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._scale = float(self.setting.kernel.scale)
+        self._trained = bool(d["trained"])
+        self._n = int(d["n"])
+        self._x_dim = int(d["x_dim"])
+        self._y_dim = int(d["y_dim"])
+        s = d["state"]
+        self.state = None if s is None else VanillaGPState(
+            x=jnp.asarray(s["x"]), mask=jnp.asarray(s["mask"]),
+            L=jnp.asarray(s["L"]), alpha=jnp.asarray(s["alpha"]))
+
+    def save(self, path: str):
+        save_pytree(path, self.state_dict())
+
+    def load(self, path: str):
+        self.load_state_dict(load_pytree(path))
+
+    def __eq__(self, other):
+        if not isinstance(other, VanillaGaussianProcess):
+            return NotImplemented
+        return eq_state(self.state_dict(), other.state_dict())

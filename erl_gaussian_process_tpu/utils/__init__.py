@@ -1,0 +1,11 @@
+"""Runtime utilities (the erl_common-equivalent layer, SURVEY.md §2.2):
+logging/timing, checkpoint serialization, binary data loaders."""
+
+from erl_gaussian_process_tpu.utils.serialization import (
+    eq_state,
+    load_pytree,
+    save_pytree,
+)
+from erl_gaussian_process_tpu.utils.timing import BlockTimer, report_time
+
+__all__ = ["eq_state", "load_pytree", "save_pytree", "BlockTimer", "report_time"]

@@ -1,0 +1,50 @@
+"""Phase timers (equivalent of the reference's ERL_BLOCK_TIMER RAII scopes and
+``ReportTime`` micro-bench helper, erl_common/block_timer.hpp usage at
+test_vanilla_gp.cpp:27, test_noisy_input_gp.cpp:232).
+
+``block_until_ready`` is applied to returned pytrees so timings are honest
+under JAX's async dispatch.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable
+
+import jax
+
+logger = logging.getLogger("erl_gaussian_process_tpu")
+
+
+class BlockTimer:
+    def __init__(self, msg: str, log=True):
+        self.msg = msg
+        self.log = log
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        if self.log:
+            logger.info("%s: %.3f ms", self.msg, self.elapsed * 1e3)
+        return False
+
+
+def report_time(name: str, repeats: int, fn: Callable, *args, warmup: int = 1,
+                **kwargs):
+    """Run fn repeatedly, blocking on results; returns (mean_s, min_s)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args, **kwargs))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args, **kwargs))
+        times.append(time.perf_counter() - t0)
+    mean_s = sum(times) / len(times)
+    logger.info("%s: mean %.3f ms, min %.3f ms over %d runs",
+                name, mean_s * 1e3, min(times) * 1e3, repeats)
+    return mean_s, min(times)

@@ -1,0 +1,16 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64
+enabled so golden-accuracy assertions (ported from the reference's gtest
+suite, SURVEY.md §4) are met at double precision. Must set env vars before
+the first jax import."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,175 @@
+"""Golden-accuracy tests for NoisyInputGaussianProcess, ported from the
+reference's test/gtest/test_noisy_input_gp.cpp (1-D cases use the exact
+golden values recorded there; the heavy 2-D case runs at reduced size and is
+cross-validated against jax.jacfwd instead)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from erl_gaussian_process_tpu.kernels import KernelSetting
+from erl_gaussian_process_tpu.kernels.gradient import _blocks
+from erl_gaussian_process_tpu.models import NoisyInputGaussianProcess
+
+NOISE_VAR = 0.0001
+
+
+def _values_1d(x):
+    return np.sin(2 * x), 2 * np.cos(2 * x)
+
+
+def test_1d_with_gradient_observation(tmp_path):
+    # reference: test_noisy_input_gp.cpp:13-186 (scale=0.2);
+    # observed MAE 4.1624e-6 / 7.1391e-5
+    n = 100
+    setting = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.2),
+        max_num_samples=n, no_gradient_observation=False)
+    gp = NoisyInputGaussianProcess(setting)
+    x = np.linspace(0, 2 * np.pi, n)
+    y, g = _values_1d(x)
+    assert gp.train(x[None], y, g[None], var_x=NOISE_VAR, var_y=NOISE_VAR,
+                    var_grad=NOISE_VAR)
+
+    xt = np.linspace(0, 2 * np.pi, 200)
+    yt, gt = _values_1d(xt)
+    res = gp.test(xt[None], predict_gradient=True)
+    mae = np.abs(res.get_mean(0) - yt).mean()
+    mae_g = np.abs(res.get_gradient(0)[0] - gt).mean()
+    assert mae < 1.0e-5, mae
+    assert mae_g < 1.0e-4, mae_g
+    assert abs(mae - 4.1624286843223515e-06) < 1e-13, mae
+    assert abs(mae_g - 7.139121709502966e-05) < 1e-12, mae_g
+
+    # variance / covariance surfaces exist and are sane
+    mv = res.get_mean_variance()
+    gv = res.get_gradient_variance()
+    cov = res.get_covariance()
+    assert mv.shape == (200,) and np.all(mv > 0)
+    assert gv.shape == (1, 200) and np.all(gv > 0)
+    assert cov.shape == (1, 200)
+
+    path = str(tmp_path / "nigp.npz")
+    gp.save(path)
+    gp2 = NoisyInputGaussianProcess(NoisyInputGaussianProcess.Setting())
+    gp2.load(path)
+    assert gp == gp2
+
+
+def test_1d_without_gradient_observation():
+    # reference: test_noisy_input_gp.cpp:188-352 (scale=0.2);
+    # observed MAE 7.3775e-5 / 2.4348e-3
+    n = 100
+    setting = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.2),
+        max_num_samples=n, no_gradient_observation=True)
+    gp = NoisyInputGaussianProcess(setting)
+    x = np.linspace(0, 2 * np.pi, n)
+    y, g = _values_1d(x)
+    assert gp.train(x[None], y, var_x=NOISE_VAR, var_y=NOISE_VAR)
+
+    xt = np.linspace(0, 2 * np.pi, 200)
+    yt, gt = _values_1d(xt)
+    res = gp.test(xt[None], predict_gradient=True)
+    mae = np.abs(res.get_mean(0) - yt).mean()
+    mae_g = np.abs(res.get_gradient(0)[0] - gt).mean()
+    assert mae < 1.0e-4, mae
+    assert mae_g < 0.0025, mae_g
+    assert abs(mae - 7.377464439757659e-05) < 1e-12, mae
+    assert abs(mae_g - 0.0024347632450979033) < 1e-11, mae_g
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+def test_gradient_blocks_match_autodiff(kernel):
+    """The analytic dk/dx2 and d2k/dx1dx2 blocks must match jax.jacfwd of the
+    kernel function (validates the hand-derived NIGP gram math)."""
+    from erl_gaussian_process_tpu.kernels import kernel_fn
+
+    scale = 0.37
+    rng = np.random.default_rng(1)
+    x1 = jnp.asarray(rng.uniform(-1, 1, (4, 2)))
+    x2 = jnp.asarray(rng.uniform(-1, 1, (3, 2)))
+    k, dk, d2k = _blocks(kernel, x1, x2, scale)
+
+    kf = kernel_fn(kernel)
+
+    def k_scalar(a, b):
+        return kf(a[None, :], b[None, :], scale)[0, 0]
+
+    dk_ad = jax.vmap(lambda a: jax.vmap(
+        lambda b: jax.jacfwd(k_scalar, argnums=1)(a, b))(x2))(x1)
+    d2k_ad = jax.vmap(lambda a: jax.vmap(
+        lambda b: jax.jacfwd(jax.jacfwd(k_scalar, argnums=1), argnums=0)(a, b)
+    )(x2))(x1)
+    np.testing.assert_allclose(dk, dk_ad, atol=1e-10)
+    # d2k_ad[i, j, l, k] = d^2 k / dx2_l dx1_k -> transpose to (k, l)
+    np.testing.assert_allclose(d2k, d2k_ad.transpose(0, 1, 3, 2), atol=1e-10)
+
+
+def test_2d_with_gradient_observation():
+    """Reduced-size port of test_noisy_input_gp.cpp:354-560 (30x30 grid
+    instead of 50x50; asserts generous bounds, the exact math being pinned by
+    the 1-D goldens)."""
+    n = 30
+    x = np.linspace(-2.0, 2.0, n)
+    y = np.linspace(-1.0, 1.0, n)
+    xv, yv = np.meshgrid(x, y, indexing="ij")
+    pts = np.stack([xv.ravel(), yv.ravel()], axis=0)
+    z = 2 * np.sin(10.0 * pts[0]) * np.cos(5.0 * pts[1])
+    gx = 20 * np.cos(10.0 * pts[0]) * np.cos(5.0 * pts[1])
+    gy = -10 * np.sin(10.0 * pts[0]) * np.sin(5.0 * pts[1])
+
+    setting = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=2, scale=0.15),
+        max_num_samples=n * n)
+    gp = NoisyInputGaussianProcess(setting)
+    grad = np.stack([gx, gy], axis=0)  # (d*q, n) with q=1
+    assert gp.train(pts, z, grad, var_x=NOISE_VAR, var_y=NOISE_VAR,
+                    var_grad=NOISE_VAR)
+
+    res = gp.test(pts, predict_gradient=True)
+    assert np.abs(res.get_mean(0) - z).mean() < 1e-3
+    g = res.get_gradient(0)
+    assert np.abs(g[0] - gx).mean() < 0.05
+    assert np.abs(g[1] - gy).mean() < 0.05
+    cov = res.get_covariance()
+    assert cov.shape == (3, n * n)
+
+
+def test_grad_flag_masking_matches_packed():
+    """Samples with grad_flag=0 must behave exactly as if their gradient rows
+    were never in the system (the reference packs them out,
+    src/noisy_input_gp.cpp:845-868; we mask identity rows)."""
+    rng = np.random.default_rng(2)
+    n = 24
+    x = np.sort(rng.uniform(0, 2 * np.pi, n))
+    y, g = _values_1d(x)
+    flag = rng.uniform(size=n) < 0.5
+
+    setting = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.4),
+        max_num_samples=n)
+    gp = NoisyInputGaussianProcess(setting)
+    gp.train(x[None], y, g[None], var_x=1e-4, var_y=1e-4, var_grad=1e-4,
+             grad_flag=flag)
+    xt = np.linspace(0, 2 * np.pi, 50)
+    pred = gp.test(xt[None], predict_gradient=True)
+
+    # dense numpy reference with only flagged gradient rows packed
+    s = 0.4
+    def k(a, b):
+        return np.exp(-(a[:, None] - b[None, :]) ** 2 / (2 * s * s))
+    def dk(a, b):  # d/db
+        return (a[:, None] - b[None, :]) / (s * s) * k(a, b)
+    def d2k(a, b):
+        return (1 / (s * s) - (a[:, None] - b[None, :]) ** 2 / s ** 4) * k(a, b)
+
+    xf = x[flag]
+    K = np.block([
+        [k(x, x) + np.diag(np.full(n, 2e-4)), dk(x, xf)],
+        [-dk(xf, x), d2k(xf, xf) + np.diag(np.full(flag.sum(), 1e-4))]])
+    rhs = np.concatenate([y, g[flag]])
+    alpha = np.linalg.solve(K, rhs)
+    ktm = np.vstack([k(x, xt), -dk(xf, xt)])
+    np.testing.assert_allclose(pred.get_mean(0), ktm.T @ alpha, atol=1e-10)
