@@ -10,8 +10,42 @@ CUDA path, src/batch_gp_update_torch.cpp:72-82).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
+
+
+def robust_cholesky(K: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky with escalating relative jitter on failure.
+
+    FITC's Q_M (and dense pseudo-point grams K_M) are PSD by construction but
+    can be numerically indefinite at float precision (condition numbers near
+    1/eps); the reference factors them with no jitter and silently produces
+    NaNs in that regime (src/sparse_pseudo_input_gp.cpp:839). Here a failed
+    factorization retries with jitter growing from ~1e-14 of the mean
+    diagonal. The fallback is a ``lax.cond`` so the common path pays exactly
+    one factorization.
+    """
+    L = jnp.linalg.cholesky(K)
+
+    def fix(_):
+        scale = jnp.mean(jnp.diag(K))
+        eye = jnp.eye(K.shape[0], dtype=K.dtype)
+        eps = jnp.asarray(
+            1e-14 if K.dtype == jnp.float64 else 1e-6, K.dtype)
+
+        def cond_fn(c):
+            j, Lc = c
+            return jnp.any(jnp.isnan(Lc)) & (j < 1.0)
+
+        def body_fn(c):
+            j, _ = c
+            return j * 100.0, jnp.linalg.cholesky(K + (j * scale) * eye)
+
+        _, L2 = jax.lax.while_loop(cond_fn, body_fn, (eps, L))
+        return L2
+
+    return jax.lax.cond(jnp.any(jnp.isnan(L)), fix, lambda _: L, None)
 
 
 def cholesky_fit(K: jnp.ndarray, y: jnp.ndarray):

@@ -44,6 +44,7 @@ from erl_gaussian_process_tpu.kernels import (
     kernel_fn,
     resolve_kernel_name,
 )
+from erl_gaussian_process_tpu.models.gp_core import robust_cholesky
 from erl_gaussian_process_tpu.utils.serialization import (
     eq_state,
     load_pytree,
@@ -68,7 +69,7 @@ def spgp_init(pseudo, scale, *, kernel: str, diagonal_qm: bool = False,
     (reference ctor, src/sparse_pseudo_input_gp.cpp:336-350)."""
     m = pseudo.shape[0]
     km = kernel_fn(kernel)(pseudo, pseudo, scale)
-    L_km = jnp.linalg.cholesky(km)
+    L_km = robust_cholesky(km)
     qm = jnp.ones((m, 1), km.dtype) if diagonal_qm else km
     alpha = jnp.zeros((m, y_dim), km.dtype)
     return SpGpState(pseudo=pseudo, L_km=L_km, qm=qm, alpha=alpha)
@@ -104,7 +105,7 @@ def spgp_prepare(state: SpGpState, *, diagonal_qm: bool = False):
     if diagonal_qm:
         L_qm = jnp.sqrt(state.qm[:, 0])
         return jnp.diag(L_qm), state.alpha / state.qm
-    L_qm = jnp.linalg.cholesky(state.qm)
+    L_qm = robust_cholesky(state.qm)
     a = solve_triangular(L_qm, state.alpha, lower=True)
     a = solve_triangular(L_qm.T, a, lower=False)
     return L_qm, a

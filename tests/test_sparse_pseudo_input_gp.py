@@ -52,9 +52,11 @@ def test_incremental_equals_batch():
     gp2.update(x[None, :200], y[:200], NOISE_VAR)
     gp2.update(x[None, 200:450], y[200:450], NOISE_VAR)
     gp2.update(x[None, 450:], y[450:], NOISE_VAR)
-    np.testing.assert_allclose(gp1.mat_qm, gp2.mat_qm, rtol=0, atol=1e-10)
-    np.testing.assert_allclose(gp1.mat_alpha, gp2.mat_alpha, rtol=0,
-                               atol=1e-10)
+    # chunked accumulation reassociates the GEMM sums -> fp64-level drift
+    # relative to entry magnitudes (~1e4)
+    np.testing.assert_allclose(gp1.mat_qm, gp2.mat_qm, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(gp1.mat_alpha, gp2.mat_alpha, rtol=1e-8,
+                               atol=1e-8)
 
 
 def test_multi_input_multi_output():
@@ -68,8 +70,8 @@ def test_multi_input_multi_output():
     z1 = 2 * np.sin(10.0 * pts[0]) * np.cos(10.0 * pts[1])
     z2 = 3 * (np.sin(10.0 * pts[0]) + np.cos(10.0 * pts[1]))
 
-    # pseudo grid: cell centers of an m x m grid over the box
-    c = -1.0 + (np.arange(m) + 0.5) * (2.0 / m)
+    # pseudo grid: m x m lattice spanning the box (endpoints included)
+    c = np.linspace(-1.0, 1.0, m)
     pv, qv = np.meshgrid(c, c, indexing="ij")
     pseudo = np.stack([pv.ravel(), qv.ravel()], axis=0)
 
@@ -79,15 +81,19 @@ def test_multi_input_multi_output():
     gp = SparsePseudoInputGaussianProcess(setting, pseudo, y_dim=2)
     assert gp.update(pts, np.stack([z1, z2], axis=1), NOISE_VAR)
 
-    res = gp.test(pts, predict_gradient=True)
-    mae1 = np.abs(res.get_mean(0) - z1).mean()
-    mae2 = np.abs(res.get_mean(1) - z2).mean()
-    # reference asserts on a denser test grid; training-grid MAE is tighter,
-    # keep the reference bounds as the contract
-    assert mae1 < 1.8e-3, mae1
-    assert mae2 < 3.5e-3, mae2
+    nt = 100
+    t = np.linspace(-1.0, 1.0, nt)
+    tv, uv = np.meshgrid(t, t, indexing="ij")
+    pts_t = np.stack([tv.ravel(), uv.ravel()], axis=0)
+    z1_t = 2 * np.sin(10.0 * pts_t[0]) * np.cos(10.0 * pts_t[1])
+    z2_t = 3 * (np.sin(10.0 * pts_t[0]) + np.cos(10.0 * pts_t[1]))
+    res = gp.test(pts_t, predict_gradient=True)
+    mae1 = np.abs(res.get_mean(0) - z1_t).mean()
+    mae2 = np.abs(res.get_mean(1) - z2_t).mean()
+    assert mae1 < 1.8e-3, mae1   # reference observed 1.75e-3
+    assert mae2 < 3.5e-3, mae2   # reference observed 3.48e-3
     g = res.get_gradient(0)
-    assert g.shape == (2, n * n) and np.all(np.isfinite(g))
+    assert g.shape == (2, nt * nt) and np.all(np.isfinite(g))
 
 
 def test_diagonal_qm_mode():
