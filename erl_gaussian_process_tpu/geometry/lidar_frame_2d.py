@@ -28,7 +28,7 @@ class LidarFrame2DSetting:
     angle_max: float = np.pi
     num_rays: int = 360
     discontinuity_detection: bool = True
-    discontinuity_threshold: float = 0.5
+    discontinuity_threshold: float = 1.0
 
     def to_dict(self):
         return dataclasses.asdict(self)

@@ -1,0 +1,120 @@
+"""LidarGaussianProcess2D on the real logged scan from the reference's
+data/double/train.dat (test ported from test/gtest/test_lidar_gp_2d.cpp:
+OU-1d kernel, identity mapping, asymmetric partitions)."""
+
+import numpy as np
+import pytest
+
+from erl_gaussian_process_tpu.geometry import LidarFrame2DSetting
+from erl_gaussian_process_tpu.kernels import KernelSetting
+from erl_gaussian_process_tpu.models import LidarGaussianProcess2D
+from erl_gaussian_process_tpu.models.lidar_gp_2d import LidarGP2DSetting
+from erl_gaussian_process_tpu.models.mapping import MappingSetting, MappingType
+from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
+from erl_gaussian_process_tpu.utils.loaders import load_lidar_log
+
+DATA = "/root/reference/data/double/train.dat"
+
+# test constants from the reference (test_lidar_gp_2d.cpp:117-127)
+SCALE = 0.05
+NOISE = 0.01
+DISCON_NOISE = 100.0
+OVERLAP = 6
+GROUP = 20
+MARGIN = 1
+
+
+def _make_setting(frame, discontinuity: bool) -> LidarGP2DSetting:
+    n = frame.angles.shape[0]
+    return LidarGP2DSetting(
+        partition_on_hit_rays=False,
+        symmetric_partitions=False,
+        group_size=GROUP + OVERLAP,
+        overlap_size=OVERLAP,
+        margin=MARGIN,
+        init_variance=1e6,
+        sensor_range_var=NOISE,
+        discontinuity_var=DISCON_NOISE,
+        max_valid_range_var=0.1,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=float(frame.angles[0]), angle_max=float(frame.angles[-1]),
+            num_rays=n, discontinuity_detection=discontinuity),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=1, scale=SCALE)),
+        mapping=MappingSetting(type=MappingType.IDENTITY),
+    )
+
+
+@pytest.fixture(scope="module")
+def frame0():
+    return load_lidar_log(DATA)[0]
+
+
+def test_build_without_discontinuity_detection(frame0):
+    """Golden parity path: with detection off, the pipeline is fully
+    deterministic; the reference observed MAE 0.02135875277600203
+    (test_lidar_gp_2d.cpp:260)."""
+    gp = LidarGaussianProcess2D(_make_setting(frame0, discontinuity=False))
+    assert gp.train(np.eye(2), np.zeros(2), frame0.ranges)
+    res = gp.test(frame0.angles, angles_are_local=False, un_map=True)
+    pred, valid = res.get_mean()
+    assert valid.any()
+    mae = np.abs(pred[valid] - frame0.ranges[valid]).mean()
+    assert mae < 0.022, mae
+    var, vvalid = res.get_variance()
+    assert vvalid.any() and np.all(np.isfinite(var[vvalid]))
+
+
+def test_build_with_discontinuity_detection(tmp_path, frame0):
+    """Reference bound with detection on: MAE < 0.08 (observed 0.0793 with
+    erl_geometry's continuity test; ours uses a range-jump threshold)."""
+    gp = LidarGaussianProcess2D(_make_setting(frame0, discontinuity=True))
+    assert gp.train(np.eye(2), np.zeros(2), frame0.ranges)
+    res = gp.test(frame0.angles, angles_are_local=False, un_map=True)
+    pred, valid = res.get_mean()
+    mae = np.abs(pred[valid] - frame0.ranges[valid]).mean()
+    assert mae < 0.08, mae
+
+    # serialization round-trip (reference :263-266)
+    path = str(tmp_path / "lidar_gp.npz")
+    gp.save(path)
+    gp2 = LidarGaussianProcess2D(_make_setting(frame0, discontinuity=True))
+    gp2.load(path)
+    assert gp == gp2
+
+
+def test_compute_occ(frame0):
+    """Occupancy scores: points at ~half the measured range must read free
+    (occ near -1... wait occ -> +1 free? see formula), points beyond the
+    surface occupied; sign convention follows the reference formula
+    occ = 2/(1+exp(a(r_hat - map(d)))) - 1 (src/lidar_gp_2d.cpp:455-457):
+    with identity mapping, d < r_hat gives occ < 0 (free side) and
+    d > r_hat gives occ > 0 (occupied side)."""
+    gp = LidarGaussianProcess2D(_make_setting(frame0, discontinuity=False))
+    gp.train(np.eye(2), np.zeros(2), frame0.ranges)
+    # pick a few rays with solid returns
+    idx = np.arange(20, 250, 40)
+    ang = frame0.angles[idx]
+    r = frame0.ranges[idx]
+    near = np.stack([0.5 * r * np.cos(ang), 0.5 * r * np.sin(ang)], axis=-1)
+    far = np.stack([1.2 * r * np.cos(ang), 1.2 * r * np.sin(ang)], axis=-1)
+    v1, _, rp1, occ_near = gp.compute_occ(near)
+    v2, _, rp2, occ_far = gp.compute_occ(far)
+    assert occ_near[v1].max() < -0.9       # free space
+    assert occ_far[v2].min() > 0.9         # behind the surface
+    # predicted ranges should approximate the measured ones
+    assert np.abs(rp1[v1] - r[v1]).mean() < 0.5
+
+
+def test_world_frame_queries(frame0):
+    """Train with a non-identity pose, query with world angles."""
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    gp = LidarGaussianProcess2D(_make_setting(frame0, discontinuity=False))
+    gp.train(R, np.array([1.0, -2.0]), frame0.ranges)
+    world_angles = frame0.angles + th
+    pred, valid = gp.test(world_angles, angles_are_local=False,
+                          un_map=True).get_mean()
+    mae = np.abs(pred[valid] - frame0.ranges[valid]).mean()
+    assert mae < 0.022, mae
