@@ -1,0 +1,115 @@
+"""North-star benchmark: SPGP occupancy-map updates/sec on one TPU chip.
+
+Workload = the reference's online-mapping loop
+(test/gtest/test_spgp_occupancy_map_2d.cpp:307-358) at the production config
+(config/spgp_occupancy_map_2d.yaml): Matern32 2D kernel, scale 0.18,
+max 2000 samples/update, 961 pseudo points, 135-ray simulated lidar over a
+50-pose trajectory. Target from BASELINE.json: >= 10 map updates/sec on one
+v5e chip (vs_baseline is measured Hz / 10).
+
+Each update is the fully fused jitted step: free-space dataset sampling +
+logodds labeling + rank-N FITC update, with donated (Q_M, alpha) buffers.
+Updates are dispatched asynchronously and timed with one terminal
+block_until_ready, so the number reflects sustained device throughput the
+way an online mapping service would drive it.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import numpy as np
+import jax
+
+from erl_gaussian_process_tpu.geometry import Aabb
+from erl_gaussian_process_tpu.geometry.simulators import (
+    Lidar2D,
+    reference_space_2d,
+    reference_trajectory_2d,
+)
+from erl_gaussian_process_tpu.kernels import KernelSetting
+from erl_gaussian_process_tpu.models import SpGpOccupancyMap
+from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import SpGpSetting
+from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+    SpGpOccupancyMapSetting,
+)
+
+TARGET_HZ = 10.0  # BASELINE.json north-star
+
+
+def production_setting() -> SpGpOccupancyMapSetting:
+    return SpGpOccupancyMapSetting(
+        sp_gp=SpGpSetting(
+            kernel_type="matern32",
+            kernel=KernelSetting(x_dim=2, scale=0.18),
+            max_num_samples=2000),
+        min_distance=0.0, max_distance=30.0,
+        free_points_per_meter=3.0, free_sampling_margin=0.01,
+        logodd_free=-1.0, logodd_occupied=1.0, logodd_variance=1e-4)
+
+
+def make_scans(n_poses=50, num_lines=135):
+    space = reference_space_2d()
+    lidar = Lidar2D(Lidar2D.Setting(
+        min_angle=-135 / 180 * np.pi, max_angle=135 / 180 * np.pi,
+        num_lines=num_lines), space)
+    traj = reference_trajectory_2d(n_poses)
+    scans = []
+    for pose in traj:
+        r = lidar.scan(pose[2], pose[:2])
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        rot = np.array([[c, -s], [s, c]])
+        dirs = lidar.ray_directions_in_frame() @ rot.T
+        hit = np.isfinite(r)
+        pts = pose[:2] + dirs * np.where(hit, r, 0.0)[:, None]
+        scans.append((pose[:2].astype(np.float32),
+                      pts.astype(np.float32), hit))
+    return scans
+
+
+def main():
+    boundary = Aabb.from_min_max([-3.0, -3.0], [3.0, 3.0])
+    c = np.linspace(-3, 3, 31)
+    pv, qv = np.meshgrid(c, c, indexing="ij")
+    hinged = np.stack([pv.ravel(), qv.ravel()], axis=0)
+    scans = make_scans()
+
+    omap = SpGpOccupancyMap(production_setting(), hinged, boundary, seed=0,
+                            dtype=np.float32, free_slots_per_ray=20)
+    # warm-up: compile + first update
+    omap.update(*scans[0])
+    jax.block_until_ready(omap.sp_gp.state.qm)
+
+    best_hz = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for s in scans:
+            omap.update(*s)
+        jax.block_until_ready(omap.sp_gp.state.qm)
+        hz = len(scans) / (time.perf_counter() - t0)
+        best_hz = max(best_hz, hz)
+
+    # sanity: the map must actually be a map (surface occupied, path free)
+    space = reference_space_2d()
+    surf = space.surface_points(0.05).astype(np.float32)
+    lo_surf, _ = omap.predict(surf)
+    traj = reference_trajectory_2d(50)[:, :2].astype(np.float32)
+    lo_traj, _ = omap.predict(traj)
+    ok = (np.asarray(lo_surf) > 0).mean() > 0.9 and \
+         (np.asarray(lo_traj) < 0).mean() > 0.95
+    if not ok:
+        raise RuntimeError("benchmark map failed quality gate")
+
+    print(json.dumps({
+        "metric": "spgp_occupancy_map_updates_per_sec",
+        "value": round(best_hz, 2),
+        "unit": "Hz",
+        "vs_baseline": round(best_hz / TARGET_HZ, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,21 +83,27 @@ class SpGpOccupancyMapSetting:
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "free_slots",
                                    "max_samples"),
          donate_argnames=("state",))
-def update_step(state: SpGpState, key, sensor_position, points, point_mask,
-                aabb_min, aabb_max, scale, *, kernel, diagonal_qm,
+def update_step(state: SpGpState, key, step, sensor_position, points,
+                point_mask, aabb_min, aabb_max, scale, *, kernel, diagonal_qm,
                 free_slots, max_samples,
                 min_distance, max_distance, free_sampling_margin,
                 free_points_per_meter, logodd_occupied, logodd_free,
                 logodd_variance):
     """One fused map update: sample dataset -> label -> FITC update.
 
+    ``key`` is the map's base PRNG key and ``step`` the update counter; the
+    per-step key is derived with ``fold_in`` INSIDE the jit so the host never
+    dispatches a separate split (each extra dispatch costs a host->device
+    round trip in online serving).
+
     ``max_samples`` caps the active sample count like the reference's
     ``max_num_samples`` (src/spgp_occupancy_map.cpp:91): excess actives are
     dropped (stable order: hits first, then free samples, matching the
     reference's hits-then-free dataset layout).
     """
+    step_key = jax.random.fold_in(key, step)
     pts, lbl, mask = generate_dataset_fixed(
-        key, sensor_position, points, point_mask, aabb_min, aabb_max,
+        step_key, sensor_position, points, point_mask, aabb_min, aabb_max,
         min_distance, max_distance, free_sampling_margin,
         free_points_per_meter, free_slots_per_ray=free_slots)
     # cap at max_samples active entries (cumsum over the fixed slot order)
@@ -132,6 +138,7 @@ class SpGpOccupancyMap:
         self.sp_gp = SparsePseudoInputGaussianProcess(
             self.setting.sp_gp, pseudo_points, dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
+        self.step = 0
         s = self.setting
         if free_slots_per_ray is None:
             free_slots_per_ray = max(
@@ -144,19 +151,24 @@ class SpGpOccupancyMap:
     def state(self) -> SpGpState:
         return self.sp_gp.state
 
-    def update(self, sensor_position, points, point_mask=None) -> int:
+    def update(self, sensor_position, points, point_mask=None):
         """One scan update. points: (n, d) world end points (the reference
-        takes (d, n); both layouts accepted). Returns #samples used."""
+        takes (d, n); both layouts accepted).
+
+        Returns the number of samples used as a LAZY device scalar — the call
+        is fully asynchronous so back-to-back updates pipeline on the device;
+        cast with int() only if you need the value (it blocks).
+        """
         p = np.asarray(points, self.dtype)
         d = self.map_boundary.dim
         if p.ndim == 2 and p.shape[0] == d and p.shape[1] != d:
             p = p.T
         if point_mask is None:
             point_mask = np.isfinite(p).all(axis=-1)
-        self.key, sub = jax.random.split(self.key)
         s = self.setting
+        self.step += 1
         new_state, n_used = update_step(
-            self.sp_gp.state, sub,
+            self.sp_gp.state, self.key, self.step,
             jnp.asarray(np.asarray(sensor_position, self.dtype)),
             jnp.asarray(np.where(point_mask[:, None], p, 0.0)),
             jnp.asarray(point_mask),
@@ -172,7 +184,7 @@ class SpGpOccupancyMap:
         self.sp_gp.state = new_state
         self.sp_gp._trained = True
         self.sp_gp._cache = None
-        return int(n_used)
+        return n_used
 
     def predict(self, points, compute_gradient: bool = False,
                 parallel: bool = True):
@@ -203,6 +215,7 @@ class SpGpOccupancyMap:
             "map_boundary": {"center": self.map_boundary.center,
                              "half_sizes": self.map_boundary.half_sizes},
             "key": np.asarray(self.key),
+            "step": self.step,
         }
 
     def load_state_dict(self, d):
@@ -214,6 +227,7 @@ class SpGpOccupancyMap:
         self._aabb_min = jnp.asarray(self.map_boundary.min(), self.dtype)
         self._aabb_max = jnp.asarray(self.map_boundary.max(), self.dtype)
         self.key = jnp.asarray(d["key"])
+        self.step = int(d.get("step", 0))
 
     def save(self, path):
         save_pytree(path, self.state_dict())
