@@ -1,0 +1,127 @@
+"""Mapping transforms (reference: src/mapping.cpp:114-163) and the batched
+GP bank (replacement for BatchGaussianProcessUpdateTorch +
+the OpenMP partition loops; reference: src/batch_gp_update_torch.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from erl_gaussian_process_tpu.kernels import KernelSetting
+from erl_gaussian_process_tpu.models import (
+    BatchGPBank,
+    Mapping,
+    MappingType,
+    VanillaGaussianProcess,
+)
+from erl_gaussian_process_tpu.models.batch_gp import (
+    bank_fit,
+    bank_predict,
+    bank_predict_assigned,
+)
+from erl_gaussian_process_tpu.models.mapping import MappingSetting
+
+
+@pytest.mark.parametrize("mtype,scale,domain", [
+    (MappingType.IDENTITY, 1.0, (0.1, 10.0)),
+    (MappingType.INVERSE, 1.0, (0.1, 10.0)),
+    (MappingType.INVERSE_SQRT, 1.0, (0.1, 10.0)),
+    (MappingType.EXP, 0.7, (0.1, 10.0)),
+    (MappingType.LOG, 0.7, (0.1, 10.0)),
+    (MappingType.TANH, 0.3, (0.1, 3.0)),
+    (MappingType.SIGMOID, 0.5, (0.1, 10.0)),
+])
+def test_mapping_roundtrip(mtype, scale, domain):
+    m = Mapping(MappingSetting(type=mtype, scale=scale))
+    x = np.linspace(*domain, 50)
+    np.testing.assert_allclose(np.asarray(m.inv(m.map(x))), x, rtol=1e-9)
+
+
+def test_mapping_yaml_names():
+    assert MappingType.parse("kInverseSqrt") == MappingType.INVERSE_SQRT
+    assert MappingType.parse("kIdentity") == MappingType.IDENTITY
+    s = MappingSetting.from_dict({"type": "kExp", "scale": 2.0})
+    assert s.type == MappingType.EXP and s.scale == 2.0
+
+
+def test_bank_fit_matches_individual_gps():
+    """One vmapped batched fit == per-GP fits (the C9 equivalence check,
+    reference test_batch_gp_update_torch.cpp:42-66 compares CPU vs GPU
+    batched solve)."""
+    rng = np.random.default_rng(0)
+    B, nmax = 5, 32
+    xs = np.zeros((B, nmax, 1))
+    ys = np.zeros((B, nmax, 1))
+    vs = np.zeros((B, nmax))
+    ms = np.zeros((B, nmax), bool)
+    counts = [32, 7, 20, 1, 15]
+    for b, n in enumerate(counts):
+        xs[b, :n, 0] = np.sort(rng.uniform(0, 2 * np.pi, n))
+        ys[b, :n, 0] = np.sin(xs[b, :n, 0]) * (b + 1)
+        vs[b, :n] = 1e-3
+        ms[b, :n] = True
+
+    bank = bank_fit(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                    jnp.asarray(ms), 0.5, kernel="rbf")
+    xq = np.linspace(0, 2 * np.pi, 17)
+
+    for b, n in enumerate(counts):
+        gp = VanillaGaussianProcess(VanillaGaussianProcess.Setting(
+            kernel_type="rbf", kernel=KernelSetting(scale=0.5),
+            max_num_samples=n))
+        gp.train(xs[b, :n, 0][None], ys[b, :n, 0], 1e-3)
+        res = gp.test(xq[None])
+        mean_b, var_b = bank_predict(
+            bank, jnp.asarray(np.tile(xq[None, :, None], (B, 1, 1))), 0.5,
+            kernel="rbf")
+        np.testing.assert_allclose(np.asarray(mean_b[b][:, 0]),
+                                   res.get_mean(0), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(var_b[b]),
+                                   res.get_variance(), atol=1e-11)
+
+
+def test_bank_predict_assigned_routing():
+    rng = np.random.default_rng(1)
+    B, nmax = 4, 16
+    xs = rng.uniform(0, 1, (B, nmax, 1)) + np.arange(B)[:, None, None]
+    ys = np.full((B, nmax, 1), 0.0) + np.arange(B)[:, None, None]
+    vs = np.full((B, nmax), 1e-4)
+    ms = np.ones((B, nmax), bool)
+    ms[2] = False  # untrained member
+    bank = bank_fit(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                    jnp.asarray(ms), 0.3, kernel="rbf")
+    q = np.array([[0.5], [1.5], [2.5], [3.5], [0.7]])
+    idx = np.array([0, 1, 2, 3, -1], np.int32)
+    mean, var, valid = bank_predict_assigned(
+        bank, jnp.asarray(q), jnp.asarray(idx), 0.3, kernel="rbf")
+    valid = np.asarray(valid)
+    assert list(valid) == [True, True, False, True, False]
+    # each member predicts its own constant (up to zero-mean GP shrinkage)
+    np.testing.assert_allclose(np.asarray(mean)[0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mean)[1, 0], 1.0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(mean)[3, 0], 3.0, atol=5e-3)
+
+
+def test_batch_gp_bank_c9_api():
+    """The BatchGaussianProcessUpdateTorch-style staging API: load padded
+    (K, alpha) problems, one batched solve, read back L/alpha."""
+    rng = np.random.default_rng(2)
+    bank = BatchGPBank(batch_size=3, max_num_samples=24, y_dim=1,
+                       dtype=np.float64)
+    problems = []
+    for i, n in enumerate([24, 10, 17]):
+        x = np.sort(rng.uniform(0, 1, n))
+        K = np.exp(-(x[:, None] - x[None, :]) ** 2 / (2 * 0.2 ** 2))
+        K += np.diag(np.full(n, 1e-3))
+        y = np.sin(5 * x)[:, None]
+        bank.load_gp_data(i, n, K, y)
+        problems.append((K, y, n))
+    bank.solve()
+    for i, (K, y, n) in enumerate(problems):
+        L_np = np.linalg.cholesky(K)
+        a_np = np.linalg.solve(K, y)
+        L, a = bank.get_gp_result(i)
+        np.testing.assert_allclose(L[:n, :n], L_np, atol=1e-10)
+        np.testing.assert_allclose(a[:n], a_np, atol=1e-9)
+        # padding: identity L, zero alpha
+        np.testing.assert_allclose(L[n:, n:], np.eye(24 - n), atol=0)
+        np.testing.assert_allclose(a[n:], 0.0, atol=0)
