@@ -18,6 +18,9 @@ SPGP occupancy mapping — redesigned for TPU hardware:
 """
 
 from erl_gaussian_process_tpu import kernels, models, geometry, utils
+from erl_gaussian_process_tpu.init import init
 
-__all__ = ["kernels", "models", "geometry", "utils"]
+init()  # register setting/kernel types (reference: src/init.cpp Init())
+
+__all__ = ["kernels", "models", "geometry", "utils", "init"]
 __version__ = "0.1.0"

@@ -1,6 +1,15 @@
 """Runtime utilities (the erl_common-equivalent layer, SURVEY.md §2.2):
 logging/timing, checkpoint serialization, binary data loaders."""
 
+from erl_gaussian_process_tpu.utils.config import (
+    as_yaml_file,
+    as_yaml_str,
+    create_setting,
+    from_yaml_file,
+    from_yaml_str,
+    register_setting,
+    setting_names,
+)
 from erl_gaussian_process_tpu.utils.serialization import (
     eq_state,
     load_pytree,
@@ -8,4 +17,8 @@ from erl_gaussian_process_tpu.utils.serialization import (
 )
 from erl_gaussian_process_tpu.utils.timing import BlockTimer, report_time
 
-__all__ = ["eq_state", "load_pytree", "save_pytree", "BlockTimer", "report_time"]
+__all__ = [
+    "eq_state", "load_pytree", "save_pytree", "BlockTimer", "report_time",
+    "as_yaml_file", "as_yaml_str", "create_setting", "from_yaml_file",
+    "from_yaml_str", "register_setting", "setting_names",
+]
