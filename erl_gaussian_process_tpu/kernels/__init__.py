@@ -28,6 +28,12 @@ from erl_gaussian_process_tpu.kernels.gradient import (
     gradient_prior_variance,
     train_gram_with_gradient,
 )
+from erl_gaussian_process_tpu.kernels.reduced_rank import (
+    ReducedRankBasis,
+    ReducedRankSetting,
+    parse_reduced_rank_name,
+    spectral_density,
+)
 
 __all__ = [
     "KernelSetting",
@@ -43,4 +49,8 @@ __all__ = [
     "cross_gram_with_gradient",
     "gradient_prior_variance",
     "train_gram_with_gradient",
+    "ReducedRankBasis",
+    "ReducedRankSetting",
+    "parse_reduced_rank_name",
+    "spectral_density",
 ]

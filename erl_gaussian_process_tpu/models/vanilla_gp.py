@@ -24,6 +24,13 @@ from erl_gaussian_process_tpu.kernels import (
     resolve_kernel_name,
     train_gram,
 )
+from erl_gaussian_process_tpu.kernels.reduced_rank import (
+    ReducedRankBasis,
+    ReducedRankSetting,
+    parse_reduced_rank_name,
+    rr_features,
+    rr_train_system,
+)
 from erl_gaussian_process_tpu.models.gp_core import (
     cholesky_fit,
     mean_from_ktest,
@@ -87,6 +94,19 @@ def vanilla_predict(state: VanillaGPState, xq, scale, *, kernel: str,
     return mean, var
 
 
+@jax.jit
+def rr_fit(x, y, var, mask, freq, sqrt_s, origin, half, inv_sqrt_vol
+           ) -> VanillaGPState:
+    """Reduced-rank train: features -> (m, m) information matrix -> Cholesky.
+    The returned state's L is (m, m) and alpha (m, y_dim) — "Ktrain rows =
+    #basis functions" per the reference's reduced-rank shape contract
+    (src/vanilla_gp.cpp:804)."""
+    phi = rr_features(x, mask, freq, sqrt_s, origin, half, inv_sqrt_vol)
+    A, b = rr_train_system(phi, y, var, mask)
+    L, alpha = cholesky_fit(A, b)
+    return VanillaGPState(x=x, mask=mask, L=L, alpha=alpha)
+
+
 @dataclasses.dataclass
 class VanillaGPSetting:
     """Mirror of VanillaGaussianProcess::Setting (vanilla_gp.hpp:23-37)."""
@@ -104,7 +124,12 @@ class VanillaGPSetting:
         d = dict(d or {})
         d.pop("kernel_setting_type", None)  # reference YAML field, implied here
         if "kernel" in d:
-            d["kernel"] = KernelSetting.from_dict(d["kernel"])
+            rr = parse_reduced_rank_name(str(d.get("kernel_type", "")))
+            raw = d["kernel"] or {}
+            kcls = ReducedRankSetting if rr is not None else KernelSetting
+            d["kernel"] = kcls.from_dict(raw)
+            if rr:  # family named in kernel_type wins
+                d["kernel"].base_kernel = rr
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 
@@ -117,9 +142,15 @@ class VanillaTestResult:
     def __init__(self, gp: "VanillaGaussianProcess", xq: np.ndarray):
         self._gp = gp
         self._xq = xq
-        self._ktest = vanilla_ktest(
-            gp.state, xq, gp._scale, kernel=gp._kernel
-        )
+        if gp._basis is not None:
+            # reduced-rank: "Ktest" is the whitened feature matrix with
+            # rows = #basis functions (reference shape contract,
+            # src/vanilla_gp.cpp:804)
+            self._ktest = gp._basis.features(jnp.asarray(xq)).T
+        else:
+            self._ktest = vanilla_ktest(
+                gp.state, xq, gp._scale, kernel=gp._kernel
+            )
         self._mean = None
         self._var = None
 
@@ -161,14 +192,41 @@ class VanillaGaussianProcess:
                  dtype=np.float64):
         self.setting = setting or VanillaGPSetting()
         self.dtype = np.dtype(dtype)
-        self._kernel = resolve_kernel_name(self.setting.kernel_type)
-        self._scale = float(self.setting.kernel.scale)
         self.state: Optional[VanillaGPState] = None
-        self.reduced_rank_kernel = False
+        self._setup_kernel()
         self._trained = False
         self._n = 0
         self._x_dim = 0
         self._y_dim = 0
+
+    def _setup_kernel(self):
+        """Resolve the kernel family; for reduced-rank kernel types build the
+        stateful basis, like the reference's BuildSpectralDensities after
+        create/load (src/vanilla_gp.cpp:828, :757)."""
+        self._scale = float(self.setting.kernel.scale)
+        self._basis: Optional[ReducedRankBasis] = None
+        rr_base = parse_reduced_rank_name(self.setting.kernel_type)
+        if rr_base is not None:
+            ks = self.setting.kernel
+            if not isinstance(ks, ReducedRankSetting):
+                ks = ReducedRankSetting.from_dict(ks.to_dict())
+                self.setting.kernel = ks
+            if rr_base:  # family named in kernel_type wins over the default
+                ks.base_kernel = rr_base
+            self._basis = ReducedRankBasis(ks, dtype=self.dtype)
+            self._kernel = ks.base_kernel
+        else:
+            self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self.reduced_rank_kernel = self._basis is not None
+
+    # -- reduced-rank coord origin (reference: vanilla_gp.cpp:358-374) -----
+    def get_coord_origin(self):
+        assert self._basis is not None, "not a reduced-rank kernel"
+        return self._basis.coord_origin
+
+    def set_coord_origin(self, origin):
+        assert self._basis is not None, "not a reduced-rank kernel"
+        self._basis.set_coord_origin(origin)
 
     # -- reference API ---------------------------------------------------
     @property
@@ -205,10 +263,17 @@ class VanillaGaussianProcess:
         mask = np.zeros((nmax,), bool)
         mask[:n] = True
 
-        self.state = vanilla_fit(
-            xp, yp, vp, mask, self.dtype.type(self._scale),
-            kernel=self._kernel,
-        )
+        if self._basis is not None:
+            b = self._basis
+            self.state = rr_fit(
+                jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(vp),
+                jnp.asarray(mask), b._freq, b._sqrt_s, b._origin, b._half,
+                b._inv_sqrt_vol)
+        else:
+            self.state = vanilla_fit(
+                xp, yp, vp, mask, self.dtype.type(self._scale),
+                kernel=self._kernel,
+            )
         self._n = n
         self._trained = True
         return True
@@ -235,8 +300,7 @@ class VanillaGaussianProcess:
 
     def load_state_dict(self, d: dict):
         self.setting = VanillaGPSetting.from_dict(d["setting"])
-        self._kernel = resolve_kernel_name(self.setting.kernel_type)
-        self._scale = float(self.setting.kernel.scale)
+        self._setup_kernel()
         self._trained = bool(d["trained"])
         self._n = int(d["n"])
         self._x_dim = int(d["x_dim"])

@@ -1,0 +1,150 @@
+"""Reduced-rank (Hilbert-space) kernel tests.
+
+The reference's ReducedRankCovariance has no in-tree tests (external
+package), so the contract is checked against first principles + the exact
+GP: with enough basis functions the RR posterior must converge to the exact
+GP posterior, and the variance formula must follow the sign-flip contract
+(+||L^{-1}k*||^2, reference: src/vanilla_gp.cpp:120-131)."""
+
+import numpy as np
+import pytest
+
+from erl_gaussian_process_tpu.kernels import (
+    KernelSetting,
+    ReducedRankSetting,
+    parse_reduced_rank_name,
+)
+from erl_gaussian_process_tpu.models.vanilla_gp import (
+    VanillaGaussianProcess,
+    VanillaGPSetting,
+)
+
+
+def _sine_data(n=100, noise=1e-2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-0.8, 0.8, n))
+    y = np.sin(3.0 * x) + rng.normal(0, np.sqrt(noise), n)
+    return x[None, :], y[:, None], np.full(n, noise)
+
+
+def _exact_and_rr(kernel_rr, base, num_basis=64, scale=0.3):
+    x, y, var = _sine_data()
+    exact = VanillaGaussianProcess(VanillaGPSetting(
+        kernel_type=base, kernel=KernelSetting(x_dim=1, scale=scale)))
+    exact.train(x, y, var)
+    rr = VanillaGaussianProcess(VanillaGPSetting(
+        kernel_type=kernel_rr,
+        kernel=ReducedRankSetting(x_dim=1, scale=scale,
+                                  num_basis=[num_basis], boundary=[2.0],
+                                  coord_origin=[0.0])))
+    rr.train(x, y, var)
+    return exact, rr
+
+
+def test_name_parsing():
+    assert parse_reduced_rank_name("reduced_rank_rbf") == "rbf"
+    assert parse_reduced_rank_name("rr_matern32") == "matern32"
+    assert parse_reduced_rank_name(
+        "erl::covariance::ReducedRankMatern32<double, 2>") == "matern32"
+    assert parse_reduced_rank_name(
+        "erl::covariance::ReducedRankOrnsteinUhlenbeck1d") == "ou"
+    assert parse_reduced_rank_name("rbf") is None
+    assert parse_reduced_rank_name("matern32") is None
+
+
+@pytest.mark.parametrize("base,num_basis,tol_mean,tol_var", [
+    ("rbf", 64, 2e-4, 2e-3),
+    # matern32's spectral density decays only polynomially -> needs more basis
+    ("matern32", 512, 2e-3, 2e-2),
+])
+def test_rr_converges_to_exact(base, num_basis, tol_mean, tol_var):
+    exact, rr = _exact_and_rr(f"reduced_rank_{base}", base, num_basis=num_basis)
+    assert rr.reduced_rank_kernel and not exact.reduced_rank_kernel
+    assert rr._kernel == base  # family parsed from kernel_type, not defaulted
+    xq = np.linspace(-0.7, 0.7, 201)[None, :]
+    re, rq = exact.test(xq), rr.test(xq)
+    assert np.max(np.abs(re.get_mean() - rq.get_mean())) < tol_mean
+    ve, vq = re.get_variance(), rq.get_variance()
+    assert np.all(vq > 0)  # +||.||^2 is positive by construction
+    assert np.max(np.abs(ve - vq)) < tol_var
+    # the RR "ktest" carries rows = #basis functions, not n_train
+    assert rq.k_test.shape[0] == num_basis
+    assert re.k_test.shape[0] == exact.state.x.shape[0]
+
+
+def test_rr_accuracy_against_truth():
+    """Golden-style bound in the spirit of the reference's 1D sine test
+    (test_vanilla_gp.cpp:13-110): the RR posterior's truth-MAE must match the
+    exact GP's to within basis-truncation error (the statistical error from
+    the 1e-2 observation noise dominates both)."""
+    exact, rr = _exact_and_rr("reduced_rank_rbf", "rbf")
+    xq = np.linspace(-0.7, 0.7, 401)
+    truth = np.sin(3 * xq)
+    mae_rr = np.mean(np.abs(rr.test(xq[None, :]).get_mean() - truth))
+    mae_ex = np.mean(np.abs(exact.test(xq[None, :]).get_mean() - truth))
+    assert mae_rr < mae_ex + 2e-4, (mae_rr, mae_ex)
+
+
+def test_rr_coord_origin_shift_equivalence():
+    """Shifting data and coord origin together must give identical posteriors
+    (the origin is a pure recentering parameter, vanilla_gp.cpp:358-374)."""
+    x, y, var = _sine_data()
+    shift = 5.0
+
+    def make(origin):
+        return VanillaGaussianProcess(VanillaGPSetting(
+            kernel_type="rr_rbf",
+            kernel=ReducedRankSetting(x_dim=1, scale=0.3, num_basis=[48],
+                                      boundary=[2.0], coord_origin=[origin])))
+
+    a = make(0.0)
+    a.train(x, y, var)
+    b = make(shift)
+    assert np.allclose(b.get_coord_origin(), [shift])
+    b.train(x + shift, y, var)
+    xq = np.linspace(-0.7, 0.7, 101)[None, :]
+    ra, rb = a.test(xq), b.test(xq + shift)
+    np.testing.assert_allclose(ra.get_mean(), rb.get_mean(), atol=1e-10)
+    np.testing.assert_allclose(ra.get_variance(), rb.get_variance(), atol=1e-10)
+    # and set_coord_origin after construction matches too
+    c = make(0.0)
+    c.set_coord_origin([shift])
+    c.train(x + shift, y, var)
+    np.testing.assert_allclose(
+        ra.get_mean(), c.test(xq + shift).get_mean(), atol=1e-10)
+
+
+def test_rr_serialization_round_trip(tmp_path):
+    _, rr = _exact_and_rr("reduced_rank_matern32", "matern32")
+    p = str(tmp_path / "rr.npz")
+    rr.save(p)
+    rr2 = VanillaGaussianProcess()
+    rr2.load(p)
+    assert rr2.reduced_rank_kernel
+    assert rr == rr2
+    xq = np.linspace(-0.5, 0.5, 32)[None, :]
+    np.testing.assert_allclose(rr.test(xq).get_mean(),
+                               rr2.test(xq).get_mean(), atol=0)
+    np.testing.assert_allclose(rr.test(xq).get_variance(),
+                               rr2.test(xq).get_variance(), atol=0)
+
+
+def test_rr_2d_matern():
+    rng = np.random.default_rng(1)
+    n = 400
+    x = rng.uniform(-0.8, 0.8, (2, n))
+    f = np.sin(2 * x[0]) * np.cos(2 * x[1])
+    y = (f + rng.normal(0, 1e-2, n))[:, None]
+    var = np.full(n, 1e-4)
+    gp = VanillaGaussianProcess(VanillaGPSetting(
+        kernel_type="rr_matern32",
+        kernel=ReducedRankSetting(x_dim=2, scale=0.6, num_basis=[16, 16],
+                                  boundary=[2.0, 2.0],
+                                  coord_origin=[0.0, 0.0])))
+    gp.train(x, y, var)
+    g = np.linspace(-0.6, 0.6, 21)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    xq = np.stack([gx.ravel(), gy.ravel()])
+    mae = np.mean(np.abs(gp.test(xq).get_mean()
+                         - np.sin(2 * gx.ravel()) * np.cos(2 * gy.ravel())))
+    assert mae < 2e-2, mae
