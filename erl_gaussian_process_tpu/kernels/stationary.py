@@ -87,9 +87,20 @@ def cross_gram(name: str, x1, x2, scale, mask1=None) -> jnp.ndarray:
 
     Equivalent of ``Covariance::ComputeKtest`` (reference call site:
     src/vanilla_gp.cpp:537) transposed to (n_train, n_test)-as-(rows, cols) =
-    reference's column layout.
+    reference's column layout. Dispatches to the fused Pallas kernel on TPU
+    for float32 problems above the dispatch-overhead threshold.
     """
-    k = kernel_fn(name)(x1, x2, scale)
+    from erl_gaussian_process_tpu.ops.pallas_gram import (
+        pallas_cross_gram,
+        pallas_gram_enabled,
+    )
+
+    if (x1.ndim == 2 and name in ("rbf", "ou", "matern32")
+            and pallas_gram_enabled(x1.dtype, x1.shape[0], x2.shape[0],
+                                    x1.shape[1])):
+        k = pallas_cross_gram(name, x1, x2, scale)
+    else:
+        k = kernel_fn(name)(x1, x2, scale)
     if mask1 is not None:
         k = jnp.where(mask1[:, None], k, 0.0)
     return k

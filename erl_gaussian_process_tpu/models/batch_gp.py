@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from erl_gaussian_process_tpu.kernels import cross_gram, train_gram
-from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, whiten
+from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul, whiten
 
 
 class BankState(NamedTuple):
@@ -48,6 +48,7 @@ def _fit_one(x, y, var, mask, scale, kernel):
 
 
 @partial(jax.jit, static_argnames=("kernel",))
+@f32_matmul
 def bank_fit(x, y, var, mask, scale, *, kernel: str) -> BankState:
     """Train B GPs at once. x (B, n, d); y (B, n, q); var/mask (B, n)."""
     L, alpha = jax.vmap(_fit_one, in_axes=(0, 0, 0, 0, None, None))(
@@ -57,6 +58,7 @@ def bank_fit(x, y, var, mask, scale, *, kernel: str) -> BankState:
 
 
 @partial(jax.jit, static_argnames=("kernel", "reduced_rank"))
+@f32_matmul
 def bank_predict(state: BankState, xq, scale, *, kernel: str,
                  reduced_rank: bool = False):
     """Each bank member predicts its own queries. xq (B, m, d).
@@ -74,6 +76,7 @@ def bank_predict(state: BankState, xq, scale, *, kernel: str,
 
 
 @partial(jax.jit, static_argnames=("kernel", "reduced_rank"))
+@f32_matmul
 def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
                           reduced_rank: bool = False):
     """Per-query routed prediction: query j is answered by bank member
@@ -149,5 +152,6 @@ class BatchGPBank:
 
 
 @jax.jit
+@f32_matmul
 def _batched_cholesky_solve(K, alpha):
     return jax.vmap(cholesky_fit)(K, alpha)

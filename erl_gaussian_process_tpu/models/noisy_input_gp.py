@@ -34,7 +34,7 @@ from erl_gaussian_process_tpu.kernels import (
     train_gram,
     train_gram_with_gradient,
 )
-from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, whiten
+from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul, whiten
 from erl_gaussian_process_tpu.utils.serialization import (
     eq_state,
     load_pytree,
@@ -65,6 +65,7 @@ def pack_alpha(y, grad, sample_mask, grad_mask):
 
 
 @partial(jax.jit, static_argnames=("kernel",))
+@f32_matmul
 def nigp_fit(x, y, grad, var_x, var_y, var_grad, sample_mask, grad_mask,
              scale, *, kernel: str) -> NoisyInputGPState:
     """Train with gradient observations: joint gram + LLT solve
@@ -80,6 +81,7 @@ def nigp_fit(x, y, grad, var_x, var_y, var_grad, sample_mask, grad_mask,
 
 
 @partial(jax.jit, static_argnames=("kernel",))
+@f32_matmul
 def nigp_fit_nograd(x, y, var_x, var_y, sample_mask, scale, *, kernel: str
                     ) -> NoisyInputGPState:
     """Train without gradient observations: plain gram with
@@ -101,6 +103,7 @@ def nigp_ktest(state: NoisyInputGPState, xq, scale, *, kernel: str,
 
 
 @partial(jax.jit, static_argnames=("num_test",))
+@f32_matmul
 def nigp_mean(state: NoisyInputGPState, ktest, num_test: int):
     """Means from the first num_test columns. Returns (m, q)."""
     return ktest[:, :num_test].T @ state.alpha
@@ -114,6 +117,7 @@ def nigp_gradient(state: NoisyInputGPState, ktest, num_test: int, d: int):
 
 
 @partial(jax.jit, static_argnames=("d", "reduced_rank"))
+@f32_matmul
 def nigp_variance_cov(state: NoisyInputGPState, ktest, scale, *, d: int,
                       reduced_rank: bool = False):
     """(mean_var (m,), grad_var (m, d), cov (m, d(d+1)/2)) from the whitened

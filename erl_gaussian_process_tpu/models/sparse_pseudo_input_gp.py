@@ -44,7 +44,7 @@ from erl_gaussian_process_tpu.kernels import (
     kernel_fn,
     resolve_kernel_name,
 )
-from erl_gaussian_process_tpu.models.gp_core import robust_cholesky
+from erl_gaussian_process_tpu.models.gp_core import f32_matmul, robust_cholesky
 from erl_gaussian_process_tpu.utils.serialization import (
     eq_state,
     load_pytree,
@@ -53,16 +53,40 @@ from erl_gaussian_process_tpu.utils.serialization import (
 
 
 class SpGpState(NamedTuple):
-    """pseudo (M, d); L_km (M, M); qm (M, M) [or (M, 1) when diagonal];
-    alpha (M, q)."""
+    """pseudo (M, d); L_km (M, M); L_inv (M, M) = L_km^{-1} (precomputed once
+    — pseudo points are fixed, so every update's triangular solve becomes an
+    MXU GEMM; TPUs run trsm far below matmul throughput); qm (M, M) [or
+    (M, 1) when diagonal]; alpha (M, q).
+
+    M may include far-point padding rows (see ``pad_pseudo_points``): padded
+    pseudo points sit at distinct coordinates ~1e15 apart, so every kernel
+    value against them underflows to exactly 0 and K_M is block-diag(K, I) —
+    all downstream linear algebra is exact without any masks."""
 
     pseudo: jnp.ndarray
     L_km: jnp.ndarray
+    L_inv: jnp.ndarray
     qm: jnp.ndarray
     alpha: jnp.ndarray
 
 
+def pad_pseudo_points(p: np.ndarray, multiple: int = 128) -> np.ndarray:
+    """Pad (M, d) pseudo points to a multiple of ``multiple`` rows using the
+    far-point trick: row i of the padding sits at 1e15 * (i + 2) in every
+    coordinate, so padded rows are mutually distant and far from any data —
+    k(pad, .) == +0.0 exactly for rbf/ou/matern32 in both float32/float64
+    (distances stay finite: squared-distance ~1e36 < f32 max)."""
+    m, d = p.shape
+    m_pad = -(-m // multiple) * multiple
+    if m_pad == m:
+        return p
+    pad = (np.arange(m_pad - m, dtype=p.dtype) + 2.0)[:, None] * p.dtype.type(
+        1e15) * np.ones((1, d), p.dtype)
+    return np.concatenate([p, pad], axis=0)
+
+
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "y_dim"))
+@f32_matmul
 def spgp_init(pseudo, scale, *, kernel: str, diagonal_qm: bool = False,
               y_dim: int = 1) -> SpGpState:
     """K_M, chol, Q_M <- K_M (or ones when diagonal), alpha <- 0
@@ -70,23 +94,52 @@ def spgp_init(pseudo, scale, *, kernel: str, diagonal_qm: bool = False,
     m = pseudo.shape[0]
     km = kernel_fn(kernel)(pseudo, pseudo, scale)
     L_km = robust_cholesky(km)
+    L_inv = solve_triangular(L_km, jnp.eye(m, dtype=km.dtype), lower=True)
     qm = jnp.ones((m, 1), km.dtype) if diagonal_qm else km
     alpha = jnp.zeros((m, y_dim), km.dtype)
-    return SpGpState(pseudo=pseudo, L_km=L_km, qm=qm, alpha=alpha)
+    return SpGpState(pseudo=pseudo, L_km=L_km, L_inv=L_inv, qm=qm,
+                     alpha=alpha)
 
 
-@partial(jax.jit, static_argnames=("kernel", "diagonal_qm"),
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "use_pallas"),
          donate_argnames=("state",))
+@f32_matmul
 def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
-                diagonal_qm: bool = False) -> SpGpState:
+                diagonal_qm: bool = False,
+                use_pallas: Optional[bool] = None) -> SpGpState:
     """Rank-N FITC update (UpdateDense, src/sparse_pseudo_input_gp.cpp:751-791)
     with fixed-shape masking: masked-out columns contribute nothing.
 
     x (n, d); y (n, q); var/mask (n,).
+
+    On TPU/float32 with MXU-aligned M this dispatches to the fully fused
+    Pallas kernel (ops/pallas_fitc.py); otherwise the jnp path below, whose
+    chain XLA fuses well but whose triangular solve it cannot avoid.
+    ``use_pallas`` is a static arg (not an ambient env check) so toggling it
+    can never be defeated by the jit cache.
     """
+    from erl_gaussian_process_tpu.ops.pallas_fitc import (
+        pallas_fitc_enabled,
+        pallas_fitc_update,
+    )
+
+    m = state.pseudo.shape[0]
+    if use_pallas is None:
+        use_pallas = not diagonal_qm and pallas_fitc_enabled(
+            state.pseudo.dtype, m, state.pseudo.shape[1])
+    if use_pallas:
+        dq, da = pallas_fitc_update(kernel, state.pseudo, state.L_inv, x, y,
+                                    var, mask, scale)
+        return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
+                         L_inv=state.L_inv, qm=state.qm + dq,
+                         alpha=state.alpha + da)
+
     kmn = cross_gram(kernel, state.pseudo, x, scale)          # (M, n)
     beta = solve_triangular(state.L_km, kmn, lower=True)       # (M, n)
-    lam = 1.0 - jnp.sum(beta * beta, axis=0)                   # (n,)
+    # lambda >= 0 mathematically (FITC residual variance); float roundoff can
+    # push ||beta||^2 past 1 near pseudo points, and an unclamped lambda can
+    # cancel var exactly -> w = inf -> NaN state. Clamp to the math.
+    lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)  # (n,)
     inv = jnp.where(mask, 1.0 / (lam + var), 0.0)              # (n,)
     ksc = kmn * inv[None, :]
     if diagonal_qm:
@@ -95,10 +148,12 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
         qm = state.qm + ksc @ kmn.T
     yv = jnp.where(mask[:, None], y, 0.0)
     alpha = state.alpha + ksc @ yv
-    return SpGpState(pseudo=state.pseudo, L_km=state.L_km, qm=qm, alpha=alpha)
+    return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
+                     L_inv=state.L_inv, qm=qm, alpha=alpha)
 
 
 @partial(jax.jit, static_argnames=("diagonal_qm",))
+@f32_matmul
 def spgp_prepare(state: SpGpState, *, diagonal_qm: bool = False):
     """(L_qm, alpha_solved = Q_M^{-1} alpha) — the lazy PrepareLqm +
     TestResult ctor solve (src/sparse_pseudo_input_gp.cpp:834-842, :100-109)."""
@@ -112,6 +167,7 @@ def spgp_prepare(state: SpGpState, *, diagonal_qm: bool = False):
 
 
 @partial(jax.jit, static_argnames=("kernel", "with_grad", "with_var"))
+@f32_matmul
 def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
                  kernel: str, with_grad: bool = False, with_var: bool = True):
     """mean (m_q, q), grad (m_q, d, q) | None, var (m_q,) | None."""
@@ -207,8 +263,14 @@ class SparsePseudoInputGaussianProcess:
         if p.ndim == 1:
             p = p[None, :]
         self._y_dim = y_dim
+        pr = np.ascontiguousarray(p.T)                # (M, d)
+        self._m_valid = pr.shape[0]
+        if self.dtype == np.float32:
+            # MXU-align the pseudo axis so updates take the fused Pallas path
+            # (far-point padding is numerically exact, see pad_pseudo_points)
+            pr = pad_pseudo_points(pr)
         self.state = spgp_init(
-            jnp.asarray(np.ascontiguousarray(p.T)),
+            jnp.asarray(pr),
             self.dtype.type(self._scale), kernel=self._kernel,
             diagonal_qm=self.setting.diagonal_qm, y_dim=y_dim)
         self._trained = False
@@ -220,20 +282,27 @@ class SparsePseudoInputGaussianProcess:
         return self._trained
 
     @property
+    def num_pseudo_points(self):
+        return self._m_valid
+
+    @property
     def pseudo_points(self):
-        return np.asarray(self.state.pseudo).T
+        return np.asarray(self.state.pseudo[: self._m_valid]).T
 
     @property
     def mat_l_km(self):
-        return np.asarray(self.state.L_km)
+        m = self._m_valid
+        return np.asarray(self.state.L_km[:m, :m])
 
     @property
     def mat_qm(self):
-        return np.asarray(self.state.qm)
+        m = self._m_valid
+        q = np.asarray(self.state.qm)
+        return q[:m] if self.setting.diagonal_qm else q[:m, :m]
 
     @property
     def mat_alpha(self):
-        return np.asarray(self.state.alpha)
+        return np.asarray(self.state.alpha[: self._m_valid])
 
     def _prepared(self):
         if self._cache is None:
@@ -286,6 +355,7 @@ class SparsePseudoInputGaussianProcess:
             "setting": self.setting.to_dict(),
             "trained": self._trained,
             "y_dim": self._y_dim,
+            "m_valid": self._m_valid,
             "state": self.state._asdict(),
         }
 
@@ -295,6 +365,7 @@ class SparsePseudoInputGaussianProcess:
         self._scale = float(self.setting.kernel.scale)
         self._trained = bool(d["trained"])
         self._y_dim = int(d["y_dim"])
+        self._m_valid = int(d.get("m_valid", len(d["state"]["pseudo"])))
         self.state = SpGpState(
             **{k: jnp.asarray(v) for k, v in d["state"].items()})
         self._cache = None

@@ -33,6 +33,7 @@ from erl_gaussian_process_tpu.kernels.reduced_rank import (
 )
 from erl_gaussian_process_tpu.models.gp_core import (
     cholesky_fit,
+    f32_matmul,
     mean_from_ktest,
     variance_from_whitened,
     whiten,
@@ -55,6 +56,7 @@ class VanillaGPState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("kernel",))
+@f32_matmul
 def vanilla_fit(x, y, var, mask, scale, *, kernel: str) -> VanillaGPState:
     """Train: gram + noise diag (identity-padded) -> Cholesky -> alpha.
 
@@ -75,16 +77,19 @@ def vanilla_ktest(state: VanillaGPState, xq, scale, *, kernel: str):
 
 
 @jax.jit
+@f32_matmul
 def vanilla_mean(state: VanillaGPState, ktest):
     return mean_from_ktest(ktest, state.alpha)
 
 
 @partial(jax.jit, static_argnames=("reduced_rank",))
+@f32_matmul
 def vanilla_variance(state: VanillaGPState, ktest, *, reduced_rank=False):
     return variance_from_whitened(whiten(state.L, ktest), reduced_rank)
 
 
 @partial(jax.jit, static_argnames=("kernel", "reduced_rank"))
+@f32_matmul
 def vanilla_predict(state: VanillaGPState, xq, scale, *, kernel: str,
                     reduced_rank: bool = False):
     """Fused mean+variance in one jit for the common full query path."""
@@ -95,6 +100,7 @@ def vanilla_predict(state: VanillaGPState, xq, scale, *, kernel: str,
 
 
 @jax.jit
+@f32_matmul
 def rr_fit(x, y, var, mask, freq, sqrt_s, origin, half, inv_sqrt_vol
            ) -> VanillaGPState:
     """Reduced-rank train: features -> (m, m) information matrix -> Cholesky.

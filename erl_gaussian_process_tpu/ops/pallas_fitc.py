@@ -1,0 +1,175 @@
+"""Fully fused FITC rank-N update kernel.
+
+This is the hot loop of the north-star workload (SPGP occupancy mapping,
+reference: SparsePseudoInputGaussianProcess::UpdateDense,
+src/sparse_pseudo_input_gp.cpp:751-791). One kernel computes, per N-tile,
+
+    kmn   = k(P, x_tile)                      (M, TK)  gram, VPU
+    beta  = L_inv @ kmn                       (M, TK)  MXU
+    lam_j = 1 - ||beta_:j||^2                 (TK,)
+    w_j   = 1 / (lam_j + var_j)               (inf var encodes masked-out)
+    dQ   += (kmn * w) @ kmn^T                 (M, M)   MXU, VMEM-resident
+    dA   += (kmn * w) @ y_tile                (M, q)
+
+replacing the XLA chain gram -> trsm -> scale -> 2 GEMMs. Wins over XLA:
+the O(M^2 N) triangular solve becomes a GEMM against the precomputed
+``L_inv = L_KM^{-1}`` (pseudo points are fixed, so L_inv is amortized over
+every update), the (M, N) intermediates (kmn, beta, ksc) never leave VMEM,
+and (M, M) HBM traffic is one delta write instead of per-op round trips.
+
+Layout notes (measured on v5e): each pseudo-point feature dim is passed as
+its own (M, 1) buffer and each sample dim as one sublane row of an (8, N)
+buffer, so the pairwise-difference broadcast is two native splats — passing
+P as (M, d_pad) and extracting columns costs a cross-lane gather that alone
+doubled kernel time.
+
+Constraints: M (pseudo count) must be a multiple of 128 and small enough
+that L_inv + dQ + tiles fit VMEM (M <= 1024); callers pad with the
+far-point trick (see sparse_pseudo_input_gp.pad_pseudo_points) which makes
+padded rows exactly zero without masks. Sample count N pads to the tile
+with var = +inf (w -> 0).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
+
+_TILE_N = 128  # HIGHEST-precision GEMM staging + resident L_inv/dQ cap VMEM
+_MAX_M = 1024
+_MAX_D = 3
+
+
+def pallas_fitc_enabled(dtype, m: int, d: int = 2) -> bool:
+    """Opt-in (ERL_GP_PALLAS_FITC=1). Measured on v5e at the production
+    shape (M=1024, N=2048, matern32): this fused kernel at the accuracy-
+    required HIGHEST dot precision runs 0.58 ms vs 0.29 ms for the XLA chain
+    under ``jax.default_matmul_precision("float32")`` (bf16_3x), because
+    Mosaic dots only support DEFAULT (single-pass bf16 — map error blows up
+    5x through the 1/(lam+var) amplification) or HIGHEST (bf16_6x). The
+    kernel is kept as the integration point for when Mosaic grows bf16_3x
+    dots; the default path is the XLA chain + the Pallas gram kernel."""
+    if not os.environ.get("ERL_GP_PALLAS_FITC"):
+        return False
+    if os.environ.get("ERL_GP_NO_PALLAS"):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if m % 128 != 0 or m > _MAX_M or d > _MAX_D:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _fitc_kernel(*refs, name: str, d: int):
+    (scale_ref, *p_refs, linv_ref, xr_ref, y_ref, var_ref,
+     dq_ref, da_ref) = refs
+    i = pl.program_id(0)
+    m, tk = linv_ref.shape[0], xr_ref.shape[1]
+    # gram tile via two native broadcasts per dim: (M, 1) - (1, TK)
+    r2 = jnp.zeros((m, tk), dq_ref.dtype)
+    for k in range(d):
+        diff = p_refs[k][:, :] - xr_ref[k, :][None, :]
+        r2 = r2 + diff * diff
+    kmn = _apply_family(name, r2, scale_ref[0, 0])           # (M, TK)
+    # HIGHEST precision: TPU DEFAULT runs f32 matmuls as single-pass bf16,
+    # whose ~3e-3 relative error on ||beta||^2 is amplified by 1/(lam+var)
+    # up to 1/var = 1e4 — measured 5x worse map error. HIGHEST (bf16_6x)
+    # matches true f32.
+    beta = jnp.dot(linv_ref[:], kmn, preferred_element_type=dq_ref.dtype,
+                   precision=jax.lax.Precision.HIGHEST)      # (M, TK)
+    # clamp: lambda >= 0 mathematically; f32 roundoff past 1 would let
+    # lam + var cross zero -> inf weights (see spgp_update)
+    lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
+    w = 1.0 / (lam + var_ref[0, :])                          # inf var -> 0
+    ksc = kmn * w[None, :]
+
+    @pl.when(i == 0)
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    # ksc @ kmn^T: contract the lane (tile) dim of both — no transpose op
+    dq_ref[:] += jax.lax.dot_general(
+        ksc, kmn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=dq_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    da_ref[:] += jnp.dot(ksc, y_ref[:], preferred_element_type=da_ref.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("name", "d"))
+def _fitc_update_padded(scale, p_cols, linv, xr, y, var_row, *, name: str,
+                        d: int):
+    m = linv.shape[0]
+    n = xr.shape[1]
+    q = y.shape[1]
+    grid = (n // _TILE_N,)
+    const = lambda i: (0, 0)  # noqa: E731 — resident operands/accumulators
+    dq, da = pl.pallas_call(
+        functools.partial(_fitc_kernel, name=name, d=d),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, m), linv.dtype),
+            jax.ShapeDtypeStruct((m, q), linv.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+            *[pl.BlockSpec((m, 1), const, memory_space=pltpu.VMEM)
+              for _ in range(d)],
+            pl.BlockSpec((m, m), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m, m), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, q), const, memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * m * n + 3 * m * n * d,
+            bytes_accessed=(m * m * 2 + m * n + n * q) * 4,
+            transcendentals=m * n,
+        ),
+    )(scale, *p_cols, linv, xr, y, var_row)
+    return dq, da
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def pallas_fitc_update(name: str, pseudo, linv, x, y, var, mask, scale):
+    """(dQ_M, dalpha) for one rank-N FITC update, fully fused.
+
+    pseudo: (M, d) with M % 128 == 0 (far-point padded); linv: (M, M)
+    = L_KM^{-1}; x: (n, d); y: (n, q); var/mask: (n,).
+    """
+    m, d = pseudo.shape
+    n = x.shape[0]
+    q = y.shape[1]
+    q_pad = _round_up(max(q, 1), 128)
+    n_pad = _round_up(n, _TILE_N)
+    dt = pseudo.dtype
+    p_cols = [pseudo[:, k:k + 1] for k in range(d)]
+    xr = jnp.zeros((8, n_pad), dt).at[:d, :n].set(x.T)
+    yp = jnp.zeros((n_pad, q_pad), dt).at[:n, :q].set(y)
+    inf = jnp.asarray(jnp.inf, dt)
+    var_eff = jnp.where(mask, var.astype(dt), inf)
+    var_row = jnp.full((8, n_pad), inf, dt).at[0, :n].set(var_eff)
+    scale_arr = jnp.asarray(scale, dt).reshape(1, 1)
+    dq, da = _fitc_update_padded(scale_arr, p_cols, linv, xr, yp, var_row,
+                                 name=name, d=d)
+    return dq, da[:, :q]

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from erl_gaussian_process_tpu.kernels import cross_gram, train_gram
 from erl_gaussian_process_tpu.models.batch_gp import BankState
-from erl_gaussian_process_tpu.models.gp_core import cholesky_fit
+from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul
 from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import SpGpState
 
 BANK_AXIS = "b"
@@ -37,6 +37,7 @@ def sharded_bank_fit(mesh: Mesh, x, y, var, mask, scale, *, kernel: str
     """bank_fit with the bank axis sharded over the mesh. B must be divisible
     by the mesh size. No collectives — members are independent."""
 
+    @f32_matmul
     def local(xl, yl, vl, ml):
         def one(xi, yi, vi, mi):
             yv = jnp.where(mi[:, None], yi, 0.0)
@@ -64,6 +65,7 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
     Pseudo-point state (L_KM, Q_M, alpha) is replicated.
     """
 
+    @f32_matmul
     def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
         kmn = cross_gram(kernel, pseudo, xl, scale)
         beta = solve_triangular(L_km, kmn, lower=True)
@@ -82,4 +84,5 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
         in_specs=(rep, rep, rep, rep, shard, shard, shard, shard),
         out_specs=(rep, rep)))(
         state.pseudo, state.L_km, state.qm, state.alpha, x, y, var, mask)
-    return SpGpState(pseudo=state.pseudo, L_km=state.L_km, qm=qm, alpha=alpha)
+    return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
+                     L_inv=state.L_inv, qm=qm, alpha=alpha)

@@ -1,0 +1,138 @@
+"""Pallas ops + numerical-robustness tests.
+
+The Pallas kernels only compile on TPU; on the CPU test backend we run them
+in interpreter mode (small shapes) to pin parity with the jnp reference
+implementations. TPU-only compiled-path parity is covered by the same
+functions executing inside bench.py's quality gate.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from erl_gaussian_process_tpu.kernels import cross_gram, kernel_fn
+from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+    pad_pseudo_points,
+    spgp_init,
+    spgp_prepare,
+    spgp_predict,
+    spgp_update,
+)
+
+
+@pytest.mark.parametrize("fam", ["rbf", "ou", "matern32"])
+def test_pallas_gram_parity_interpret(fam):
+    from erl_gaussian_process_tpu.ops.pallas_gram import pallas_cross_gram
+
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(-2, 2, (300, 2)).astype(np.float32))
+    x2 = jnp.asarray(rng.uniform(-2, 2, (513, 2)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        kp = pallas_cross_gram(fam, x1, x2, 0.3)
+    kj = kernel_fn(fam)(x1, x2, np.float32(0.3))
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(kj),
+                               rtol=1e-6, atol=1e-6)
+    assert kp.shape == (300, 513)
+
+
+def test_pallas_fitc_parity_interpret():
+    from erl_gaussian_process_tpu.ops.pallas_fitc import pallas_fitc_update
+
+    rng = np.random.default_rng(1)
+    m, n, d = 128, 200, 2
+    pseudo = jnp.asarray(rng.uniform(-2, 2, (m, d)).astype(np.float32))
+    st = spgp_init(pseudo, np.float32(0.5), kernel="matern32")
+    x = jnp.asarray(rng.uniform(-2, 2, (n, d)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32))
+    var = jnp.full((n,), 1e-3, jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=n) < 0.8)
+    with pltpu.force_tpu_interpret_mode():
+        dq, da = pallas_fitc_update("matern32", st.pseudo, st.L_inv, x, y,
+                                    var, mask, np.float32(0.5))
+    # jnp reference (same beta-via-L_inv formulation)
+    kmn = cross_gram("matern32", st.pseudo, x, np.float32(0.5))
+    beta = st.L_inv @ kmn
+    lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
+    inv = jnp.where(mask, 1.0 / (lam + var), 0.0)
+    ksc = kmn * inv[None, :]
+    # tolerance: w = 1/(lam+var) amplifies f32 op-order differences by up
+    # to 1/var = 1e3; 1e-2 relative is the honest f32 bound here
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(ksc @ kmn.T),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(da),
+        np.asarray(ksc @ jnp.where(mask[:, None], y, 0.0)),
+        rtol=1e-2, atol=1e-2)
+
+
+def test_far_point_padding_is_exact():
+    """Padded SPGP must give bit-for-bit the same posterior as unpadded:
+    far-point rows produce exactly-zero kernel values and identity L rows."""
+    rng = np.random.default_rng(2)
+    m, n, d = 60, 100, 2
+    P = rng.uniform(-1, 1, (m, d))
+    Pp = pad_pseudo_points(P.copy(), multiple=64)   # (64+ rows)
+    assert Pp.shape[0] == 64 and np.array_equal(Pp[:m], P)
+
+    def posterior(pp):
+        st = spgp_init(jnp.asarray(pp), 0.4, kernel="matern32")
+        x = jnp.asarray(rng2.uniform(-1, 1, (n, d)))
+        y = jnp.asarray(rng2.uniform(-1, 1, (n, 1)))
+        st = spgp_update(st, x, y, jnp.full((n,), 1e-3), jnp.ones(n, bool),
+                         0.4, kernel="matern32")
+        L_qm, a = spgp_prepare(st)
+        xq = jnp.asarray(np.linspace(-0.9, 0.9, 25)[:, None].repeat(d, 1))
+        mean, _, var = spgp_predict(st, L_qm, a, xq, 0.4, kernel="matern32")
+        return np.asarray(mean), np.asarray(var), st
+
+    rng2 = np.random.default_rng(3)
+    m1, v1, st1 = posterior(P)
+    rng2 = np.random.default_rng(3)
+    m2, v2, st2 = posterior(Pp)
+    # padded rows add exact zeros to every contraction; the only deviation
+    # is f64 reassociation in longer GEMM reductions
+    np.testing.assert_allclose(m1, m2, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-9)
+    # padded kernel rows are exactly zero / identity-blocked
+    assert np.all(np.asarray(st2.qm)[m:, :m] == 0)
+    assert np.allclose(np.asarray(st2.qm)[m:, m:], np.eye(64 - m))
+    assert np.all(np.asarray(st2.alpha)[m:] == 0)
+
+
+def test_lambda_clamp_no_nan_when_sample_hits_pseudo_point():
+    """A training sample exactly on a pseudo point drives ||beta||^2 -> 1;
+    roundoff past 1 must not produce inf/NaN state (lambda clamp)."""
+    P = np.stack(np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 8),
+                             indexing="ij"), -1).reshape(-1, 2)
+    st = spgp_init(jnp.asarray(P, jnp.float32), np.float32(0.3),
+                   kernel="matern32")
+    x = jnp.asarray(P[:32], jnp.float32)  # exactly on pseudo points
+    y = jnp.ones((32, 1), jnp.float32)
+    st = spgp_update(st, x, y, jnp.full((32,), 1e-6, jnp.float32),
+                     jnp.ones(32, bool), np.float32(0.3), kernel="matern32")
+    assert np.isfinite(np.asarray(st.qm)).all()
+    assert np.isfinite(np.asarray(st.alpha)).all()
+
+
+def test_f32_matmul_precision_context_applies():
+    """The hot fns trace under float32 matmul precision (the TPU-default
+    single-pass bf16 loses ~3 digits of posterior accuracy; regression-guard
+    the decorator by observing the ambient precision inside a wrapped fn)."""
+    from erl_gaussian_process_tpu.models.gp_core import f32_matmul
+
+    seen = []
+
+    @f32_matmul
+    def probe():
+        seen.append(jax.config.jax_default_matmul_precision)
+
+    probe()
+    assert seen == ["float32"]
+    # and the models actually use the decorator
+    import erl_gaussian_process_tpu.models.vanilla_gp as vg
+    import erl_gaussian_process_tpu.models.sparse_pseudo_input_gp as sp
+    import inspect
+    assert "@f32_matmul" in inspect.getsource(vg)
+    assert "@f32_matmul" in inspect.getsource(sp)
