@@ -45,9 +45,25 @@ class Space2D:
 
     def cast_rays(self, origin, directions, max_range=np.inf):
         """origin (2,), directions (R, 2) unit; returns ranges (R,)
-        (inf when no hit within max_range)."""
+        (inf when no hit within max_range).
+
+        Dispatches to the native OpenMP raycaster (utils/native.py) when the
+        library is available; numpy broadcast otherwise. Parity is pinned by
+        tests/test_native.py.
+        """
+        from erl_gaussian_process_tpu.utils.native import (
+            native_available,
+            raycast_2d,
+        )
+
         o = np.asarray(origin, float)
         d = np.asarray(directions, float)          # (R, 2)
+        if native_available():
+            segs = np.concatenate([self.seg_a, self.seg_b], axis=1)
+            ang = np.arctan2(d[:, 1], d[:, 0])
+            mr = float(min(max_range, 1e30))
+            r = raycast_2d(segs, np.broadcast_to(o, (len(d), 2)), ang, mr)
+            return np.where(r >= 1e30, np.inf, r)
         a = self.seg_a[None, :, :]                 # (1, S, 2)
         ab = (self.seg_b - self.seg_a)[None, :, :]
         ao = o[None, None, :] - a                  # (1, S, 2) broadcast with R

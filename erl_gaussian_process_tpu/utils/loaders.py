@@ -25,6 +25,17 @@ class LidarLogFrame:
 
 
 def load_lidar_log(path: str, dtype=np.float64) -> List[LidarLogFrame]:
+    from erl_gaussian_process_tpu.utils.native import load_lidar_log_native
+
+    native = load_lidar_log_native(path, dtype)
+    if native is not None:
+        frames = []
+        for angles, ranges, pose in native:
+            p = pose.reshape(3, 2).T
+            frames.append(LidarLogFrame(
+                angles=angles, ranges=ranges,
+                position=p[:, 0].copy(), rotation=p[:, 1:3].copy()))
+        return frames
     raw = np.fromfile(path, dtype=np.uint8)
     frames = []
     off = 0

@@ -46,13 +46,28 @@ def save_pytree(path: str, state: Dict[str, Any]) -> None:
     _flatten("", state, arrays, meta)
     arrays[_META_KEY] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    if str(path).endswith(".egpt"):
+        # native token-tagged binary stream (the reference's
+        # common::Serialization WriteTokens analogue; fast bulk fwrite in
+        # native/erl_gp_native.cpp with a struct-identical Python fallback)
+        from erl_gaussian_process_tpu.utils.native import save_tokens
+        save_tokens(str(path), {k: np.asarray(v) for k, v in arrays.items()})
+        return
     np.savez_compressed(path, **arrays)
 
 
 def load_pytree(path: str) -> Dict[str, Any]:
+    if str(path).endswith(".egpt"):
+        from erl_gaussian_process_tpu.utils.native import load_tokens
+        z = load_tokens(str(path))
+        meta = json.loads(bytes(z[_META_KEY].tobytes()).decode("utf-8"))
+        return _build_from(z, meta)
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z[_META_KEY].tobytes()).decode("utf-8"))
+        return _build_from(z, meta)
 
+
+def _build_from(z, meta) -> Dict[str, Any]:
         def build(prefix: str):
             info = meta[prefix]
             t = info["type"]
@@ -75,6 +90,12 @@ def load_pytree(path: str) -> Dict[str, Any]:
             return arr
 
         return build("")
+
+
+def save_pytree_tokens(path: str, state: Dict[str, Any]) -> None:
+    """Explicit token-format save regardless of extension."""
+    assert str(path).endswith(".egpt"), "token checkpoints use the .egpt suffix"
+    save_pytree(path, state)
 
 
 def eq_state(a: Any, b: Any) -> bool:
