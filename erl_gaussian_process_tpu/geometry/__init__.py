@@ -18,10 +18,18 @@ from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
     generate_dataset_fixed,
     generate_dataset_np,
 )
+from erl_gaussian_process_tpu.geometry.grid_map_info import (
+    GridMapInfo,
+    GridMapInfo2D,
+    GridMapInfo3D,
+)
 from erl_gaussian_process_tpu.geometry.simulators import Lidar2D, Space2D
 
 __all__ = [
     "Aabb",
+    "GridMapInfo",
+    "GridMapInfo2D",
+    "GridMapInfo3D",
     "LidarFrame2D",
     "LidarFrame2DSetting",
     "LidarFrame3D",

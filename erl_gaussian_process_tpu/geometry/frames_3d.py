@@ -45,6 +45,19 @@ class _RangeFrame3DBase:
         d = np.asarray(directions, self.dtype)
         return d @ self.rotation  # R^T per row
 
+    # -- checkpoint (frame pose + measurement state) ------------------------
+    def state_dict(self):
+        return {"rotation": self.rotation, "translation": self.translation,
+                "ranges": self.ranges, "hit_mask": self.hit_mask}
+
+    def load_state_dict(self, d):
+        self.rotation = np.asarray(d["rotation"], self.dtype)
+        self.translation = np.asarray(d["translation"], self.dtype)
+        self.ranges = None if d["ranges"] is None else np.asarray(
+            d["ranges"], self.dtype)
+        self.hit_mask = None if d["hit_mask"] is None else np.asarray(
+            d["hit_mask"], bool)
+
 
 @dataclasses.dataclass
 class LidarFrame3DSetting:

@@ -299,9 +299,16 @@ class LidarGaussianProcess2D:
         valid = np.asarray(valid) & (var <= self.setting.max_valid_range_var)
         a = dist * self.setting.occ_test_temperature
         mapped = np.asarray(self.mapping.map(dist))
-        occ = 2.0 / (1.0 + np.exp(a * (mean - mapped))) - 1.0
+        # 2/(1+e^z)-1 == -tanh(z/2): saturates instead of overflowing exp
+        occ = -np.tanh(0.5 * a * (mean - mapped))
         range_pred = np.asarray(self.mapping.inv(mean))
         return valid, dist, range_pred, occ
+
+    def get_memory_usage(self) -> int:
+        """Bytes held by model arrays (reference GetMemoryUsage
+        introspection, SURVEY.md §5.5)."""
+        from erl_gaussian_process_tpu.utils.timing import memory_usage
+        return memory_usage(self.bank)
 
     # -- checkpoint ---------------------------------------------------------
     def state_dict(self):

@@ -310,6 +310,12 @@ class NoisyInputGaussianProcess:
                               predict_gradient)
 
     # -- checkpoint --------------------------------------------------------
+    def get_memory_usage(self) -> int:
+        """Bytes held by model arrays (reference GetMemoryUsage
+        introspection, SURVEY.md §5.5)."""
+        from erl_gaussian_process_tpu.utils.timing import memory_usage
+        return memory_usage(self.state)
+
     def state_dict(self):
         return {
             "setting": self.setting.to_dict(),

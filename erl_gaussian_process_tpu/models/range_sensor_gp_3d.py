@@ -77,6 +77,13 @@ class RangeSensorGP3DSetting:
     mapping: MappingSetting = dataclasses.field(
         default_factory=lambda: MappingSetting(type=MappingType.INVERSE_SQRT))
 
+    def to_dict(self):
+        d = dataclasses.asdict(self)
+        if hasattr(self.sensor_frame, "to_dict"):
+            d["sensor_frame"] = self.sensor_frame.to_dict()
+        d["mapping"] = self.mapping.to_dict()
+        return d
+
     @classmethod
     def from_dict(cls, d):
         d = dict(d or {})
@@ -245,14 +252,47 @@ class RangeSensorGaussianProcess3D:
         valid = np.asarray(valid) & (var <= self.setting.max_valid_range_var)
         a = dist * self.setting.occ_test_temperature
         mapped = np.asarray(self.mapping.map(dist))
-        occ = 2.0 / (1.0 + np.exp(a * (mean - mapped))) - 1.0
+        # 2/(1+e^z)-1 == -tanh(z/2): saturates instead of overflowing exp
+        occ = -np.tanh(0.5 * a * (mean - mapped))
         range_pred = np.asarray(self.mapping.inv(mean))
         return valid, dist, range_pred, occ
+
+    def get_memory_usage(self) -> int:
+        """Bytes held by model arrays (reference GetMemoryUsage
+        introspection, SURVEY.md §5.5)."""
+        from erl_gaussian_process_tpu.utils.timing import memory_usage
+        return memory_usage(self.bank)
+
+    # -- checkpoint (reference Write/Read; serialization round-trip is part
+    # of the reference's test pattern, test_range_sensor_gp_3d.cpp) --------
+    def state_dict(self):
+        return {
+            "setting": self.setting.to_dict(),
+            "trained": self._trained,
+            "sensor_frame": self.sensor_frame.state_dict(),
+            "mapped_distances": self.mapped_distances,
+            "bank": None if self.bank is None else self.bank._asdict(),
+        }
+
+    def load_state_dict(self, d):
+        self.__init__(RangeSensorGP3DSetting.from_dict(d["setting"]),
+                      dtype=self.dtype)
+        self._trained = bool(d["trained"])
+        self.sensor_frame.load_state_dict(d["sensor_frame"])
+        self.mapped_distances = d["mapped_distances"]
+        b = d["bank"]
+        self.bank = None if b is None else BankState(
+            **{k: jnp.asarray(v) for k, v in b.items()})
+
+    def save(self, path):
+        from erl_gaussian_process_tpu.utils.serialization import save_pytree
+        save_pytree(path, self.state_dict())
+
+    def load(self, path):
+        from erl_gaussian_process_tpu.utils.serialization import load_pytree
+        self.load_state_dict(load_pytree(path))
 
     def __eq__(self, other):
         if not isinstance(other, RangeSensorGaussianProcess3D):
             return NotImplemented
-        a = None if self.bank is None else self.bank._asdict()
-        b = None if other.bank is None else other.bank._asdict()
-        return self._trained == other._trained and eq_state(
-            {"bank": a}, {"bank": b})
+        return eq_state(self.state_dict(), other.state_dict())

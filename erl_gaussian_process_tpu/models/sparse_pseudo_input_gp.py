@@ -349,6 +349,12 @@ class SparsePseudoInputGaussianProcess:
         return SpGpTestResult(self, jnp.asarray(np.ascontiguousarray(xq.T)),
                               predict_gradient)
 
+    def get_memory_usage(self) -> int:
+        """Bytes held by model arrays (reference GetMemoryUsage
+        introspection, SURVEY.md §5.5)."""
+        from erl_gaussian_process_tpu.utils.timing import memory_usage
+        return memory_usage(self.state)
+
     # -- checkpoint ---------------------------------------------------------
     def state_dict(self):
         return {

@@ -293,6 +293,12 @@ class VanillaGaussianProcess:
             xq = xq[None, :]
         return VanillaTestResult(self, np.ascontiguousarray(xq.T))
 
+    def get_memory_usage(self) -> int:
+        """Bytes held by model arrays (reference GetMemoryUsage,
+        src/vanilla_gp.cpp:463-474)."""
+        from erl_gaussian_process_tpu.utils.timing import memory_usage
+        return memory_usage(self.state)
+
     # -- checkpoint (reference Write/Read, src/vanilla_gp.cpp:606-790) ----
     def state_dict(self) -> dict:
         return {

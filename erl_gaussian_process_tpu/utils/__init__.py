@@ -15,10 +15,22 @@ from erl_gaussian_process_tpu.utils.serialization import (
     load_pytree,
     save_pytree,
 )
-from erl_gaussian_process_tpu.utils.timing import BlockTimer, report_time
+from erl_gaussian_process_tpu.utils.native import (
+    load_tokens,
+    native_available,
+    raycast_2d,
+    save_tokens,
+)
+from erl_gaussian_process_tpu.utils.timing import (
+    BlockTimer,
+    memory_usage,
+    report_time,
+    trace,
+)
 
 __all__ = [
-    "eq_state", "load_pytree", "save_pytree", "BlockTimer", "report_time",
+    "eq_state", "load_pytree", "save_pytree", "BlockTimer", "report_time", "memory_usage", "trace",
+    "native_available", "save_tokens", "load_tokens", "raycast_2d",
     "as_yaml_file", "as_yaml_str", "create_setting", "from_yaml_file",
     "from_yaml_str", "register_setting", "setting_names",
 ]

@@ -34,6 +34,37 @@ class BlockTimer:
         return False
 
 
+class trace:
+    """Profiler scope: wraps ``jax.profiler.trace`` (the rebuild's analogue
+    of the reference's optional Tracy integration, setup.py:47,193) with a
+    wall-clock fallback when no trace dir is given. View with TensorBoard or
+    xprof."""
+
+    def __init__(self, log_dir: str | None = None, msg: str = "trace"):
+        self.log_dir = log_dir
+        self.timer = BlockTimer(msg)
+        self._ctx = None
+
+    def __enter__(self):
+        self.timer.__enter__()
+        if self.log_dir:
+            self._ctx = jax.profiler.trace(self.log_dir)
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+        return self.timer.__exit__(*exc)
+
+
+def memory_usage(state) -> int:
+    """Total bytes of all arrays in a model state pytree (equivalent of the
+    reference's GetMemoryUsage introspection, src/vanilla_gp.cpp:463-474)."""
+    leaves = jax.tree_util.tree_leaves(state)
+    return sum(getattr(x, "nbytes", 0) for x in leaves)
+
+
 def report_time(name: str, repeats: int, fn: Callable, *args, warmup: int = 1,
                 **kwargs):
     """Run fn repeatedly, blocking on results; returns (mean_s, min_s)."""

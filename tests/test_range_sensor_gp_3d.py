@@ -120,3 +120,38 @@ def test_partition_grid_covers_frame():
     idx = gp.search_partition(fc)
     # margin rows/cols may fall outside the first/last partition coords
     assert (idx >= 0).mean() > 0.95
+
+
+def test_serialization_round_trip_3d(tmp_path):
+    """Write -> read -> deep-equality, the reference's checkpoint pattern
+    (test_range_sensor_gp_3d.cpp serialization round-trip)."""
+    import numpy as np
+    from erl_gaussian_process_tpu.models.range_sensor_gp_3d import (
+        RangeSensorGaussianProcess3D,
+        RangeSensorGP3DSetting,
+    )
+    from erl_gaussian_process_tpu.geometry.frames_3d import LidarFrame3DSetting
+
+    setting = RangeSensorGP3DSetting(
+        sensor_frame_type="lidar",
+        sensor_frame=LidarFrame3DSetting(
+            azimuth_min=-np.pi / 2, azimuth_max=np.pi / 2,
+            elevation_min=-np.pi / 6, elevation_max=np.pi / 6,
+            num_azimuth_lines=40, num_elevation_lines=16),
+    )
+    gp = RangeSensorGaussianProcess3D(setting)
+    az = np.linspace(-np.pi / 2, np.pi / 2, 40)
+    el = np.linspace(-np.pi / 6, np.pi / 6, 16)
+    ranges = 2.0 + 0.3 * np.sin(3 * az)[:, None] + 0.1 * np.cos(2 * el)[None, :]
+    assert gp.train(np.eye(3), np.zeros(3), ranges)
+    p = str(tmp_path / "gp3d.npz")
+    gp.save(p)
+    gp2 = RangeSensorGaussianProcess3D()
+    gp2.load(p)
+    assert gp == gp2
+    assert gp2.get_memory_usage() > 0
+    dirs = np.stack([np.cos(az), np.sin(az), np.zeros(40)], axis=-1)
+    r1, v1 = gp.test(dirs, True, True).get_mean()
+    r2, v2 = gp2.test(dirs, True, True).get_mean()
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(v1, v2)
