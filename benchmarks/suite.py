@@ -1,0 +1,177 @@
+"""Benchmark suite beyond the headline (bench.py stays the single-line
+driver metric). Prints one JSON object per line.
+
+Covers the BASELINE.json metric set: exact-GP fit+predict points/sec at
+n = 2k-8k, the batched partition-bank fit (the lidar workload), and SPGP
+map-update rate at the production shape. Run with JAX_PLATFORMS='' for TPU.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from erl_gaussian_process_tpu.models.batch_gp import bank_fit
+from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+    pad_pseudo_points,
+    spgp_init,
+    spgp_update,
+)
+from erl_gaussian_process_tpu.models.vanilla_gp import (
+    vanilla_fit,
+    vanilla_predict,
+)
+
+DTYPE = np.float32
+
+
+def _time(fn, iters=50, warmup=None):
+    """Device-only time per call of ``fn(eps) -> pytree``, measured as the
+    slope between an ``iters``-step and a ``3*iters``-step jitted
+    ``lax.fori_loop`` whose carry is fn's FULL output pytree.
+
+    Methodology notes (every shortcut here was observed to lie on the
+    remote-TPU tunnel):
+    - carrying only a scalar derived from the output lets XLA dead-code-
+      eliminate the op (only [0,0] of a matmul is consumed -> it times a
+      single dot product, 20x past roofline);
+    - independent identical dispatches can be deduped/cached by the runtime;
+    - per-invocation fixed cost (input staging + dispatch) is tens of ms and
+      dominates small iteration counts — the two-point slope cancels it.
+    The carry is the whole output (fixed shapes), and the next input is
+    perturbed by carry-leaf[0...]*1e-30, forcing sequential execution of the
+    full computation each step.
+    """
+    del warmup
+
+    def eps_of(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return leaf[(0,) * leaf.ndim].astype(DTYPE) * DTYPE(1e-30)
+
+    # operands must be jit ARGUMENTS: a closure would embed multi-hundred-MB
+    # states as jaxpr constants (the remote compiler rejects the request)
+    consts = getattr(fn, "consts", ())
+
+    def make(n):
+        @jax.jit
+        def loop(out0, consts):
+            return jax.lax.fori_loop(
+                0, n, lambda i, out: fn(eps_of(out), *consts), out0)
+        return loop
+
+    out0 = jax.block_until_ready(fn(jnp.zeros((), DTYPE), *consts))
+    l1, l3 = make(iters), make(3 * iters)
+    jax.block_until_ready(l1(out0, consts))  # compile + warm
+    jax.block_until_ready(l3(out0, consts))
+    t1 = min(_wall(l1, out0, consts) for _ in range(2))
+    t3 = min(_wall(l3, out0, consts) for _ in range(2))
+    return max(t3 - t1, 1e-9) / (2 * iters)
+
+
+def _wall(loop, arg, consts):
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(arg, consts))
+    return time.perf_counter() - t0
+
+
+def emit(**kv):
+    print(json.dumps(kv))
+
+
+_FIT_ITERS = {2048: 20, 4096: 8, 8192: 3}
+
+
+def bench_vanilla(n, m_test=4096, d=2):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)).astype(DTYPE))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(DTYPE))
+    var = jnp.full((n,), 1e-4, DTYPE)
+    mask = jnp.ones((n,), bool)
+    xq = jnp.asarray(rng.uniform(-1, 1, (m_test, d)).astype(DTYPE))
+    scale = DTYPE(0.5)
+
+    fit_fn = lambda e, x, y, var, mask: vanilla_fit(  # noqa: E731
+        x + e, y, var, mask, scale, kernel="rbf")
+    fit_fn.consts = (x, y, var, mask)
+    t_fit = _time(fit_fn, iters=_FIT_ITERS.get(n, 10))
+    st = vanilla_fit(x, y, var, mask, scale, kernel="rbf")
+    pred_fn = lambda e, st, xq: vanilla_predict(  # noqa: E731
+        st, xq + e, scale, kernel="rbf")
+    pred_fn.consts = (st, xq)
+    t_pred = _time(pred_fn, iters=20 if n >= 8192 else 50)
+    emit(metric=f"vanilla_gp_fit_n{n}", value=round(n / t_fit), unit="pts/s",
+         ms=round(t_fit * 1e3, 3))
+    emit(metric=f"vanilla_gp_predict_n{n}_m{m_test}",
+         value=round(m_test / t_pred), unit="queries/s",
+         ms=round(t_pred * 1e3, 3))
+
+
+def bench_bank(B=128, n=32, d=1):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, n, d)).astype(DTYPE))
+    y = jnp.asarray(rng.uniform(-1, 1, (B, n, 1)).astype(DTYPE))
+    var = jnp.full((B, n), 1e-2, DTYPE)
+    mask = jnp.asarray(rng.uniform(size=(B, n)) < 0.9)
+    fn = lambda e, x, y, var, mask: bank_fit(  # noqa: E731
+        x + e, y, var, mask, DTYPE(0.2), kernel="ou")
+    fn.consts = (x, y, var, mask)
+    t = _time(fn)
+    emit(metric=f"bank_fit_B{B}_n{n}", value=round(B / t), unit="gps/s",
+         ms=round(t * 1e3, 3))
+
+
+def bench_spgp(n=2000, grid=31):
+    rng = np.random.default_rng(0)
+    c = np.linspace(-3, 3, grid)
+    pv, qv = np.meshgrid(c, c, indexing="ij")
+    P = pad_pseudo_points(
+        np.stack([pv.ravel(), qv.ravel()], axis=-1).astype(DTYPE))
+    x = jnp.asarray(rng.uniform(-3, 3, (n, 2)).astype(DTYPE))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(DTYPE))
+    var = jnp.full((n,), 1e-4, DTYPE)
+    mask = jnp.ones((n,), bool)
+    scale = DTYPE(0.18)
+    iters = 60
+
+    def make(k):
+        @jax.jit
+        def loop(s):
+            # the accumulated state is the natural loop carry — true
+            # sequential dependence, like the online mapping service
+            return jax.lax.fori_loop(
+                0, k, lambda i, s: spgp_update(s, x, y, var, mask, scale,
+                                               kernel="matern32"), s)
+        return loop
+
+    import time as _t
+    l1, l2 = make(iters), make(2 * iters)
+
+    def run(loop):
+        s0 = spgp_init(jnp.asarray(P), scale, kernel="matern32")
+        jax.block_until_ready(s0.qm)
+        t0 = _t.perf_counter()
+        jax.block_until_ready(loop(s0).qm)
+        return _t.perf_counter() - t0
+
+    run(l1); run(l2)  # compile + warm
+    t1 = min(run(l1) for _ in range(2))
+    t2 = min(run(l2) for _ in range(2))
+    t = max(t2 - t1, 1e-9) / iters
+    emit(metric=f"spgp_update_M{len(P)}_N{n}", value=round(1.0 / t, 1),
+         unit="updates/s", ms=round(t * 1e3, 3))
+
+
+def main():
+    emit(metric="backend", value=jax.default_backend(),
+         unit=str(jax.devices()[0]))
+    for n in (2048, 4096, 8192):
+        bench_vanilla(n)
+    bench_bank()
+    bench_bank(B=512, n=32)
+    bench_spgp()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,8 +74,13 @@ def cholesky_fit(K: jnp.ndarray, y: jnp.ndarray):
 
     K: (n, n) SPD (identity-padded for inactive rows), y: (n, k).
     Returns (L, alpha). vmap over a leading batch axis for GP banks.
+
+    Uses ``robust_cholesky``: numerically indefinite grams (e.g. a dense
+    NIGP joint value/gradient system with near-zero input noise) retry with
+    escalating jitter instead of silently propagating NaN — the well-posed
+    path pays only a NaN check.
     """
-    L = jnp.linalg.cholesky(K)
+    L = robust_cholesky(K)
     a = solve_triangular(L, y, lower=True)
     a = solve_triangular(L.T, a, lower=False)
     return L, a

@@ -1,0 +1,85 @@
+"""2D online occupancy mapping demo — the reference's
+test_spgp_occupancy_map_2d.cpp scenario end to end, with a headless
+matplotlib artifact instead of the reference's OpenCV windows.
+
+Usage:  JAX_PLATFORMS=cpu python examples/occupancy_mapping_2d.py
+        (or JAX_PLATFORMS='' on a TPU host)
+Writes occupancy_map_2d.png next to this script.
+"""
+
+import os
+import time
+
+import numpy as np
+
+from erl_gaussian_process_tpu.geometry import Aabb, GridMapInfo2D
+from erl_gaussian_process_tpu.geometry.simulators import (
+    Lidar2D,
+    reference_space_2d,
+    reference_trajectory_2d,
+)
+from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+    SpGpOccupancyMap,
+    SpGpOccupancyMapSetting,
+)
+from erl_gaussian_process_tpu.utils import from_yaml_file
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    setting = from_yaml_file(
+        SpGpOccupancyMapSetting,
+        os.path.join(HERE, "..", "config", "spgp_occupancy_map_2d.yaml"))
+    pseudo = GridMapInfo2D([-3, -3], [3, 3], [31, 31]) \
+        .generate_meter_coordinates().T
+    omap = SpGpOccupancyMap(setting, pseudo,
+                            Aabb.from_min_max([-3, -3], [3, 3]),
+                            seed=0, dtype=np.float32)
+
+    space = reference_space_2d()
+    lidar = Lidar2D(Lidar2D.Setting(min_angle=-2.356, max_angle=2.356,
+                                    num_lines=135), space)
+    traj = reference_trajectory_2d(50)
+    t0 = time.perf_counter()
+    for pose in traj:
+        r = lidar.scan(pose[2], pose[:2])
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        dirs = lidar.ray_directions_in_frame() @ np.array([[c, -s], [s, c]]).T
+        hit = np.isfinite(r)
+        pts = pose[:2] + dirs * np.where(hit, r, 0.0)[:, None]
+        omap.update(pose[:2].astype(np.float32), pts.astype(np.float32), hit)
+    import jax
+    jax.block_until_ready(omap.sp_gp.state.qm)
+    dt = time.perf_counter() - t0
+    print(f"{len(traj)} updates in {dt:.2f}s ({len(traj) / dt:.0f} Hz)")
+
+    # rasterize the posterior
+    g = GridMapInfo2D([-3, -3], [3, 3], [240, 240])
+    q = g.generate_meter_coordinates().astype(np.float32)
+    logodd, _ = omap.predict(q)
+    img = logodd.reshape(240, 240)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping plot")
+        return
+    fig, ax = plt.subplots(figsize=(6, 6))
+    im = ax.imshow(img.T, origin="lower", extent=[-3, 3, -3, 3],
+                   cmap="RdBu_r", vmin=-8, vmax=8)
+    ax.plot(traj[:, 0], traj[:, 1], "k--", lw=1, label="trajectory")
+    sv = space.surface_points(0.05)
+    ax.plot(sv[:, 0], sv[:, 1], ".", ms=1, color="lime", label="true surface")
+    ax.legend(loc="upper right")
+    ax.set_title("SPGP occupancy map (logodds)")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    out = os.path.join(HERE, "occupancy_map_2d.png")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Replica hotel-0 trajectory replay: 3D SPGP occupancy mapping at
+production scale.
+
+The reference ships the 983-pose hotel-0 trajectory
+(data/replica-hotel-0-traj.txt: 983 rows of a row-major 4x4 pose) but its
+mesh assets are absent from the snapshot (.MISSING_LARGE_BLOBS), so — as in
+the reference's own situation — ranges must come from elsewhere: this demo
+raycasts a synthetic room (axis-aligned box shell) sized to the trajectory's
+bounding box. The full pipeline is the real thing: per-pose depth-style
+scans -> fused dataset-sampling + FITC updates -> 3D posterior.
+
+Usage:  JAX_PLATFORMS='' python examples/replica_hotel_3d.py [n_poses]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from erl_gaussian_process_tpu.geometry import Aabb, GridMapInfo3D
+from erl_gaussian_process_tpu.kernels import KernelSetting
+from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import SpGpSetting
+from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+    SpGpOccupancyMap,
+    SpGpOccupancyMapSetting,
+)
+
+TRAJ = "/root/reference/data/replica-hotel-0-traj.txt"
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_trajectory(path=TRAJ):
+    if not os.path.exists(path):
+        # fall back to a synthetic loop if the reference data is absent
+        t = np.linspace(0, 2 * np.pi, 983, endpoint=False)
+        poses = np.tile(np.eye(4), (983, 1, 1))
+        poses[:, 0, 3] = 1.5 * np.cos(t)
+        poses[:, 1, 3] = 1.0 * np.sin(t)
+        poses[:, 2, 3] = 0.0
+        return poses
+    raw = np.loadtxt(path)
+    return raw.reshape(-1, 4, 4)
+
+
+def ray_box_exit(origins, dirs, box_min, box_max):
+    """Distance along each ray to the box shell from inside (slab method)."""
+    with np.errstate(divide="ignore"):
+        t1 = (box_min - origins) / dirs
+        t2 = (box_max - origins) / dirs
+    tmax = np.maximum(t1, t2)
+    return np.nanmin(np.where(np.isfinite(tmax), tmax, np.inf), axis=-1)
+
+
+def main():
+    n_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 983
+    poses = load_trajectory()[:n_poses]
+    pos = poses[:, :3, 3]
+    lo = pos.min(axis=0) - 1.5
+    hi = pos.max(axis=0) + 1.5
+
+    setting = SpGpOccupancyMapSetting(
+        sp_gp=SpGpSetting(kernel_type="matern32",
+                          kernel=KernelSetting(x_dim=3,
+                                               scale=float((hi - lo).max())
+                                               / 16.0),
+                          max_num_samples=2000),
+        min_distance=0.05, max_distance=30.0,
+        free_points_per_meter=2.0, free_sampling_margin=0.02,
+        logodd_free=-1.0, logodd_occupied=1.0, logodd_variance=1e-4)
+
+    pseudo = GridMapInfo3D(lo, hi, [11, 11, 9]) \
+        .generate_meter_coordinates().T      # (3, 1089)
+    omap = SpGpOccupancyMap(setting, pseudo, Aabb.from_min_max(lo, hi),
+                            seed=0, dtype=np.float32, free_slots_per_ray=12)
+
+    # depth-camera-ish ray grid in the sensor frame (forward = +z)
+    u = np.linspace(-0.45, 0.45, 24)
+    v = np.linspace(-0.3, 0.3, 16)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    d_local = np.stack([uu.ravel(), vv.ravel(), np.ones(uu.size)], axis=-1)
+    d_local /= np.linalg.norm(d_local, axis=-1, keepdims=True)
+
+    t0 = time.perf_counter()
+    for T in poses:
+        R, t = T[:3, :3], T[:3, 3]
+        dirs = d_local @ R.T
+        rng = ray_box_exit(t[None, :], dirs, lo + 0.2, hi - 0.2)
+        hit = np.isfinite(rng) & (rng <= setting.max_distance)
+        pts = t + dirs * np.where(hit, rng, 0.0)[:, None]
+        omap.update(t.astype(np.float32), pts.astype(np.float32), hit)
+    import jax
+    jax.block_until_ready(omap.sp_gp.state.qm)
+    dt = time.perf_counter() - t0
+    print(f"{len(poses)} pose updates in {dt:.2f}s "
+          f"({len(poses) / dt:.1f} updates/s)")
+
+    # quality: shell occupied, trajectory free
+    rng2 = np.random.default_rng(0)
+    shell = []
+    for axis in range(3):
+        for side in (lo + 0.2, hi - 0.2):
+            p = rng2.uniform(lo + 0.3, hi - 0.3, (300, 3))
+            p[:, axis] = side[axis]
+            shell.append(p)
+    shell = np.concatenate(shell).astype(np.float32)
+    lo_shell, _ = omap.predict(shell)
+    lo_traj, _ = omap.predict(pos.astype(np.float32))
+    print("shell occupied frac: %.3f   trajectory free frac: %.3f"
+          % ((lo_shell > 0).mean(), (lo_traj < 0).mean()))
+
+
+if __name__ == "__main__":
+    main()

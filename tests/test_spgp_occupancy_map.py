@@ -124,3 +124,62 @@ def test_dataset_generator_density():
     # all labels: hits 1, free 0
     assert np.all(np.asarray(lbl[:n]) == 1)
     assert np.all(np.asarray(lbl[n:]) == 0)
+
+
+def test_online_mapping_3d(tmp_path):
+    """3D instantiation (reference: SpGpOccupancyMap<Dtype,3>,
+    src/spgp_occupancy_map.cpp:263-266): map a sphere shell observed from
+    points inside; surface must read occupied, interior free."""
+    import numpy as np
+    from erl_gaussian_process_tpu.geometry import Aabb
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models import SpGpOccupancyMap
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SpGpSetting,
+    )
+    from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+        SpGpOccupancyMapSetting,
+    )
+
+    rng = np.random.default_rng(0)
+    radius = 1.5
+    setting = SpGpOccupancyMapSetting(
+        sp_gp=SpGpSetting(kernel_type="matern32",
+                          kernel=KernelSetting(x_dim=3, scale=0.35),
+                          max_num_samples=2000),
+        min_distance=0.0, max_distance=10.0,
+        free_points_per_meter=3.0, free_sampling_margin=0.02,
+        logodd_free=-1.0, logodd_occupied=1.0, logodd_variance=1e-4)
+    c = np.linspace(-2, 2, 9)
+    gx, gy, gz = np.meshgrid(c, c, c, indexing="ij")
+    pseudo = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=0)  # (3, 729)
+    m = SpGpOccupancyMap(setting, pseudo, Aabb.from_min_max([-2] * 3, [2] * 3),
+                         seed=0, dtype=np.float32, free_slots_per_ray=8)
+
+    for k in range(8):
+        origin = rng.uniform(-0.4, 0.4, 3)
+        d = rng.normal(size=(400, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        # ray-sphere intersection from inside: |o + t d| = radius
+        b = d @ origin
+        t = -b + np.sqrt(b * b + (radius**2 - origin @ origin))
+        pts = origin + t[:, None] * d
+        m.update(origin.astype(np.float32), pts.astype(np.float32))
+
+    d = rng.normal(size=(500, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    lo_surf, _ = m.predict((radius * d).astype(np.float32))
+    lo_free, grad = m.predict(
+        rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32),
+        compute_gradient=True)
+    assert (lo_surf > 0).mean() > 0.9, (lo_surf > 0).mean()
+    assert (lo_free < 0).mean() > 0.95, (lo_free < 0).mean()
+    assert grad.shape == (200, 3)
+
+    # checkpoint round-trip in 3D
+    p = str(tmp_path / "map3d.npz")
+    m.save(p)
+    m2 = SpGpOccupancyMap(setting, pseudo, Aabb.from_min_max([-2] * 3, [2] * 3),
+                          seed=0, dtype=np.float32, free_slots_per_ray=8)
+    m2.load(p)
+    assert m == m2
