@@ -173,3 +173,36 @@ def test_grad_flag_masking_matches_packed():
     alpha = np.linalg.solve(K, rhs)
     ktm = np.vstack([k(x, xt), -dk(xf, xt)])
     np.testing.assert_allclose(pred.get_mean(0), ktm.T @ alpha, atol=1e-10)
+
+
+def test_multi_output_equals_per_column():
+    """2-output NIGP with a shared kernel must equal two single-output fits
+    column-by-column (the reference's multi-output design: shared L,
+    per-column alpha — mirrors test_noisy_input_gp.cpp's 2-output cases)."""
+    n = 60
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 2 * np.pi, n))
+    y2 = np.stack([np.sin(2 * x), np.cos(x)], axis=-1)          # (n, 2)
+    g2 = np.stack([2 * np.cos(2 * x), -np.sin(x)], axis=0)      # (d*q, n)
+    xt = np.linspace(0.2, 2 * np.pi - 0.2, 80)
+
+    def make(q_y, q_g):
+        s = NoisyInputGaussianProcess.Setting(
+            kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.25),
+            max_num_samples=n, no_gradient_observation=False)
+        gp = NoisyInputGaussianProcess(s)
+        assert gp.train(x[None], q_y, q_g, var_x=NOISE_VAR, var_y=NOISE_VAR,
+                        var_grad=NOISE_VAR)
+        return gp.test(xt[None], predict_gradient=True)
+
+    res2 = make(y2, g2)
+    for j in range(2):
+        res1 = make(y2[:, j:j + 1], g2[j:j + 1])
+        np.testing.assert_allclose(res2.get_mean(j), res1.get_mean(0),
+                                   atol=1e-12)
+        np.testing.assert_allclose(res2.get_gradient(j), res1.get_gradient(0),
+                                   atol=1e-12)
+    # shared-kernel variances are output-independent
+    np.testing.assert_allclose(res2.get_mean_variance(),
+                               make(y2[:, :1], g2[:1]).get_mean_variance(),
+                               atol=1e-12)
