@@ -47,8 +47,14 @@ def _time(fn, iters=50, warmup=None):
     del warmup
 
     def eps_of(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return leaf[(0,) * leaf.ndim].astype(DTYPE) * DTYPE(1e-30)
+        # EVERY non-bool leaf contributes to the next input: if any computed
+        # quantity (e.g. the Cholesky factor) does not feed the dependency
+        # chain, the compiler is free to elide it from all but the last
+        # iteration and the slope collapses to zero (observed).
+        s = sum(leaf[(0,) * leaf.ndim].astype(DTYPE)
+                for leaf in jax.tree_util.tree_leaves(out)
+                if leaf.dtype != jnp.bool_)
+        return s * DTYPE(1e-30)
 
     # operands must be jit ARGUMENTS: a closure would embed multi-hundred-MB
     # states as jaxpr constants (the remote compiler rejects the request)

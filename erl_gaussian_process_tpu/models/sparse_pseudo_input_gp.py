@@ -304,6 +304,13 @@ class SparsePseudoInputGaussianProcess:
     def mat_alpha(self):
         return np.asarray(self.state.alpha[: self._m_valid])
 
+    @property
+    def mat_l_qm(self):
+        """chol(Q_M) — computed lazily like the reference's PrepareLqm
+        (src/sparse_pseudo_input_gp.cpp:834-842)."""
+        m = self._m_valid
+        return np.asarray(self._prepared()[0])[:m, :m]
+
     def _prepared(self):
         if self._cache is None:
             self._cache = spgp_prepare(

@@ -207,6 +207,29 @@ class SpGpOccupancyMap:
     def predict_gradient(self, points, parallel: bool = True):
         return self.predict(points, compute_gradient=True)[1]
 
+    def generate_dataset(self, sensor_position, points, seed=None):
+        """Host-side dataset sampler mirroring the reference's
+        ``OccupancyMap::GenerateDataset`` call shape
+        (src/spgp_occupancy_map.cpp:52-78): returns (dataset_points (m, d),
+        labels (m,) in {0, 1}, hit_indices). The online ``update`` path uses
+        the fixed-shape on-device sampler instead; this is the inspectable
+        equivalent."""
+        from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
+            generate_dataset_np,
+        )
+
+        s = self.setting
+        rng = np.random.default_rng(seed)
+        p = np.asarray(points, self.dtype)
+        d = self.map_boundary.dim
+        if p.ndim == 2 and p.shape[0] == d and p.shape[1] != d:
+            p = p.T
+        return generate_dataset_np(
+            rng, np.asarray(sensor_position, self.dtype), p,
+            self.map_boundary.min(), self.map_boundary.max(),
+            s.min_distance, s.max_distance, s.free_sampling_margin,
+            s.free_points_per_meter, int(s.sp_gp.max_num_samples))
+
     # -- checkpoint ---------------------------------------------------------
     def state_dict(self):
         return {
