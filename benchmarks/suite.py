@@ -68,11 +68,20 @@ def _time(fn, iters=50, warmup=None):
         return loop
 
     out0 = jax.block_until_ready(fn(jnp.zeros((), DTYPE), *consts))
+    # every timed invocation gets a bit-unique argument: the runtime caches
+    # repeat executions of (same executable, same buffers) and returns in
+    # ~0.1 ms (observed) — fresh inputs defeat the cache
+    variants = [
+        jax.block_until_ready(jax.tree_util.tree_map(
+            lambda a: a + np.asarray(1e-7 * (k + 1), a.dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, out0))
+        for k in range(4)
+    ]
     l1, l3 = make(iters), make(3 * iters)
     jax.block_until_ready(l1(out0, consts))  # compile + warm
     jax.block_until_ready(l3(out0, consts))
-    t1 = min(_wall(l1, out0, consts) for _ in range(2))
-    t3 = min(_wall(l3, out0, consts) for _ in range(2))
+    t1 = min(_wall(l1, variants[0], consts), _wall(l1, variants[1], consts))
+    t3 = min(_wall(l3, variants[2], consts), _wall(l3, variants[3], consts))
     return max(t3 - t1, 1e-9) / (2 * iters)
 
 

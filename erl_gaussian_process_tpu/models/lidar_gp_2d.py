@@ -262,6 +262,24 @@ class LidarGaussianProcess2D:
         self._trained = True
         return True
 
+    # -- frame transforms (reference .pyi surface: global_to_local_so2 etc.,
+    # python/erl_gaussian_process/pyerl_gaussian_process.pyi:131-134) -------
+    def global_to_local_so2(self, dir_global):
+        """World direction(s) (n, 2) -> sensor frame (R^T d)."""
+        return self.sensor_frame.dir_world_to_frame(dir_global)
+
+    def local_to_global_so2(self, dir_local):
+        return np.asarray(dir_local, self.dtype) @ self.sensor_frame.rotation.T
+
+    def global_to_local_se2(self, xy_global):
+        p = np.asarray(xy_global, self.dtype) - self.sensor_frame.translation
+        return p @ self.sensor_frame.rotation
+
+    def local_to_global_se2(self, xy_local):
+        return (np.asarray(xy_local, self.dtype)
+                @ self.sensor_frame.rotation.T
+                + self.sensor_frame.translation)
+
     def search_partition(self, angles_local: np.ndarray) -> np.ndarray:
         """First partition whose [coord_left, coord_right] contains each
         angle; -1 when none (vectorized SearchPartition,

@@ -118,3 +118,30 @@ def test_world_frame_queries(frame0):
                           un_map=True).get_mean()
     mae = np.abs(pred[valid] - frame0.ranges[valid]).mean()
     assert mae < 0.022, mae
+
+
+def test_se2_so2_transforms():
+    """Round-trip world<->frame transform helpers (reference .pyi surface)."""
+    from erl_gaussian_process_tpu.geometry.lidar_frame_2d import (
+        LidarFrame2DSetting,
+    )
+
+    gp = LidarGaussianProcess2D(LidarGP2DSetting(
+        sensor_frame=LidarFrame2DSetting(num_rays=64)))
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    t = np.array([1.5, -0.3])
+    n = gp.setting.sensor_frame.num_rays
+    gp.train(R, t, np.full(n, 2.0))
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(7, 2))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        gp.local_to_global_so2(gp.global_to_local_so2(d)), d, atol=1e-12)
+    p = rng.uniform(-2, 2, (7, 2))
+    np.testing.assert_allclose(
+        gp.local_to_global_se2(gp.global_to_local_se2(p)), p, atol=1e-12)
+    # a point straight ahead in the frame maps to t + R @ [r, 0]
+    np.testing.assert_allclose(
+        gp.local_to_global_se2(np.array([[2.0, 0.0]])),
+        (t + R @ [2.0, 0.0])[None], atol=1e-12)
