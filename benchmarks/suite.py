@@ -67,27 +67,38 @@ def _time(fn, iters=50, warmup=None):
                 0, n, lambda i, out: fn(eps_of(out), *consts), out0)
         return loop
 
-    out0 = jax.block_until_ready(fn(jnp.zeros((), DTYPE), *consts))
+    out0 = fn(jnp.zeros((), DTYPE), *consts)
+    _fetch(out0)
     # every timed invocation gets a bit-unique argument: the runtime caches
     # repeat executions of (same executable, same buffers) and returns in
     # ~0.1 ms (observed) — fresh inputs defeat the cache
-    variants = [
-        jax.block_until_ready(jax.tree_util.tree_map(
+    variants = []
+    for k in range(4):
+        v = jax.tree_util.tree_map(
             lambda a: a + np.asarray(1e-7 * (k + 1), a.dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, out0))
-        for k in range(4)
-    ]
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, out0)
+        _fetch(v)
+        variants.append(v)
     l1, l3 = make(iters), make(3 * iters)
-    jax.block_until_ready(l1(out0, consts))  # compile + warm
-    jax.block_until_ready(l3(out0, consts))
+    _fetch(l1(out0, consts))  # compile + warm
+    _fetch(l3(out0, consts))
     t1 = min(_wall(l1, variants[0], consts), _wall(l1, variants[1], consts))
     t3 = min(_wall(l3, variants[2], consts), _wall(l3, variants[3], consts))
+    _time.last_totals = (iters, t1 * 1e3, 3 * iters, t3 * 1e3)
     return max(t3 - t1, 1e-9) / (2 * iters)
+
+
+def _fetch(out):
+    """Forced device->host scalar fetch — the only reliable execution
+    barrier on this backend (block_until_ready has been observed to return
+    while 80+ s of work remained queued)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf[(0,) * leaf.ndim]))
 
 
 def _wall(loop, arg, consts):
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(arg, consts))
+    _fetch(loop(arg, consts))
     return time.perf_counter() - t0
 
 
@@ -165,9 +176,10 @@ def bench_spgp(n=2000, grid=31):
 
     def run(loop):
         s0 = spgp_init(jnp.asarray(P), scale, kernel="matern32")
-        jax.block_until_ready(s0.qm)
+        float(np.asarray(s0.qm[0, 0]))
         t0 = _t.perf_counter()
-        jax.block_until_ready(loop(s0).qm)
+        r = loop(s0)
+        float(np.asarray(r.qm[0, 0]))
         return _t.perf_counter() - t0
 
     run(l1); run(l2)  # compile + warm

@@ -7,6 +7,13 @@ TPU-native redesign: the reference trains each partition GP in an OpenMP loop
 padded (B, group_size) batch with a single batched Cholesky on the MXU.
 Query routing (SearchPartition, :398-411) is a vectorized interval test plus
 a gathered per-query 1-point predict (models/batch_gp.bank_predict_assigned).
+
+Scope note: the bank path implements exact local GPs (the reference's
+default; its production sensor-GP kernel is Ornstein-Uhlenbeck). Reduced-rank
+kernels — whose variance sign flip the reference threads through this class
+(lidar_gp_2d.cpp:148-151) — are supported on the single-GP path
+(models/vanilla_gp.py); partition sizes here (~26 samples) are far below the
+regime where a reduced-rank basis would pay.
 """
 
 from __future__ import annotations

@@ -116,6 +116,45 @@ def update_step(state: SpGpState, key, step, sensor_position, points,
     return new_state, jnp.sum(mask)
 
 
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "free_slots",
+                                   "max_samples"),
+         donate_argnames=("state",))
+def update_batch_steps(state: SpGpState, key, step0, sensor_positions,
+                       points, point_masks, aabb_min, aabb_max, scale, *,
+                       kernel, diagonal_qm, free_slots, max_samples,
+                       min_distance, max_distance, free_sampling_margin,
+                       free_points_per_meter, logodd_occupied, logodd_free,
+                       logodd_variance):
+    """B map updates in ONE dispatch via ``lax.scan`` — same math and same
+    sequential FITC accumulation order as B ``update_step`` calls (same
+    per-step PRNG fold-in; results agree to the last f32 ulp, differing only
+    by XLA GEMM-epilogue fusion choices under scan). This is the batch-replay/ingestion
+    path: per-dispatch host/tunnel overhead is amortized over the whole
+    batch while the online single-scan semantics are preserved exactly.
+
+    sensor_positions (B, d); points (B, n, d); point_masks (B, n).
+    """
+    def body(carry, inp):
+        st = carry
+        k, sensor, pts, msk = inp
+        st, n_used = update_step(
+            st, key, k, sensor, pts, msk, aabb_min, aabb_max, scale,
+            kernel=kernel, diagonal_qm=diagonal_qm, free_slots=free_slots,
+            max_samples=max_samples, min_distance=min_distance,
+            max_distance=max_distance,
+            free_sampling_margin=free_sampling_margin,
+            free_points_per_meter=free_points_per_meter,
+            logodd_occupied=logodd_occupied, logodd_free=logodd_free,
+            logodd_variance=logodd_variance)
+        return st, n_used
+
+    b = sensor_positions.shape[0]
+    steps = step0 + jnp.arange(b, dtype=jnp.int32)
+    state, n_used = jax.lax.scan(
+        body, state, (steps, sensor_positions, points, point_masks))
+    return state, n_used
+
+
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "with_grad"))
 def predict_step(state: SpGpState, xq, scale, *, kernel, diagonal_qm,
                  with_grad):
@@ -181,6 +220,40 @@ class SpGpOccupancyMap:
             free_points_per_meter=s.free_points_per_meter,
             logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
             logodd_variance=s.logodd_variance)
+        self.sp_gp.state = new_state
+        self.sp_gp._trained = True
+        self.sp_gp._cache = None
+        return n_used
+
+    def update_batch(self, sensor_positions, points, point_masks=None):
+        """B scans in one dispatch (see update_batch_steps): identical
+        results as B sequential ``update`` calls (to f32 fusion rounding),
+        amortizing per-dispatch host/tunnel overhead over the batch.
+
+        sensor_positions (B, d); points (B, n, d) world end points;
+        point_masks (B, n) or None.
+        """
+        sp = np.asarray(sensor_positions, self.dtype)
+        p = np.asarray(points, self.dtype)
+        if point_masks is None:
+            point_masks = np.isfinite(p).all(axis=-1)
+        point_masks = np.asarray(point_masks, bool)
+        p = np.where(point_masks[..., None], p, 0.0)
+        s = self.setting
+        b = sp.shape[0]
+        new_state, n_used = update_batch_steps(
+            self.sp_gp.state, self.key, jnp.int32(self.step + 1),
+            jnp.asarray(sp), jnp.asarray(p), jnp.asarray(point_masks),
+            self._aabb_min, self._aabb_max, self.dtype.type(self.sp_gp._scale),
+            kernel=self.sp_gp._kernel, diagonal_qm=s.sp_gp.diagonal_qm,
+            free_slots=self.free_slots,
+            max_samples=int(s.sp_gp.max_num_samples),
+            min_distance=s.min_distance, max_distance=s.max_distance,
+            free_sampling_margin=s.free_sampling_margin,
+            free_points_per_meter=s.free_points_per_meter,
+            logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
+            logodd_variance=s.logodd_variance)
+        self.step += b
         self.sp_gp.state = new_state
         self.sp_gp._trained = True
         self.sp_gp._cache = None

@@ -183,3 +183,55 @@ def test_online_mapping_3d(tmp_path):
                           seed=0, dtype=np.float32, free_slots_per_ray=8)
     m2.load(p)
     assert m == m2
+
+
+def test_update_batch_equals_sequential():
+    """update_batch (lax.scan, one dispatch) must match sequential update
+    calls to the last float32 ulp (XLA may fuse the alpha accumulation into
+    the GEMM epilogue differently under scan — same math, same order)."""
+    import numpy as np
+    from erl_gaussian_process_tpu.geometry import Aabb
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models import SpGpOccupancyMap
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SpGpSetting,
+    )
+    from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+        SpGpOccupancyMapSetting,
+    )
+
+    rng = np.random.default_rng(0)
+    setting = SpGpOccupancyMapSetting(
+        sp_gp=SpGpSetting(kernel_type="matern32",
+                          kernel=KernelSetting(x_dim=2, scale=0.3),
+                          max_num_samples=256),
+        min_distance=0.0, max_distance=10.0, free_points_per_meter=2.0,
+        free_sampling_margin=0.02, logodd_free=-1.0, logodd_occupied=1.0,
+        logodd_variance=1e-4)
+    c = np.linspace(-2, 2, 7)
+    pv, qv = np.meshgrid(c, c, indexing="ij")
+    pseudo = np.stack([pv.ravel(), qv.ravel()], axis=0)
+    box = Aabb.from_min_max([-2, -2], [2, 2])
+
+    B, n = 6, 40
+    sensors = rng.uniform(-0.5, 0.5, (B, 2)).astype(np.float32)
+    pts = rng.uniform(-1.8, 1.8, (B, n, 2)).astype(np.float32)
+    masks = rng.uniform(size=(B, n)) < 0.9
+
+    def make():
+        return SpGpOccupancyMap(setting, pseudo, box, seed=3,
+                                dtype=np.float32, free_slots_per_ray=6)
+
+    seq = make()
+    for i in range(B):
+        seq.update(sensors[i], pts[i], masks[i])
+    bat = make()
+    n_used = bat.update_batch(sensors, pts, masks)
+    assert np.asarray(n_used).shape == (B,)
+    np.testing.assert_allclose(np.asarray(seq.sp_gp.state.qm),
+                               np.asarray(bat.sp_gp.state.qm),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seq.sp_gp.state.alpha),
+                               np.asarray(bat.sp_gp.state.alpha),
+                               rtol=2e-5, atol=1e-5)
+    assert seq.step == bat.step
