@@ -159,23 +159,34 @@ def bench_spgp(n=2000, grid=31):
     var = jnp.full((n,), 1e-4, DTYPE)
     mask = jnp.ones((n,), bool)
     scale = DTYPE(0.18)
-    iters = 60
+    iters = 300
 
     def make(k):
         @jax.jit
         def loop(s):
             # the accumulated state is the natural loop carry — true
-            # sequential dependence, like the online mapping service
-            return jax.lax.fori_loop(
-                0, k, lambda i, s: spgp_update(s, x, y, var, mask, scale,
-                                               kernel="matern32"), s)
+            # sequential dependence, like the online mapping service.
+            # x varies with the loop index: with loop-invariant samples XLA
+            # legally hoists the whole gram/beta/lambda chain out of the
+            # loop and times only the Q/alpha adds (observed: zero slope).
+            def body(i, s):
+                xi = x + i.astype(DTYPE) * DTYPE(1e-7)
+                return spgp_update(s, xi, y, var, mask, scale,
+                                   kernel="matern32")
+            return jax.lax.fori_loop(0, k, body, s)
         return loop
 
     import time as _t
     l1, l2 = make(iters), make(2 * iters)
 
+    seq = [0]
+
     def run(loop):
-        s0 = spgp_init(jnp.asarray(P), scale, kernel="matern32")
+        # unique pseudo values per invocation: identical-value re-inits have
+        # been observed to hit the runtime's execution dedup cache
+        seq[0] += 1
+        s0 = spgp_init(jnp.asarray(P) + DTYPE(1e-6 * seq[0]), scale,
+                       kernel="matern32")
         float(np.asarray(s0.qm[0, 0]))
         t0 = _t.perf_counter()
         r = loop(s0)
