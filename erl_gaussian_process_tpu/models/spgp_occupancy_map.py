@@ -158,9 +158,23 @@ def update_batch_steps(state: SpGpState, key, step0, sensor_positions,
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "with_grad"))
 def predict_step(state: SpGpState, xq, scale, *, kernel, diagonal_qm,
                  with_grad):
+    """Fused prepare+predict for one-shot queries. For repeated queries on
+    an unchanged map, the class predict() path reuses the cached
+    (L_qm, alpha_solved) instead (the reference's lazy PrepareLqm pattern,
+    src/sparse_pseudo_input_gp.cpp:834-842) — re-Choleskying Q_M per query
+    batch costs ~M^3/3 for nothing."""
     L_qm, a = spgp_prepare(state, diagonal_qm=diagonal_qm)
     mean, grad, _ = spgp_predict(state, L_qm, a, xq, scale, kernel=kernel,
                                  with_grad=with_grad, with_var=False)
+    return mean, grad
+
+
+@partial(jax.jit, static_argnames=("kernel", "with_grad"))
+def predict_prepared_step(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
+                          kernel, with_grad):
+    mean, grad, _ = spgp_predict(state, L_qm, alpha_solved, xq, scale,
+                                 kernel=kernel, with_grad=with_grad,
+                                 with_var=False)
     return mean, grad
 
 
@@ -268,10 +282,12 @@ class SpGpOccupancyMap:
         d = self.map_boundary.dim
         if p.ndim == 2 and p.shape[0] == d and p.shape[1] != d:
             p = p.T
-        mean, grad = predict_step(
-            self.sp_gp.state, jnp.asarray(p),
+        # reuse the lazily-cached chol(Q_M)/solved-alpha (invalidated by
+        # update); a fresh Cholesky per query batch would cost ~M^3/3 extra
+        L_qm, a = self.sp_gp._prepared()
+        mean, grad = predict_prepared_step(
+            self.sp_gp.state, L_qm, a, jnp.asarray(p),
             self.dtype.type(self.sp_gp._scale), kernel=self.sp_gp._kernel,
-            diagonal_qm=self.setting.sp_gp.diagonal_qm,
             with_grad=compute_gradient)
         logodd = np.asarray(mean[:, 0])
         g = None if grad is None else np.asarray(grad[:, :, 0])
