@@ -188,7 +188,10 @@ def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
     var = None
     if with_var:
         kmean = kt[:, :mq]
-        beta = solve_triangular(state.L_km, kmean, lower=True)
+        # beta via the precomputed L_km^{-1}: a GEMM instead of a triangular
+        # solve — TPUs run trsm well below matmul throughput and L_inv is
+        # amortized over every query (pseudo points are fixed)
+        beta = state.L_inv @ kmean
         gamma = solve_triangular(L_qm, kmean, lower=True)
         var = 1.0 - jnp.sum(beta * beta, axis=0) + jnp.sum(gamma * gamma, axis=0)
     return mean, grad, var

@@ -88,6 +88,26 @@ def vanilla_variance(state: VanillaGPState, ktest, *, reduced_rank=False):
     return variance_from_whitened(whiten(state.L, ktest), reduced_rank)
 
 
+@jax.jit
+@f32_matmul
+def vanilla_l_inv(state: VanillaGPState):
+    """Explicit L^{-1} for the repeated-query serving path: computed once
+    (lazily, from the second variance query on), every later query batch
+    whitens with a GEMM instead of a triangular solve — TPUs run trsm
+    several times below matmul throughput."""
+    from jax.scipy.linalg import solve_triangular
+
+    n = state.L.shape[0]
+    return solve_triangular(state.L, jnp.eye(n, dtype=state.L.dtype),
+                            lower=True)
+
+
+@partial(jax.jit, static_argnames=("reduced_rank",))
+@f32_matmul
+def vanilla_variance_fast(L_inv, ktest, *, reduced_rank=False):
+    return variance_from_whitened(L_inv @ ktest, reduced_rank)
+
+
 @partial(jax.jit, static_argnames=("kernel", "reduced_rank"))
 @f32_matmul
 def vanilla_predict(state: VanillaGPState, xq, scale, *, kernel: str,
@@ -177,10 +197,20 @@ class VanillaTestResult:
     def get_variance(self, parallel: bool = True):
         del parallel
         if self._var is None:
-            self._var = vanilla_variance(
-                self._gp.state, self._ktest,
-                reduced_rank=self._gp.reduced_rank_kernel,
-            )
+            gp = self._gp
+            gp._var_queries += 1
+            if gp._var_queries >= 2:
+                # repeated-query serving path: amortized L^{-1} GEMM
+                if gp._L_inv is None:
+                    gp._L_inv = vanilla_l_inv(gp.state)
+                self._var = vanilla_variance_fast(
+                    gp._L_inv, self._ktest,
+                    reduced_rank=gp.reduced_rank_kernel)
+            else:
+                self._var = vanilla_variance(
+                    gp.state, self._ktest,
+                    reduced_rank=gp.reduced_rank_kernel,
+                )
         return np.asarray(self._var)
 
 
@@ -204,6 +234,8 @@ class VanillaGaussianProcess:
         self._n = 0
         self._x_dim = 0
         self._y_dim = 0
+        self._L_inv = None
+        self._var_queries = 0
 
     def _setup_kernel(self):
         """Resolve the kernel family; for reduced-rank kernel types build the
@@ -245,6 +277,8 @@ class VanillaGaussianProcess:
         self._n = 0
         self._trained = False
         self.state = None
+        self._L_inv = None
+        self._var_queries = 0
 
     def train(self, mat_x_train, mat_y_train, vec_var_y) -> bool:
         """x: (x_dim, n); y: (n, y_dim) or (n,); var: (n,) or scalar."""
@@ -282,6 +316,8 @@ class VanillaGaussianProcess:
             )
         self._n = n
         self._trained = True
+        self._L_inv = None
+        self._var_queries = 0
         return True
 
     def test(self, mat_x_test) -> Optional[VanillaTestResult]:
@@ -313,6 +349,8 @@ class VanillaGaussianProcess:
     def load_state_dict(self, d: dict):
         self.setting = VanillaGPSetting.from_dict(d["setting"])
         self._setup_kernel()
+        self._L_inv = None
+        self._var_queries = 0
         self._trained = bool(d["trained"])
         self._n = int(d["n"])
         self._x_dim = int(d["x_dim"])

@@ -130,3 +130,25 @@ def test_kernel_families_fit(kernel):
     assert gp.train(x[None], y, 1e-4)
     pred = gp.test(x[None]).get_mean(0)
     assert np.abs(pred - y).mean() < 5e-3
+
+
+def test_repeated_variance_queries_use_consistent_fast_path():
+    """From the second variance query on, whitening switches to the
+    amortized L^{-1} GEMM; results must match the triangular-solve path to
+    float roundoff."""
+    rng = np.random.default_rng(0)
+    gp = VanillaGaussianProcess(VanillaGPSetting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.3)))
+    x = np.sort(rng.uniform(-1, 1, 120))[None, :]
+    gp.train(x, np.sin(3 * x[0])[:, None], np.full(120, 1e-4))
+    xq = np.linspace(-0.8, 0.8, 75)[None, :]
+    v1 = gp.test(xq).get_variance()          # trsm path
+    assert gp._L_inv is None
+    v2 = gp.test(xq).get_variance()          # switches to L_inv GEMM
+    assert gp._L_inv is not None
+    v3 = gp.test(xq + 0.01).get_variance()   # reuses cache
+    np.testing.assert_allclose(v2, v1, rtol=1e-9, atol=1e-12)
+    assert np.all(np.isfinite(v3)) and np.all(v3 <= 1.0)
+    # retrain invalidates the cache
+    gp.train(x, np.cos(2 * x[0])[:, None], np.full(120, 1e-4))
+    assert gp._L_inv is None and gp._var_queries == 0
