@@ -7,6 +7,7 @@ import pytest
 
 from erl_gaussian_process_tpu.kernels import KernelSetting
 from erl_gaussian_process_tpu.models import VanillaGaussianProcess
+from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
 
 NOISE_VAR = 0.001
 
