@@ -15,7 +15,9 @@ axes are OpenMP threads and one batched-CUDA path. The natural TPU scale-out
 from erl_gaussian_process_tpu.parallel.mesh import (
     make_mesh,
     sharded_bank_fit,
+    sharded_spgp_predict,
     sharded_spgp_update,
 )
 
-__all__ = ["make_mesh", "sharded_bank_fit", "sharded_spgp_update"]
+__all__ = ["make_mesh", "sharded_bank_fit", "sharded_spgp_predict",
+           "sharded_spgp_update"]

@@ -86,3 +86,29 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
         state.pseudo, state.L_km, state.qm, state.alpha, x, y, var, mask)
     return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
                      L_inv=state.L_inv, qm=qm, alpha=alpha)
+
+
+def sharded_spgp_predict(mesh: Mesh, state: SpGpState, L_qm, alpha_solved,
+                         xq, scale, *, kernel: str):
+    """Query-sharded SPGP predict: queries are embarrassingly parallel, so
+    the m_q axis shards over the mesh with the (small) pseudo-point state
+    replicated; no collectives. Returns (mean (m_q, q), var (m_q,)).
+    m_q must be divisible by the mesh size."""
+
+    @f32_matmul
+    def local(pseudo, L_km, L_inv, L_qm, a, xl):
+        kt = cross_gram(kernel, pseudo, xl, scale)
+        mean = kt.T @ a
+        beta = L_inv @ kt
+        gamma = solve_triangular(L_qm, kt, lower=True)
+        var = (1.0 - jnp.sum(beta * beta, axis=0)
+               + jnp.sum(gamma * gamma, axis=0))
+        return mean, var
+
+    rep = P()
+    shard = P(BANK_AXIS)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, shard),
+        out_specs=(shard, shard)))(
+        state.pseudo, state.L_km, state.L_inv, L_qm, alpha_solved, xq)
