@@ -81,6 +81,7 @@ def main():
     d_local = np.stack([uu.ravel(), vv.ravel(), np.ones(uu.size)], axis=-1)
     d_local /= np.linalg.norm(d_local, axis=-1, keepdims=True)
 
+    all_hits = []
     t0 = time.perf_counter()
     for T in poses:
         R, t = T[:3, :3], T[:3, 3]
@@ -89,25 +90,21 @@ def main():
         hit = np.isfinite(rng) & (rng <= setting.max_distance)
         pts = t + dirs * np.where(hit, rng, 0.0)[:, None]
         omap.update(t.astype(np.float32), pts.astype(np.float32), hit)
-    import jax
-    jax.block_until_ready(omap.sp_gp.state.qm)
+        all_hits.append(pts[hit])
+    # forced scalar fetch = the honest execution barrier on this backend
+    float(np.asarray(omap.sp_gp.state.qm[0, 0]))
     dt = time.perf_counter() - t0
     print(f"{len(poses)} pose updates in {dt:.2f}s "
           f"({len(poses) / dt:.1f} updates/s)")
 
-    # quality: shell occupied, trajectory free
+    # quality at OBSERVED surface (the accumulated hit points) vs free space
     rng2 = np.random.default_rng(0)
-    shell = []
-    for axis in range(3):
-        for side in (lo + 0.2, hi - 0.2):
-            p = rng2.uniform(lo + 0.3, hi - 0.3, (300, 3))
-            p[:, axis] = side[axis]
-            shell.append(p)
-    shell = np.concatenate(shell).astype(np.float32)
-    lo_shell, _ = omap.predict(shell)
+    hits = np.concatenate(all_hits)
+    hits = hits[rng2.choice(len(hits), 2000, replace=False)]
+    lo_surf, _ = omap.predict(hits.astype(np.float32))
     lo_traj, _ = omap.predict(pos.astype(np.float32))
-    print("shell occupied frac: %.3f   trajectory free frac: %.3f"
-          % ((lo_shell > 0).mean(), (lo_traj < 0).mean()))
+    print("observed-surface occupied frac: %.3f   trajectory free frac: %.3f"
+          % ((lo_surf > 0).mean(), (lo_traj < 0).mean()))
 
 
 if __name__ == "__main__":
