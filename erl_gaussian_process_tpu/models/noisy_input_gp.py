@@ -76,7 +76,7 @@ def nigp_fit(x, y, grad, var_x, var_y, var_grad, sample_mask, grad_mask,
         jnp.where(grad_mask, var_grad, 0.0),
         sample_mask, grad_mask, scale)
     alpha = pack_alpha(y, grad, sample_mask, grad_mask)
-    L, a = cholesky_fit(K, alpha)
+    L, a = cholesky_fit(K, alpha, robust=False)
     return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
 
 
@@ -89,7 +89,7 @@ def nigp_fit_nograd(x, y, var_x, var_y, sample_mask, scale, *, kernel: str
     var = jnp.where(sample_mask, var_x + var_y, 0.0)
     K = train_gram(kernel, x, var, scale, mask=sample_mask)
     yv = jnp.where(sample_mask[:, None], y, 0.0)
-    L, a = cholesky_fit(K, yv)
+    L, a = cholesky_fit(K, yv, robust=False)
     grad_mask = jnp.zeros_like(sample_mask)
     return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
 
@@ -276,10 +276,14 @@ class NoisyInputGaussianProcess:
         smask = np.zeros((nmax,), bool)
         smask[:n] = True
 
+        from erl_gaussian_process_tpu.models.gp_core import host_jitter_retry
+
         if self.setting.no_gradient_observation:
-            self.state = nigp_fit_nograd(
-                xp, yp, vx, vy, smask, self.dtype.type(self._scale),
-                kernel=self._kernel)
+            self.state = host_jitter_retry(
+                lambda j: nigp_fit_nograd(
+                    xp, yp, vx, vy + self.dtype.type(j), smask,
+                    self.dtype.type(self._scale), kernel=self._kernel),
+                lambda st: (st.alpha,))
         else:
             gmask = np.zeros((nmax,), bool)
             if grad_flag is None:
@@ -293,9 +297,12 @@ class NoisyInputGaussianProcess:
                     g = g[None, :]
                 # reference grad layout: rows d*q, col per sample
                 gp_[:n] = g.T.reshape(n, q, d).transpose(0, 2, 1)
-            self.state = nigp_fit(
-                xp, yp, gp_, vx, vy, vg, smask, gmask,
-                self.dtype.type(self._scale), kernel=self._kernel)
+            self.state = host_jitter_retry(
+                lambda j: nigp_fit(
+                    xp, yp, gp_, vx, vy + self.dtype.type(j),
+                    vg + self.dtype.type(j), smask, gmask,
+                    self.dtype.type(self._scale), kernel=self._kernel),
+                lambda st: (st.alpha,))
         self._trained = True
         return True
 

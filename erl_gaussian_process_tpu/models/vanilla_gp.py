@@ -65,7 +65,9 @@ def vanilla_fit(x, y, var, mask, scale, *, kernel: str) -> VanillaGPState:
     """
     y = jnp.where(mask[:, None], y, 0.0)
     K = train_gram(kernel, x, jnp.where(mask, var, 0.0), scale, mask=mask)
-    L, alpha = cholesky_fit(K, y)
+    # robust=False: single big system — NaN retry happens on the host
+    # (class train()); in-jit retry costs 2-3x the chol itself (gp_core)
+    L, alpha = cholesky_fit(K, y, robust=False)
     return VanillaGPState(x=x, mask=mask, L=L, alpha=alpha)
 
 
@@ -129,7 +131,7 @@ def rr_fit(x, y, var, mask, freq, sqrt_s, origin, half, inv_sqrt_vol
     (src/vanilla_gp.cpp:804)."""
     phi = rr_features(x, mask, freq, sqrt_s, origin, half, inv_sqrt_vol)
     A, b = rr_train_system(phi, y, var, mask)
-    L, alpha = cholesky_fit(A, b)
+    L, alpha = cholesky_fit(A, b, robust=False)
     return VanillaGPState(x=x, mask=mask, L=L, alpha=alpha)
 
 
@@ -303,17 +305,23 @@ class VanillaGaussianProcess:
         mask = np.zeros((nmax,), bool)
         mask[:n] = True
 
+        from erl_gaussian_process_tpu.models.gp_core import host_jitter_retry
+
         if self._basis is not None:
             b = self._basis
-            self.state = rr_fit(
-                jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(vp),
-                jnp.asarray(mask), b._freq, b._sqrt_s, b._origin, b._half,
-                b._inv_sqrt_vol)
+            self.state = host_jitter_retry(
+                lambda j: rr_fit(
+                    jnp.asarray(xp), jnp.asarray(yp),
+                    jnp.asarray(vp + self.dtype.type(j)),
+                    jnp.asarray(mask), b._freq, b._sqrt_s, b._origin,
+                    b._half, b._inv_sqrt_vol),
+                lambda st: (st.alpha,))
         else:
-            self.state = vanilla_fit(
-                xp, yp, vp, mask, self.dtype.type(self._scale),
-                kernel=self._kernel,
-            )
+            self.state = host_jitter_retry(
+                lambda j: vanilla_fit(
+                    xp, yp, vp + self.dtype.type(j), mask,
+                    self.dtype.type(self._scale), kernel=self._kernel),
+                lambda st: (st.alpha,))
         self._n = n
         self._trained = True
         self._L_inv = None

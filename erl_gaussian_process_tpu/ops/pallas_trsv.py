@@ -1,0 +1,171 @@
+"""Blocked triangular solves with few right-hand sides, as single Pallas
+kernels.
+
+Motivation (measured, v5e, honest harness): after the Cholesky, the exact-GP
+fit spends ~2/3 of its time in the two (n, y_dim) triangular solves — XLA
+lowers trsm to a sequential chain of ~n/128 small inverted-block matmuls
+dispatched as one long HLO chain, which for a near-vector RHS is
+latency-bound (n=8192: ~15 ms per solve vs a ~0.3 ms HBM-read bound for the
+128 MB triangle). Here the whole substitution runs inside ONE kernel: the
+solution stays VMEM-resident, each grid step streams one (B, n) block-row
+of L, does one MXU dot against the already-solved prefix, and applies the
+PRE-INVERTED diagonal block (a single batched-trsm on the host side of the
+jit, amortized across both solves) with another MXU dot.
+
+API: ``solve_lower(L, b)`` solves L x = b; ``solve_lower_t(L, b)`` solves
+L^T x = b; ``cho_solve_vec(L, b)`` chains both (one diag inversion). L is
+(n, n) lower-triangular, b (n, q); n must be a multiple of 128 and q <= 128
+(padded to 128 lanes internally).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.scipy.linalg import solve_triangular
+
+_B = 128  # row-block: (B, n) stream = 4 MB at n=8192 f32
+
+
+def pallas_trsv_enabled(dtype, n: int, q: int) -> bool:
+    if os.environ.get("ERL_GP_NO_PALLAS"):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if n % _B != 0 or n < 2 * _B or q > 128:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _diag_block_inverses(L):
+    """(n, B) stack of per-block inverses: inv(L[kB:(k+1)B, kB:(k+1)B]).
+    One batched triangular solve, amortized over both directions."""
+    n = L.shape[0]
+    nb = n // _B
+    blocks = L.reshape(nb, _B, nb, _B)
+    diags = jnp.stack([blocks[k, :, k, :] for k in range(nb)])   # (nb, B, B)
+    eye = jnp.eye(_B, dtype=L.dtype)
+    with jax.default_matmul_precision("float32"):
+        inv = jax.vmap(lambda d: solve_triangular(d, eye, lower=True))(diags)
+    return inv.reshape(nb * _B, _B)
+
+
+def _fwd_kernel(l_row_ref, inv_ref, b_ref, x_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        x_ref[:] = jnp.zeros_like(x_ref)
+
+    # prefix contribution: columns >= i*B of this block-row are the diagonal
+    # block (masked out below) and exact zeros above the diagonal; x rows
+    # >= i*B are still zero, so a full-width masked dot equals the prefix dot
+    col = jax.lax.broadcasted_iota(jnp.int32, l_row_ref.shape, 1)
+    l_pre = jnp.where(col < i * _B, l_row_ref[:], 0.0)
+    # HIGHEST: Mosaic's DEFAULT dot is single-pass bf16 — solves feed
+    # 1 - ||.||^2 cancellations downstream (measured 3e-3 rel error at bf16)
+    acc = b_ref[:] - jnp.dot(l_pre, x_ref[:],
+                             preferred_element_type=x_ref.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
+    x_blk = jnp.dot(inv_ref[:], acc, preferred_element_type=x_ref.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    x_ref[pl.ds(i * _B, _B), :] = x_blk
+
+
+def _bwd_kernel(l_col_ref, inv_ref, b_ref, x_ref):
+    # solves L^T x = b; grid step i handles block ib counted from the BOTTOM
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    ib = nb - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        x_ref[:] = jnp.zeros_like(x_ref)
+
+    # (L^T x)_{block ib} needs rows > this block of the column panel
+    row = jax.lax.broadcasted_iota(jnp.int32, l_col_ref.shape, 0)
+    l_suf = jnp.where(row >= (ib + 1) * _B, l_col_ref[:], 0.0)   # (n, B)
+    acc = b_ref[:] - jax.lax.dot_general(
+        l_suf, x_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=x_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST)                      # (B, q)
+    # x_blk = inv(L_d)^T acc — contract the first axis of the stored inverse
+    x_blk = jax.lax.dot_general(
+        inv_ref[:], acc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=x_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    x_ref[pl.ds(ib * _B, _B), :] = x_blk
+
+
+def _call(kernel, L, inv, b, reverse: bool):
+    n = L.shape[0]
+    q = b.shape[1]
+    nb = n // _B
+    if reverse:
+        l_spec = pl.BlockSpec((n, _B), lambda i: (0, nb - 1 - i),
+                              memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((_B, _B), lambda i: (nb - 1 - i, 0),
+                              memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((_B, q), lambda i: (nb - 1 - i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        l_spec = pl.BlockSpec((_B, n), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((_B, _B), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((_B, q), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, q), L.dtype),
+        grid=(nb,),
+        in_specs=[l_spec, i_spec, b_spec],
+        out_specs=pl.BlockSpec((n, q), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=n * n * q, bytes_accessed=n * n * 2 + 2 * n * q * 4,
+            transcendentals=0),
+    )(L, inv, b)
+
+
+@jax.jit
+def _solve_lower(L, inv, b):
+    return _call(_fwd_kernel, L, inv, b, reverse=False)
+
+
+@jax.jit
+def _solve_lower_t(L, inv, b):
+    return _call(_bwd_kernel, L, inv, b, reverse=True)
+
+
+def _pad_rhs(b):
+    n, q = b.shape
+    return jnp.zeros((n, 128), b.dtype).at[:, :q].set(b), q
+
+
+def solve_lower(L, b, inv=None):
+    """x with L x = b; L (n, n) lower-triangular, b (n, q), q <= 128."""
+    bp, q = _pad_rhs(b)
+    inv = _diag_block_inverses(L) if inv is None else inv
+    return _solve_lower(L, inv, bp)[:, :q]
+
+
+def solve_lower_t(L, b, inv=None):
+    """x with L^T x = b (the second half of a Cholesky solve)."""
+    bp, q = _pad_rhs(b)
+    inv = _diag_block_inverses(L) if inv is None else inv
+    return _solve_lower_t(L, inv, bp)[:, :q]
+
+
+def cho_solve_vec(L, b):
+    """K^{-1} b via the two blocked solves, sharing one diagonal inversion."""
+    inv = _diag_block_inverses(L)
+    return solve_lower_t(L, solve_lower(L, b, inv), inv)

@@ -136,3 +136,30 @@ def test_f32_matmul_precision_context_applies():
     import inspect
     assert "@f32_matmul" in inspect.getsource(vg)
     assert "@f32_matmul" in inspect.getsource(sp)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas trsv compiles only on TPU (interpret "
+                           "mode is impractically slow for its loops)")
+def test_pallas_trsv_parity_tpu():
+    from erl_gaussian_process_tpu.ops.pallas_trsv import (
+        cho_solve_vec,
+        solve_lower,
+        solve_lower_t,
+    )
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(0)
+    n = 512
+    X = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+    A = X @ X.T + np.eye(n, dtype=np.float32)
+    L = np.linalg.cholesky(A).astype(np.float32)
+    b = rng.standard_normal((n, 2)).astype(np.float32)
+    x = np.asarray(solve_lower(jnp.asarray(L), jnp.asarray(b)))
+    xt = np.asarray(solve_lower_t(jnp.asarray(L), jnp.asarray(b)))
+    cs = np.asarray(cho_solve_vec(jnp.asarray(L), jnp.asarray(b)))
+    x_ref = sla.solve_triangular(L.astype(np.float64), b, lower=True)
+    xt_ref = sla.solve_triangular(L.T.astype(np.float64), b, lower=False)
+    cs_ref = sla.cho_solve((L.astype(np.float64), True), b)
+    for got, ref in [(x, x_ref), (xt, xt_ref), (cs, cs_ref)]:
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
