@@ -154,13 +154,22 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
 
 @partial(jax.jit, static_argnames=("diagonal_qm",))
 @f32_matmul
-def spgp_prepare(state: SpGpState, *, diagonal_qm: bool = False):
+def spgp_prepare(state: SpGpState, jitter=0.0, *,
+                 diagonal_qm: bool = False):
     """(L_qm, alpha_solved = Q_M^{-1} alpha) — the lazy PrepareLqm +
-    TestResult ctor solve (src/sparse_pseudo_input_gp.cpp:834-842, :100-109)."""
+    TestResult ctor solve (src/sparse_pseudo_input_gp.cpp:834-842, :100-109).
+
+    Plain Cholesky + a ``jitter`` knob: the class ``_prepared`` cache
+    retries on the HOST with escalating jitter if Q_M is numerically
+    indefinite — in-jit retry structures cost 2-3x the factorization on
+    TPU even when never taken (see gp_core.cholesky_fit)."""
     if diagonal_qm:
         L_qm = jnp.sqrt(state.qm[:, 0])
         return jnp.diag(L_qm), state.alpha / state.qm
-    L_qm = robust_cholesky(state.qm)
+    m = state.qm.shape[0]
+    qm = state.qm + (jitter * jnp.mean(jnp.diag(state.qm))) * jnp.eye(
+        m, dtype=state.qm.dtype)
+    L_qm = jnp.linalg.cholesky(qm)
     a = solve_triangular(L_qm, state.alpha, lower=True)
     a = solve_triangular(L_qm.T, a, lower=False)
     return L_qm, a
@@ -316,8 +325,14 @@ class SparsePseudoInputGaussianProcess:
 
     def _prepared(self):
         if self._cache is None:
-            self._cache = spgp_prepare(
-                self.state, diagonal_qm=self.setting.diagonal_qm)
+            from erl_gaussian_process_tpu.models.gp_core import (
+                host_jitter_retry,
+            )
+            self._cache = host_jitter_retry(
+                lambda j: spgp_prepare(
+                    self.state, self.dtype.type(j),
+                    diagonal_qm=self.setting.diagonal_qm),
+                lambda r: (r[1],))
         return self._cache
 
     def update(self, x, y, var, parallel: bool = True) -> bool:
