@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 _REGISTRY: Dict[str, Dict[str, Callable]] = {}
 

@@ -20,7 +20,6 @@ column-major ``(d, n)``; the class-level API accepts both, see models/).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 

@@ -28,7 +28,7 @@ from erl_gaussian_process_tpu.geometry.lidar_frame_2d import (
     LidarFrame2D,
     LidarFrame2DSetting,
 )
-from erl_gaussian_process_tpu.kernels import KernelSetting, resolve_kernel_name
+from erl_gaussian_process_tpu.kernels import resolve_kernel_name
 from erl_gaussian_process_tpu.models.batch_gp import (
     BankState,
     bank_fit,

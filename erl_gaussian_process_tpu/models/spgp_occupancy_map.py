@@ -30,7 +30,6 @@ from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
     SparsePseudoInputGaussianProcess,
     SpGpSetting,
     SpGpState,
-    spgp_init,
     spgp_predict,
     spgp_prepare,
     spgp_update,

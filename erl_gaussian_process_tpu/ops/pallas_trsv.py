@@ -20,7 +20,6 @@ L^T x = b; ``cho_solve_vec(L, b)`` chains both (one diag inversion). L is
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

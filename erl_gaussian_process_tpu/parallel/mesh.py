@@ -9,13 +9,11 @@ is explicit and rides ICI.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import solve_triangular
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from erl_gaussian_process_tpu.kernels import cross_gram, train_gram
 from erl_gaussian_process_tpu.models.batch_gp import BankState
