@@ -175,6 +175,7 @@ def test_online_mapping_3d(tmp_path):
     assert (lo_surf > 0).mean() > 0.9, (lo_surf > 0).mean()
     assert (lo_free < 0).mean() > 0.95, (lo_free < 0).mean()
     assert grad.shape == (200, 3)
+    assert np.isfinite(grad).all()  # incl. far-point-padded pseudo rows
 
     # checkpoint round-trip in 3D
     p = str(tmp_path / "map3d.npz")
