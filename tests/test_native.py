@@ -138,3 +138,25 @@ def test_raycast_native_matches_numpy():
     finite = np.isfinite(r_np)
     assert (finite == np.isfinite(r_native)).all()
     np.testing.assert_allclose(r_native[finite], r_np[finite], rtol=1e-12)
+
+
+def test_reference_float_and_double_logs_agree():
+    """Parse the reference's real scan logs in both dtypes (data/double +
+    data/float); frames must agree to float32 precision."""
+    import os
+
+    dpath = "/root/reference/data/double/train.dat"
+    fpath = "/root/reference/data/float/train.dat"
+    if not (os.path.exists(dpath) and os.path.exists(fpath)):
+        import pytest
+        pytest.skip("reference data not mounted")
+    fd = load_lidar_log(dpath, dtype=np.float64)
+    ff = load_lidar_log(fpath, dtype=np.float32)
+    assert len(fd) == len(ff) > 0
+    for a, b in zip(fd, ff):
+        assert a.angles.shape == b.angles.shape
+        np.testing.assert_allclose(a.angles, b.angles, rtol=2e-7, atol=1e-6)
+        finite = np.isfinite(a.ranges) & np.isfinite(b.ranges)
+        np.testing.assert_allclose(a.ranges[finite], b.ranges[finite],
+                                   rtol=2e-7, atol=1e-5)
+        np.testing.assert_allclose(a.position, b.position, atol=1e-6)
