@@ -145,3 +145,16 @@ def test_se2_so2_transforms():
     np.testing.assert_allclose(
         gp.local_to_global_se2(np.array([[2.0, 0.0]])),
         (t + R @ [2.0, 0.0])[None], atol=1e-12)
+
+
+def test_real_scan_float32(frame0):
+    """Float32 path (reference F-suffixed instantiation) on the real scan:
+    accuracy must stay within ~2x of the float64 golden bound."""
+    gp = LidarGaussianProcess2D(_make_setting(frame0, discontinuity=False),
+                                dtype=np.float32)
+    assert gp.train(np.eye(2), np.zeros(2), frame0.ranges)
+    res = gp.test(frame0.angles, angles_are_local=False, un_map=True)
+    pred, valid = res.get_mean()
+    assert pred.dtype == np.float32 and valid.any()
+    mae = np.abs(pred[valid] - frame0.ranges[valid].astype(np.float32)).mean()
+    assert mae < 0.04, mae
