@@ -235,6 +235,10 @@ class NoisyInputGaussianProcess:
                  dtype=np.float64):
         self.setting = setting or NoisyInputGPSetting()
         self.dtype = np.dtype(dtype)
+        from erl_gaussian_process_tpu.utils.timing import (
+            warn_if_x64_disabled,
+        )
+        warn_if_x64_disabled(self.dtype)
         self._kernel = resolve_kernel_name(self.setting.kernel_type)
         self._scale = float(self.setting.kernel.scale)
         self.state: Optional[NoisyInputGPState] = None

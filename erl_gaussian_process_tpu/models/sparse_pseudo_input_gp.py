@@ -269,6 +269,10 @@ class SparsePseudoInputGaussianProcess:
                  dtype=np.float64, y_dim: int = 1):
         self.setting = setting or SpGpSetting()
         self.dtype = np.dtype(dtype)
+        from erl_gaussian_process_tpu.utils.timing import (
+            warn_if_x64_disabled,
+        )
+        warn_if_x64_disabled(self.dtype)
         self._kernel = resolve_kernel_name(self.setting.kernel_type)
         self._scale = float(self.setting.kernel.scale)
         p = np.asarray(pseudo_points, self.dtype)

@@ -230,6 +230,10 @@ class VanillaGaussianProcess:
                  dtype=np.float64):
         self.setting = setting or VanillaGPSetting()
         self.dtype = np.dtype(dtype)
+        from erl_gaussian_process_tpu.utils.timing import (
+            warn_if_x64_disabled,
+        )
+        warn_if_x64_disabled(self.dtype)
         self.state: Optional[VanillaGPState] = None
         self._setup_kernel()
         self._trained = False

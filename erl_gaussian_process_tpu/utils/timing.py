@@ -79,3 +79,24 @@ def report_time(name: str, repeats: int, fn: Callable, *args, warmup: int = 1,
     logger.info("%s: mean %.3f ms, min %.3f ms over %d runs",
                 name, mean_s * 1e3, min(times) * 1e3, repeats)
     return mean_s, min(times)
+
+
+_warned_x64 = False
+
+
+def warn_if_x64_disabled(dtype) -> None:
+    """One-time warning when a float64 model is created while JAX's x64 mode
+    is off — jnp would silently downcast to float32 and the reference-parity
+    accuracy (1e-5, BASELINE.json) would not hold. Enable with
+    ``jax.config.update("jax_enable_x64", True)``."""
+    global _warned_x64
+    import numpy as _np
+
+    if _warned_x64 or _np.dtype(dtype) != _np.float64:
+        return
+    if not jax.config.jax_enable_x64:
+        _warned_x64 = True
+        logger.warning(
+            "float64 model requested but jax_enable_x64 is off — computation "
+            "will silently run in float32. Enable x64 for reference-parity "
+            "accuracy: jax.config.update('jax_enable_x64', True)")
