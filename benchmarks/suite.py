@@ -148,6 +148,25 @@ def bench_bank(B=128, n=32, d=1):
          ms=round(t * 1e3, 3))
 
 
+def bench_bank_sweep():
+    """The reference's batched-GP profiling sweep (test_batch_gp_update_torch
+    .cpp:132-141): B in {1, 10, 100, 1000, 10000} GPs of N=100 samples,
+    CPU-vs-CUDA there, one vmapped MXU batch here."""
+    rng = np.random.default_rng(0)
+    for B in (1, 10, 100, 1000, 10000):
+        n, d = 100, 2
+        x = jnp.asarray(rng.uniform(-1, 1, (B, n, d)).astype(DTYPE))
+        y = jnp.asarray(rng.uniform(-1, 1, (B, n, 1)).astype(DTYPE))
+        var = jnp.full((B, n), 1e-2, DTYPE)
+        mask = jnp.asarray(rng.uniform(size=(B, n)) < 0.9)
+        fn = lambda e, x, y, var, mask: bank_fit(  # noqa: E731
+            x + e, y, var, mask, DTYPE(0.3), kernel="rbf")
+        fn.consts = (x, y, var, mask)
+        t = _time(fn, iters=max(3, min(50, 2000 // B)))
+        emit(metric=f"bank_sweep_B{B}_n100", value=round(B / t),
+             unit="gps/s", ms=round(t * 1e3, 3))
+
+
 def bench_spgp(n=2000, grid=31):
     rng = np.random.default_rng(0)
     c = np.linspace(-3, 3, grid)
@@ -209,6 +228,9 @@ def main():
     bench_bank()
     bench_bank(B=512, n=32)
     bench_spgp()
+    import sys
+    if "--sweep" in sys.argv:
+        bench_bank_sweep()
 
 
 if __name__ == "__main__":
