@@ -251,6 +251,14 @@ class NoisyInputGaussianProcess:
     def is_trained(self):
         return self._trained
 
+    def reset(self, max_num_samples: int, x_dim: int, y_dim: int):
+        """Reference Reset(max_num_samples, x_dim, y_dim) parity: size the
+        padded buffers and drop the trained state."""
+        self.setting.max_num_samples = int(max_num_samples)
+        del x_dim, y_dim  # shapes are taken from the data at train()
+        self._trained = False
+        self.state = None
+
     def train(self, mat_x, mat_y, mat_grad=None, var_x=None, var_y=None,
               var_grad=None, grad_flag=None) -> bool:
         """x: (d, n); y: (n, q) or (n,); grad: (d*q, n) per the reference's
