@@ -98,14 +98,18 @@ def generate_dataset_fixed(
     p = jnp.asarray(points)
     sp = jnp.asarray(sensor_position)
     n, d = p.shape
-    delta = p - sp
-    dist = jnp.linalg.norm(delta, axis=-1)
-    safe = jnp.where(dist > 0, dist, 1.0)
-    u_dir = delta / safe[:, None]
+    # per-dim 2D arrays throughout: 3D (n, F, d) broadcasts with reduces over
+    # the minor d-axis cost ~2x the whole sampler in layout ops on TPU
+    # (measured: the in-box check alone was 0.12 ms of a 0.25 ms step)
+    delta = [p[:, k] - sp[k] for k in range(d)]
+    dist = jnp.sqrt(sum(dk * dk for dk in delta))
+    inv_safe = jnp.where(dist > 0, 1.0 / jnp.where(dist > 0, dist, 1.0), 0.0)
     finite = point_mask & jnp.isfinite(dist) & (dist > 0)
-    in_box = jnp.all((p >= aabb_min) & (p <= aabb_max), axis=-1)
+    in_box = finite
+    for k in range(d):
+        in_box = in_box & (p[:, k] >= aabb_min[k]) & (p[:, k] <= aabb_max[k])
 
-    hit_ok = finite & in_box & (dist >= min_distance) & (dist <= max_distance)
+    hit_ok = in_box & (dist >= min_distance) & (dist <= max_distance)
     free_len = jnp.minimum(dist, max_distance)
     free_ray = finite & (dist >= min_distance)
 
@@ -114,14 +118,17 @@ def generate_dataset_fixed(
         key, (n, F),
         minval=free_sampling_margin, maxval=1.0 - free_sampling_margin,
         dtype=p.dtype)
-    free_pts = sp + (u * free_len[:, None])[..., None] * u_dir[:, None, :]
+    t = u * (free_len * inv_safe)[:, None]                 # (n, F) ray params
+    free_k = [sp[k] + t * delta[k][:, None] for k in range(d)]
     slot_idx = jnp.arange(F, dtype=p.dtype)[None, :]
     n_free = free_points_per_meter * free_len
-    free_ok = (free_ray[:, None] & (slot_idx < n_free[:, None])
-               & jnp.all((free_pts >= aabb_min) & (free_pts <= aabb_max),
-                         axis=-1))
+    free_ok = free_ray[:, None] & (slot_idx < n_free[:, None])
+    for k in range(d):
+        free_ok = free_ok & (free_k[k] >= aabb_min[k]) \
+            & (free_k[k] <= aabb_max[k])
 
-    pts = jnp.concatenate([p, free_pts.reshape(n * F, d)], axis=0)
+    free_pts = jnp.stack([fk.reshape(n * F) for fk in free_k], axis=-1)
+    pts = jnp.concatenate([p, free_pts], axis=0)
     lbl = jnp.concatenate(
         [jnp.ones(n, p.dtype), jnp.zeros(n * F, p.dtype)], axis=0)
     mask = jnp.concatenate([hit_ok, free_ok.reshape(n * F)], axis=0)
