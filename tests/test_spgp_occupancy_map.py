@@ -236,3 +236,68 @@ def test_update_batch_equals_sequential():
                                np.asarray(bat.sp_gp.state.alpha),
                                rtol=2e-5, atol=1e-5)
     assert seq.step == bat.step
+
+
+def test_float32_matches_float64_posterior():
+    """BASELINE accuracy guard: with the SAME training set, the float32 FITC
+    posterior must track float64 (this is what the true-f32 matmul-precision
+    policy buys, docs/architecture.md decision 1). The on-device sampler is
+    bypassed: borderline slot-activation decisions legitimately differ
+    between dtypes, which would confound the numerics comparison."""
+    import numpy as np
+    import jax.numpy as jnp
+    from erl_gaussian_process_tpu.geometry import GridMapInfo2D
+    from erl_gaussian_process_tpu.geometry.simulators import (
+        Lidar2D,
+        reference_space_2d,
+        reference_trajectory_2d,
+    )
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SparsePseudoInputGaussianProcess,
+        SpGpSetting,
+    )
+
+    space = reference_space_2d()
+    lidar = Lidar2D(Lidar2D.Setting(min_angle=-2.356, max_angle=2.356,
+                                    num_lines=90), space)
+    rng = np.random.default_rng(0)
+    batches = []
+    for pose in reference_trajectory_2d(12):
+        r = lidar.scan(pose[2], pose[:2])
+        c, sn = np.cos(pose[2]), np.sin(pose[2])
+        dirs = lidar.ray_directions_in_frame() @ np.array([[c, -sn],
+                                                           [sn, c]]).T
+        hit = np.isfinite(r)
+        pts = (pose[:2] + dirs * np.where(hit, r, 0.0)[:, None])[hit]
+        t = rng.uniform(0.05, 0.95, (len(pts), 4))
+        free = (pose[:2][None, :]
+                + (pts - pose[:2][None, :])[:, None, :]
+                * t[:, :, None]).reshape(-1, 2)
+        X = np.concatenate([pts, free])
+        y = np.concatenate([np.ones(len(pts)),
+                            -np.ones(len(free))])[:, None]
+        batches.append((X, y))
+
+    pseudo = GridMapInfo2D([-3, -3], [3, 3], [21, 21]) \
+        .generate_meter_coordinates().T
+
+    def run(dtype):
+        gp = SparsePseudoInputGaussianProcess(
+            SpGpSetting(kernel_type="matern32",
+                        kernel=KernelSetting(x_dim=2, scale=0.25),
+                        max_num_samples=600),
+            pseudo, dtype=dtype)
+        for X, y in batches:
+            gp.update(X.T.astype(dtype), y.astype(dtype), dtype(1e-4))
+        q = GridMapInfo2D([-2.5, -2.5], [2.5, 2.5], [31, 31]) \
+            .generate_meter_coordinates().astype(dtype)
+        res = gp.test(q.T)
+        return np.asarray(res.get_mean(), np.float64)
+
+    lo32 = run(np.float32)
+    lo64 = run(np.float64)
+    scale = np.abs(lo64).max()
+    assert np.mean(np.sign(lo32) == np.sign(lo64)) > 0.99
+    assert np.abs(lo32 - lo64).mean() / scale < 1e-3, (
+        np.abs(lo32 - lo64).mean() / scale)
