@@ -363,7 +363,8 @@ class LidarGaussianProcess2D:
         self.mapped_distances = d["mapped_distances"]
         b = d["bank"]
         self.bank = None if b is None else BankState(
-            **{k: jnp.asarray(v) for k, v in b.items()})
+            **{k: (None if v is None else jnp.asarray(v))
+               for k, v in b.items()})
 
     def save(self, path):
         save_pytree(path, self.state_dict())

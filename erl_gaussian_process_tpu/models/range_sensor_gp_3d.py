@@ -282,7 +282,8 @@ class RangeSensorGaussianProcess3D:
         self.mapped_distances = d["mapped_distances"]
         b = d["bank"]
         self.bank = None if b is None else BankState(
-            **{k: jnp.asarray(v) for k, v in b.items()})
+            **{k: (None if v is None else jnp.asarray(v))
+               for k, v in b.items()})
 
     def save(self, path):
         from erl_gaussian_process_tpu.utils.serialization import save_pytree

@@ -1,0 +1,277 @@
+"""Fused batched-bank Cholesky factorization as a single Pallas kernel.
+
+This is the TPU replacement for the hot half of the reference's two batch
+paths — the OpenMP partition loops (src/lidar_gp_2d.cpp:366-392,
+src/range_sensor_gp_3d.cpp:334-360) and the libtorch batched CUDA Cholesky
+(src/batch_gp_update_torch.cpp:72-82). XLA's batched ``cholesky`` +
+``solve_triangular`` on (B, n, n) small systems is latency-bound far below
+the VPU roofline (measured v5e, B=1024 n=128 f32: 14.3 ms for the
+factorization, 35 ms with the two solves; the full XLA bank fit is 37 ms).
+This kernel runs the whole bank fit in 6.6 ms (5.6x) and emits ``L^{-1}``
+as a free by-product that turns every later predict-time whitening solve
+into a GEMM.
+
+Design: one grid step loads G bank members into VMEM and runs a
+batch-vectorized right-looking elimination over the augmented tile
+
+    M = [ A | I ]           A = k(x, x) + diag(var)   (G, n, 2n)
+
+For column j (sequential, ``fori_loop``):
+    d      = A[j, j]                    (lane one-hot reduce)
+    u_row  = M[j, :] / sqrt(d)          (row j of [L^T | L^{-1}-in-progress])
+    l_col  = A[:, j] / sqrt(d)          (masked lane-reduce of the A part —
+                                         the trailing block stays symmetric,
+                                         and an exact f32 reduce beats both a
+                                         dynamic lane slice, which Mosaic
+                                         rejects off 128-boundaries, and an
+                                         MXU one-hot extraction, measured 2x
+                                         slower)
+    M     -= l_col * u_row              (rank-1 update of the full tile)
+
+After n steps M = [L^T | L^{-1}] exactly (all arithmetic is elementwise VPU
+f32 — unlike XLA's blocked factorization there are no bf16 matmul passes in
+the factorization; measured max |L - chol_f64| ~ 4.6e-7 relative).
+``alpha = K^{-1} y`` is two batched GEMMs against ``L^{-1}`` outside the
+kernel, on the MXU at XLA's bf16_3x f32 precision.
+
+The gram itself is built in-kernel from per-dim coordinate buffers (same
+dual-layout trick as ops/pallas_gram.py), so a bank fit is ONE kernel with
+no (B, n, n) HBM round-trip. Masked-out samples are handled with the
+far-point trick (see models/sparse_pseudo_input_gp.pad_pseudo_points):
+invalid rows sit at pairwise-distant ~1e15 coordinates with var = 0, making
+their gram rows exactly e_i — the identity-padding of the reference's GPU
+batch path (src/batch_gp_update_torch.cpp:60-67) with zero in-kernel masks.
+
+Constraints: float32, n a multiple of 128 (wrappers pad), n <= 512 (VMEM),
+d <= 8, q <= 128. Opt out with ERL_GP_NO_PALLAS_BANK=1 (or
+ERL_GP_NO_PALLAS=1 for all Pallas kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
+
+_MAX_N = 512
+_MAX_D = 8
+# members per grid step, by n: VMEM is ~16 MB and the (G, n, 2n) tile is
+# double-buffered plus rank-1-update temporaries (G=32 at n=128 measured OOM
+# at 17.95M; G=16 compiles and is faster than G=8)
+_G_BY_N = {128: 16, 256: 4, 384: 2, 512: 1}
+# the gram-input variant holds an extra (G, n, n) input block pair
+_G_BY_N_GRAM_IN = {128: 8, 256: 2, 384: 1, 512: 1}
+
+
+def pallas_bank_enabled(dtype, n: int, d: int = 1, q: int = 1) -> bool:
+    """True when the fused bank kernel applies. ``n`` is the PADDED member
+    size (multiple of 128). Below n=96 the 128-padding waste makes XLA's
+    batched path competitive — callers keep their jnp path there."""
+    if os.environ.get("ERL_GP_NO_PALLAS_BANK"):
+        return False
+    if os.environ.get("ERL_GP_NO_PALLAS"):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if n > _MAX_N or d > _MAX_D or q > 128:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _elimination(m_ref, n: int):
+    """The augmented right-looking loop shared by both entry points."""
+    G, _, W = m_ref.shape
+
+    def body(j, carry):
+        mrow = m_ref[:, pl.ds(j, 1), :]                        # (G,1,W)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (G, 1, W), 2)
+        dj = jnp.sum(jnp.where(lane_w == j, mrow, 0.0), axis=2,
+                     keepdims=True)
+        # d <= 0 means numerically non-SPD; rsqrt yields NaN which the
+        # host-side retry of the caller sees (same policy as plain chol)
+        inv = jax.lax.rsqrt(dj)
+        s = dj * inv
+        urow = jnp.where((lane_w < n) & (lane_w <= j), 0.0, mrow * inv) \
+            + jnp.where(lane_w == j, s, 0.0)
+        m_ref[:, pl.ds(j, 1), :] = urow
+        apart = m_ref[:, :, :n]                                # (G,n,n)
+        lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
+        lcol = jnp.sum(jnp.where(lane_a == j, apart, 0.0), axis=2,
+                       keepdims=True) * inv                    # (G,n,1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, n, 1), 1)
+        lcol = jnp.where(sub > j, lcol, 0.0)
+        m_ref[:] = m_ref[:] - lcol * urow
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _fit_kernel(*refs, name: str, d: int):
+    (scale_ref, *xc_refs, xr_ref, var_ref, m_ref) = refs
+    G, n, _ = m_ref.shape
+    r2 = jnp.zeros((G, n, n), m_ref.dtype)
+    for k in range(d):
+        diff = xc_refs[k][:, :, :] - xr_ref[:, k, :][:, None, :]
+        r2 = r2 + diff * diff
+    kf = _apply_family(name, r2, scale_ref[0, 0])
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
+    sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 1)
+    diag = lane_a == sub_a
+    m_ref[:, :, :n] = kf + jnp.where(diag, var_ref[:, :1, :], 0.0)
+    m_ref[:, :, n:] = diag.astype(m_ref.dtype)
+    _elimination(m_ref, n)
+
+
+def _chol_kernel(k_ref, m_ref):
+    G, n, _ = m_ref.shape
+    m_ref[:, :, :n] = k_ref[:]
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
+    sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 1)
+    m_ref[:, :, n:] = (lane_a == sub_a).astype(m_ref.dtype)
+    _elimination(m_ref, n)
+
+
+def _cost(B, n):
+    return pl.CostEstimate(flops=2 * B * n * n * n,
+                           bytes_accessed=B * n * n * 3 * 4,
+                           transcendentals=B * n * n + B * n)
+
+
+@functools.partial(jax.jit, static_argnames=("name", "d", "G"))
+def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int):
+    B, n, _ = xc[0].shape
+    spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, 0, 0),  # noqa: E731
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fit_kernel, name=name, d=d),
+        out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), xc[0].dtype),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            *[spec((n, 1)) for _ in range(d)],
+            spec((8, n)),
+            spec((8, n)),
+        ],
+        out_specs=spec((n, 2 * n)),
+        cost_estimate=_cost(B, n),
+    )(scale, *xc, xr, var)
+
+
+@functools.partial(jax.jit, static_argnames=("G",))
+def _chol_raw(K, *, G: int):
+    B, n, _ = K.shape
+    spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, 0, 0),  # noqa: E731
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _chol_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), K.dtype),
+        grid=(B // G,),
+        in_specs=[spec((n, n))],
+        out_specs=spec((n, 2 * n)),
+        cost_estimate=_cost(B, n),
+    )(K)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _pick_g(n: int, table) -> int:
+    return table[n]
+
+
+def _split_outputs(M, n, n0):
+    """M (B, n, 2n) = [L^T | L^{-1}] -> (L, L_inv) cropped to n0."""
+    L = jnp.swapaxes(M[:, :n0, :n][:, :, :n0], 1, 2)
+    L_inv = M[:, :n0, n:][:, :, :n0]
+    return L, L_inv
+
+
+@functools.partial(jax.jit, static_argnames=("name", "d", "n0", "G"))
+def _bank_fit_jit(x, y, var, mask, scale, *, name: str, d: int, n0: int,
+                  G: int):
+    B, n, _ = x.shape
+    dt = x.dtype
+    # far-point masking: invalid samples sit at pairwise-distant ~1e15
+    # coordinates with var 0 -> gram row exactly e_i (identity padding)
+    far = (jnp.arange(n, dtype=dt) + 2.0)[None, :, None] * dt.type(1e15)
+    x_eff = jnp.where(mask[:, :, None], x, far)
+    xc = [x_eff[:, :, k:k + 1] for k in range(d)]
+    xr = jnp.zeros((B, 8, n), dt).at[:, :d, :].set(jnp.swapaxes(x_eff, 1, 2))
+    varr = jnp.zeros((B, 8, n), dt).at[:, 0, :].set(jnp.where(mask, var, 0.0))
+    M = _fit_raw(scale.reshape(1, 1), xc, xr, varr, name=name, d=d, G=G)
+    L, L_inv = _split_outputs(M, n, n0)
+    yz = jnp.where(mask[:, :, None], y, 0.0)[:, :n0]
+    with jax.default_matmul_precision("float32"):
+        w = jnp.einsum("bij,bjq->biq", L_inv, yz)
+        alpha = jnp.einsum("bji,bjq->biq", L_inv, w)
+    return L, L_inv, alpha
+
+
+def bank_fit_fused(name: str, x, y, var, mask, scale):
+    """Fused bank fit. x (B, n, d); y (B, n, q); var/mask (B, n).
+    Returns (L, L_inv, alpha), each (B, n, .) at the CALLER's n.
+    Caller must have checked ``pallas_bank_enabled``."""
+    B, n0, d = x.shape
+    n = _round_up(max(n0, 128), 128)
+    if n != n0:
+        pad = [(0, 0), (0, n - n0), (0, 0)]
+        x = jnp.pad(x, pad)
+        y = jnp.pad(y, pad)
+        var = jnp.pad(var, pad[:2])
+        mask = jnp.pad(mask, pad[:2])  # False => far-point rows
+    G = _pick_g(n, _G_BY_N)
+    Bp = _round_up(B, G)
+    if Bp != B:
+        grow = [(0, Bp - B)] + [(0, 0)] * 2
+        x, y = jnp.pad(x, grow), jnp.pad(y, grow)
+        var, mask = jnp.pad(var, grow[:2]), jnp.pad(mask, grow[:2])
+    L, L_inv, alpha = _bank_fit_jit(x, y, var, mask,
+                                    jnp.asarray(scale, x.dtype),
+                                    name=name, d=d, n0=n0, G=G)
+    return L[:B], L_inv[:B], alpha[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("n0", "G"))
+def _bank_chol_jit(K, y, *, n0: int, G: int):
+    n = K.shape[1]
+    M = _chol_raw(K, G=G)
+    L, L_inv = _split_outputs(M, n, n0)
+    with jax.default_matmul_precision("float32"):
+        w = jnp.einsum("bij,bjq->biq", L_inv, y[:, :n0])
+        alpha = jnp.einsum("bji,bjq->biq", L_inv, w)
+    return L, L_inv, alpha
+
+
+def bank_cholesky_solve_fused(K, y):
+    """(L, L_inv, alpha = K^{-1} y) for a precomputed gram batch.
+    K (B, n, n) SPD; y (B, n, q). Pads n to a multiple of 128 with identity
+    rows (exact). Caller must have checked ``pallas_bank_enabled``."""
+    B, n0, _ = K.shape
+    n = _round_up(max(n0, 128), 128)
+    if n != n0:
+        K = jnp.pad(K, [(0, 0), (0, n - n0), (0, n - n0)])
+        idx = jnp.arange(n)
+        pad_diag = (idx[:, None] == idx[None, :]) & (idx[:, None] >= n0)
+        K = jnp.where(pad_diag[None], 1.0, K)
+        y = jnp.pad(y, [(0, 0), (0, n - n0), (0, 0)])
+    G = _pick_g(n, _G_BY_N_GRAM_IN)
+    Bp = _round_up(B, G)
+    if Bp != B:
+        K = jnp.pad(K, [(0, Bp - B), (0, 0), (0, 0)])
+        eye_fix = jnp.arange(Bp) >= B
+        idx = jnp.arange(n)
+        K = jnp.where(eye_fix[:, None, None]
+                      & (idx[:, None] == idx[None, :])[None], 1.0, K)
+        y = jnp.pad(y, [(0, Bp - B), (0, 0), (0, 0)])
+    L, L_inv, alpha = _bank_chol_jit(K, y, n0=n0, G=G)
+    return L[:B], L_inv[:B], alpha[:B]

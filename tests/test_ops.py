@@ -142,6 +142,80 @@ def test_f32_matmul_precision_context_applies():
     assert "@f32_matmul" in inspect.getsource(sp)
 
 
+def test_bank_fit_falls_back_off_tpu():
+    """On the CPU test backend the fused bank kernel must be disabled and
+    bank_fit must return a plain (no L_inv) state via the jnp path."""
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit
+    from erl_gaussian_process_tpu.ops.pallas_bank import pallas_bank_enabled
+
+    assert not pallas_bank_enabled(jnp.float32, 128, 2)
+    rng = np.random.default_rng(0)
+    B, n = 3, 96
+    x = jnp.asarray(rng.normal(size=(B, n, 2)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, n, 1)).astype(np.float32))
+    var = jnp.full((B, n), 0.01, jnp.float32)
+    mask = jnp.asarray(rng.random((B, n)) < 0.9)
+    st = bank_fit(x, y, var, mask, np.float32(0.5), kernel="rbf")
+    assert st.L_inv is None
+    assert np.isfinite(np.asarray(st.alpha)).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas bank kernel compiles only on TPU "
+                           "(interpret mode is impractically slow for its "
+                           "n-step elimination loop)")
+@pytest.mark.parametrize("fam", ["rbf", "ou", "matern32"])
+def test_pallas_bank_fit_parity_tpu(fam):
+    """Fused bank fit (gram + batched Cholesky + L^{-1}) vs the vmapped jnp
+    path, including masking, n- and B-padding, and multi-output alpha."""
+    from erl_gaussian_process_tpu.models.batch_gp import _bank_fit_xla
+    from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
+
+    rng = np.random.default_rng(0)
+    B, n, d, q = 37, 100, 2, 2   # deliberately off the 128/G grid
+    x = jnp.asarray(rng.normal(size=(B, n, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, n, q)).astype(np.float32))
+    var = jnp.asarray((0.01 + 0.1 * rng.random((B, n))).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, n)) < 0.9)
+    L, L_inv, alpha = bank_fit_fused(fam, x, y, var, mask, np.float32(0.7))
+    st = _bank_fit_xla(x, y, var, mask, np.float32(0.7), kernel=fam)
+    tri = np.tril(np.ones((n, n), bool))
+    assert np.abs(np.where(tri, np.asarray(L) - np.asarray(st.L),
+                           0)).max() < 1e-4
+    a_ref = np.asarray(st.alpha)
+    assert (np.abs(np.asarray(alpha) - a_ref).max()
+            / max(np.abs(a_ref).max(), 1e-12)) < 1e-4
+    # L_inv really is the inverse of L (identity on masked rows)
+    eye_err = np.abs(np.asarray(L_inv) @ np.asarray(st.L)
+                     - np.eye(n)[None]).max()
+    assert eye_err < 1e-4
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas bank kernel compiles only on TPU")
+def test_pallas_bank_cholesky_solve_parity_tpu():
+    from erl_gaussian_process_tpu.models.batch_gp import (
+        _batched_cholesky_solve,
+    )
+    from erl_gaussian_process_tpu.ops.pallas_bank import (
+        bank_cholesky_solve_fused,
+    )
+
+    rng = np.random.default_rng(1)
+    B, n, q = 21, 100, 1
+    X = rng.normal(size=(B, n, 8)).astype(np.float32)
+    K = jnp.asarray(np.einsum("bnd,bmd->bnm", X, X) / 8
+                    + 2 * np.eye(n, dtype=np.float32))
+    y = jnp.asarray(rng.normal(size=(B, n, q)).astype(np.float32))
+    L, _, alpha = bank_cholesky_solve_fused(K, y)
+    L_ref, a_ref = _batched_cholesky_solve(K, y)
+    tri = np.tril(np.ones((n, n), bool))
+    assert np.abs(np.where(tri, np.asarray(L) - np.asarray(L_ref),
+                           0)).max() < 1e-4
+    assert (np.abs(np.asarray(alpha) - np.asarray(a_ref)).max()
+            / np.abs(np.asarray(a_ref)).max()) < 1e-3
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="pallas trsv compiles only on TPU (interpret "
                            "mode is impractically slow for its loops)")
