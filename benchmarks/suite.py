@@ -14,6 +14,13 @@ import jax
 import jax.numpy as jnp
 
 from erl_gaussian_process_tpu.models.batch_gp import bank_fit
+from erl_gaussian_process_tpu.models.noisy_input_gp import (
+    nigp_fit,
+    nigp_gradient,
+    nigp_ktest,
+    nigp_mean,
+    nigp_variance_cov,
+)
 from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
     pad_pseudo_points,
     spgp_init,
@@ -167,6 +174,47 @@ def bench_bank_sweep():
              unit="gps/s", ms=round(t * 1e3, 3))
 
 
+def bench_nigp(n=2500, d=2, m_test=1024):
+    """NIGP with gradient observations at the reference's hardest test shape
+    (test_noisy_input_gp.cpp 2D cases): the joint value/gradient system is
+    (n(1+d))^2 = 7500^2, the largest single Cholesky in the reference."""
+    rng = np.random.default_rng(0)
+    scale = DTYPE(0.5)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)).astype(DTYPE))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(DTYPE))
+    grad = jnp.asarray(rng.uniform(-1, 1, (n, d, 1)).astype(DTYPE))
+    var_x = jnp.full((n,), 1e-6, DTYPE)
+    var_y = jnp.full((n,), 1e-4, DTYPE)
+    var_grad = jnp.full((n,), 1e-2, DTYPE)
+    mask = jnp.ones((n,), bool)
+    gmask = jnp.ones((n,), bool)
+    xq = jnp.asarray(rng.uniform(-1, 1, (m_test, d)).astype(DTYPE))
+
+    fit_fn = lambda e, x, y, g, vx, vy, vg, m, gm: nigp_fit(  # noqa: E731
+        x + e, y, g, vx, vy, vg, m, gm, scale, kernel="rbf")
+    fit_fn.consts = (x, y, grad, var_x, var_y, var_grad, mask, gmask)
+    t_fit = _time(fit_fn, iters=3)
+    emit(metric=f"nigp_fit_n{n}_d{d}", value=round(n / t_fit),
+         unit="pts/s", ms=round(t_fit * 1e3, 3))
+
+    st = nigp_fit(x, y, grad, var_x, var_y, var_grad, mask, gmask, scale,
+                  kernel="rbf")
+
+    def pred(e, st, xq):
+        kt = nigp_ktest(st, xq + e, scale, kernel="rbf",
+                        with_test_grad=True, with_train_grad=True)
+        mu = nigp_mean(st, kt, m_test)
+        g = nigp_gradient(st, kt, m_test, d)
+        mv, gv, cov = nigp_variance_cov(st, kt, scale, d=d)
+        return (mu, g, mv, gv, cov)
+
+    pred.consts = (st, xq)
+    t_pred = _time(pred, iters=10)
+    emit(metric=f"nigp_predict_n{n}_d{d}_m{m_test}",
+         value=round(m_test / t_pred), unit="queries/s",
+         ms=round(t_pred * 1e3, 3))
+
+
 def bench_spgp(n=2000, grid=31):
     rng = np.random.default_rng(0)
     c = np.linspace(-3, 3, grid)
@@ -227,6 +275,7 @@ def main():
         bench_vanilla(n)
     bench_bank()
     bench_bank(B=512, n=32)
+    bench_nigp()
     bench_spgp()
     import sys
     if "--sweep" in sys.argv:

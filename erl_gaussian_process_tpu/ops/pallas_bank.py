@@ -16,7 +16,7 @@ batch-vectorized right-looking elimination over the augmented tile
 
     M = [ A | I ]           A = k(x, x) + diag(var)   (G, n, 2n)
 
-For column j (sequential, ``fori_loop``):
+For column j (sequential, ``while_loop``):
     d      = A[j, j]                    (lane one-hot reduce)
     u_row  = M[j, :] / sqrt(d)          (row j of [L^T | L^{-1}-in-progress])
     l_col  = A[:, j] / sqrt(d)          (masked lane-reduce of the A part —
@@ -54,10 +54,17 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
+
+# index-map/loop constants are explicit int32: under jax_enable_x64 a bare
+# Python literal traces as i64 and Mosaic rejects the mixed-width index
+# tuple / in-kernel comparisons (observed: func.return (i32, i64) fails to
+# legalize; i64 loop indices blow the tracer's promotion recursion)
+_Z = np.int32(0)
 
 _MAX_N = 512
 _MAX_D = 8
@@ -91,7 +98,7 @@ def _elimination(m_ref, n: int):
     """The augmented right-looking loop shared by both entry points."""
     G, _, W = m_ref.shape
 
-    def body(j, carry):
+    def body(j):
         mrow = m_ref[:, pl.ds(j, 1), :]                        # (G,1,W)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (G, 1, W), 2)
         dj = jnp.sum(jnp.where(lane_w == j, mrow, 0.0), axis=2,
@@ -110,9 +117,13 @@ def _elimination(m_ref, n: int):
         sub = jax.lax.broadcasted_iota(jnp.int32, (G, n, 1), 1)
         lcol = jnp.where(sub > j, lcol, 0.0)
         m_ref[:] = m_ref[:] - lcol * urow
-        return carry
+        return j + np.int32(1)
 
-    jax.lax.fori_loop(0, n, body, 0)
+    # while_loop with an explicit i32 carry, NOT fori_loop: under
+    # jax_enable_x64 fori_loop's scan lowering adds a hidden i64 iteration
+    # counter whose convert-element-type sends Mosaic's lowering into
+    # infinite recursion (RecursionError at compile time)
+    jax.lax.while_loop(lambda j: j < n, body, _Z)
 
 
 def _fit_kernel(*refs, name: str, d: int):
@@ -149,14 +160,15 @@ def _cost(B, n):
 @functools.partial(jax.jit, static_argnames=("name", "d", "G"))
 def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int):
     B, n, _ = xc[0].shape
-    spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, 0, 0),  # noqa: E731
+    spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, _Z, _Z),  # noqa: E731
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fit_kernel, name=name, d=d),
         out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), xc[0].dtype),
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (_Z, _Z),
+                         memory_space=pltpu.SMEM),
             *[spec((n, 1)) for _ in range(d)],
             spec((8, n)),
             spec((8, n)),
@@ -169,7 +181,7 @@ def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int):
 @functools.partial(jax.jit, static_argnames=("G",))
 def _chol_raw(K, *, G: int):
     B, n, _ = K.shape
-    spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, 0, 0),  # noqa: E731
+    spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, _Z, _Z),  # noqa: E731
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _chol_kernel,

@@ -37,8 +37,14 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# explicit int32 index-map constants: under jax_enable_x64 a bare
+# Python literal traces as i64 and Mosaic rejects the mixed-width
+# index tuple (func.return (i32, i64) fails to legalize)
+_Z = np.int32(0)
 
 from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
 
@@ -136,7 +142,7 @@ def _fitc_update_padded(scale, p_cols, linv, xr, y, var_row, *, name: str,
     n = xr.shape[1]
     q = y.shape[1]
     grid = (n // _TILE_N,)
-    const = lambda i: (0, 0)  # noqa: E731 — resident operands/accumulators
+    const = lambda i: (_Z, _Z)  # noqa: E731 — resident operands/accumulators
     dq, da = pl.pallas_call(
         functools.partial(_fitc_kernel, name=name, d=d),
         out_shape=(
@@ -149,11 +155,11 @@ def _fitc_update_padded(scale, p_cols, linv, xr, y, var_row, *, name: str,
             *[pl.BlockSpec((m, 1), const, memory_space=pltpu.VMEM)
               for _ in range(d)],
             pl.BlockSpec((m, m), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, _TILE_N), lambda i: (_Z, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_N, q), lambda i: (i, 0),
+            pl.BlockSpec((_TILE_N, q), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _TILE_N), lambda i: (0, i),
+            pl.BlockSpec((8, _TILE_N), lambda i: (_Z, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

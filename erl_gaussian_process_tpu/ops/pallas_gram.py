@@ -26,6 +26,11 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# explicit int32 index-map constants: under jax_enable_x64 a bare
+# Python literal traces as i64 and Mosaic rejects the mixed-width
+# index tuple (func.return (i32, i64) fails to legalize)
+_Z = np.int32(0)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -85,11 +90,11 @@ def _pallas_cross_gram_padded(scale, x1_cols, x2r, *, name: str, d: int):
         out_shape=jax.ShapeDtypeStruct((m, n), x2r.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j: (_Z, _Z),
                          memory_space=pltpu.SMEM),
-            *[pl.BlockSpec((_TILE_M, 1), lambda i, j: (i, 0),
+            *[pl.BlockSpec((_TILE_M, 1), lambda i, j: (i, _Z),
                            memory_space=pltpu.VMEM) for _ in range(d)],
-            pl.BlockSpec((8, _TILE_N), lambda i, j: (0, j),
+            pl.BlockSpec((8, _TILE_N), lambda i, j: (_Z, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TILE_M, _TILE_N), lambda i, j: (i, j),

@@ -24,11 +24,16 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.linalg import solve_triangular
 
 _B = 128  # row-block: (B, n) stream = 4 MB at n=8192 f32
+# explicit int32 for index-map constants: under jax_enable_x64 a bare
+# Python literal traces as i64 and Mosaic rejects the mixed (i32, i64)
+# index tuple (func.return fails to legalize)
+_Z = np.int32(0)
 
 
 def pallas_trsv_enabled(dtype, n: int, q: int) -> bool:
@@ -109,25 +114,25 @@ def _call(kernel, L, inv, b, reverse: bool):
     q = b.shape[1]
     nb = n // _B
     if reverse:
-        l_spec = pl.BlockSpec((n, _B), lambda i: (0, nb - 1 - i),
+        l_spec = pl.BlockSpec((n, _B), lambda i: (_Z, nb - 1 - i),
                               memory_space=pltpu.VMEM)
-        i_spec = pl.BlockSpec((_B, _B), lambda i: (nb - 1 - i, 0),
+        i_spec = pl.BlockSpec((_B, _B), lambda i: (nb - 1 - i, _Z),
                               memory_space=pltpu.VMEM)
-        b_spec = pl.BlockSpec((_B, q), lambda i: (nb - 1 - i, 0),
+        b_spec = pl.BlockSpec((_B, q), lambda i: (nb - 1 - i, _Z),
                               memory_space=pltpu.VMEM)
     else:
-        l_spec = pl.BlockSpec((_B, n), lambda i: (i, 0),
+        l_spec = pl.BlockSpec((_B, n), lambda i: (i, _Z),
                               memory_space=pltpu.VMEM)
-        i_spec = pl.BlockSpec((_B, _B), lambda i: (i, 0),
+        i_spec = pl.BlockSpec((_B, _B), lambda i: (i, _Z),
                               memory_space=pltpu.VMEM)
-        b_spec = pl.BlockSpec((_B, q), lambda i: (i, 0),
+        b_spec = pl.BlockSpec((_B, q), lambda i: (i, _Z),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, q), L.dtype),
         grid=(nb,),
         in_specs=[l_spec, i_spec, b_spec],
-        out_specs=pl.BlockSpec((n, q), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((n, q), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=n * n * q, bytes_accessed=n * n * 2 + 2 * n * q * 4,

@@ -8,15 +8,29 @@ jax.config (safe as long as no backend has initialized yet)."""
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# ERL_GP_TEST_TPU=1 runs the suite against the real attached chip instead
+# of the virtual CPU mesh (needed for the TPU-only Pallas kernel tests,
+# which Mosaic compiles only for real hardware).
+_USE_TPU = os.environ.get("ERL_GP_TEST_TPU", "") == "1"
+
+if _USE_TPU:
+    # compiles go through the remote-TPU tunnel (30-90 s each); reuse the
+    # same persistent executable cache bench.py uses
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not _USE_TPU:
+    assert jax.devices()[0].platform == "cpu", jax.devices()

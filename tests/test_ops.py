@@ -241,3 +241,40 @@ def test_pallas_trsv_parity_tpu():
     cs_ref = sla.cho_solve((L.astype(np.float64), True), b)
     for got, ref in [(x, x_ref), (xt, xt_ref), (cs, cs_ref)]:
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_kernels_trace_i64_free_under_x64():
+    """Under jax_enable_x64 (on in this suite), every Pallas kernel's traced
+    jaxpr must be free of i64 values: Mosaic's convert-element-type lowering
+    recurses infinitely on 64-bit conversions (observed on-device:
+    RecursionError from fori_loop's hidden i64 scan counter; a Mosaic
+    func.return legalization failure from bare-int index-map literals).
+    CPU-traceable guard for a TPU-only compile failure."""
+    import jax.experimental.pallas as pl
+    from erl_gaussian_process_tpu.ops.pallas_bank import _elimination
+    from erl_gaussian_process_tpu.ops import pallas_trsv
+
+    assert jax.config.jax_enable_x64
+
+    G, n = 2, 128
+    def bank_kernel(in_ref, m_ref):
+        m_ref[:] = in_ref[:]
+        _elimination(m_ref, n)
+
+    f = pl.pallas_call(
+        bank_kernel,
+        out_shape=jax.ShapeDtypeStruct((G, n, 2 * n), jnp.float32),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((G, n, 2 * n), lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec((G, n, 2 * n), lambda i: (0, 0, 0)))
+    x = jnp.zeros((G, n, 2 * n), jnp.float32)
+    s = str(jax.make_jaxpr(f)(x))
+    assert "i64" not in s and "int64" not in s
+
+    L = jnp.eye(256, dtype=jnp.float32)
+    b = jnp.ones((256, 2), jnp.float32)
+    inv = pallas_trsv._diag_block_inverses(L)
+    bp, _ = pallas_trsv._pad_rhs(b)
+    for solver in (pallas_trsv._solve_lower, pallas_trsv._solve_lower_t):
+        s = str(jax.make_jaxpr(lambda L, i, b: solver(L, i, b))(L, inv, bp))
+        assert "i64" not in s and "int64" not in s
