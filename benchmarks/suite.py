@@ -177,7 +177,10 @@ def bench_bank_sweep():
 def bench_nigp(n=2500, d=2, m_test=1024):
     """NIGP with gradient observations at the reference's hardest test shape
     (test_noisy_input_gp.cpp 2D cases): the joint value/gradient system is
-    (n(1+d))^2 = 7500^2, the largest single Cholesky in the reference."""
+    (n(1+d))^2 = 7500^2, the largest single Cholesky in the reference.
+    n is padded to a 128 multiple like the model layer does (the padded
+    joint system takes the Pallas blocked solve)."""
+    n = -(-n // 128) * 128
     rng = np.random.default_rng(0)
     scale = DTYPE(0.5)
     x = jnp.asarray(rng.uniform(-1, 1, (n, d)).astype(DTYPE))
@@ -213,6 +216,37 @@ def bench_nigp(n=2500, d=2, m_test=1024):
     emit(metric=f"nigp_predict_n{n}_d{d}_m{m_test}",
          value=round(m_test / t_pred), unit="queries/s",
          ms=round(t_pred * 1e3, 3))
+
+    # serving path: small repeated query batches whiten with the amortized
+    # explicit L^{-1} GEMM (models/noisy_input_gp.nigp_l_inv) — the class
+    # switches to it from the second batch on when the RHS is thin
+    # (<=512 whiten columns; at wide batches the trsm wins, measured)
+    from erl_gaussian_process_tpu.models.noisy_input_gp import (
+        nigp_l_inv,
+        nigp_variance_cov_fast,
+    )
+    L_inv = nigp_l_inv(st)
+    m_small = 128
+    xq_s = jnp.asarray(rng.uniform(-1, 1, (m_small, d)).astype(DTYPE))
+
+    def serving(fast):
+        def pred_s(e, st, L_inv, xq_s):
+            kt = nigp_ktest(st, xq_s + e, scale, kernel="rbf",
+                            with_test_grad=True, with_train_grad=True)
+            mu = nigp_mean(st, kt, m_small)
+            g = nigp_gradient(st, kt, m_small, d)
+            if fast:
+                mv, gv, cov = nigp_variance_cov_fast(L_inv, kt, scale, d=d)
+            else:
+                mv, gv, cov = nigp_variance_cov(st, kt, scale, d=d)
+            return (mu, g, mv, gv, cov)
+        pred_s.consts = (st, L_inv, xq_s)
+        return _time(pred_s, iters=20)
+
+    t_trsm, t_srv = serving(False), serving(True)
+    emit(metric=f"nigp_predict_serving_n{n}_d{d}_m{m_small}",
+         value=round(m_small / t_srv), unit="queries/s",
+         ms=round(t_srv * 1e3, 3), trsm_ms=round(t_trsm * 1e3, 3))
 
 
 def bench_spgp(n=2000, grid=31):

@@ -94,12 +94,21 @@ def cholesky_fit(K: jnp.ndarray, y: jnp.ndarray, *, robust: bool = True):
         a = solve_triangular(L.T, a, lower=False)
         return L, a
 
+    from erl_gaussian_process_tpu.ops.pallas_chol import (
+        chol_blocked,
+        pallas_chol_enabled,
+    )
     from erl_gaussian_process_tpu.ops.pallas_trsv import (
         cho_solve_vec,
         pallas_trsv_enabled,
     )
 
-    L = jnp.linalg.cholesky(K)
+    if K.ndim == 2 and pallas_chol_enabled(K.dtype, K.shape[0]):
+        # streaming blocked Pallas factorization (ops/pallas_chol.py):
+        # XLA's panel chain runs 2-3x off roofline at n >= 2k
+        L = chol_blocked(K)
+    else:
+        L = jnp.linalg.cholesky(K)
     if K.ndim == 2 and pallas_trsv_enabled(K.dtype, K.shape[0], y.shape[1]):
         return L, cho_solve_vec(L, y)
     a = solve_triangular(L, y, lower=True)

@@ -116,14 +116,7 @@ def nigp_gradient(state: NoisyInputGPState, ktest, num_test: int, d: int):
     return g.reshape(d, num_test, -1).transpose(1, 0, 2)
 
 
-@partial(jax.jit, static_argnames=("d", "reduced_rank"))
-@f32_matmul
-def nigp_variance_cov(state: NoisyInputGPState, ktest, scale, *, d: int,
-                      reduced_rank: bool = False):
-    """(mean_var (m,), grad_var (m, d), cov (m, d(d+1)/2)) from the whitened
-    alpha_test = L⁻¹ ktest. cov rows follow the reference's lower-triangle
-    order: [cov(g0,f), cov(g1,f), cov(g1,g0), cov(g2,f), ...]."""
-    at = whiten(state.L, ktest)                    # (N, m(1+d))
+def _varcov_from_whitened(at, ktest, scale, d: int, reduced_rank: bool):
     m = ktest.shape[1] // (1 + d)
     cols = at.T.reshape(1 + d, m, -1)              # (1+d, m, N)
     sq = jnp.sum(cols * cols, axis=-1)             # (1+d, m)
@@ -138,6 +131,38 @@ def nigp_variance_cov(state: NoisyInputGPState, ktest, scale, *, d: int,
             covs.append(sign * jnp.sum(cols[1 + j] * cols[1 + k], axis=-1))
     cov = jnp.stack(covs, axis=1) if covs else jnp.zeros((m, 0), at.dtype)
     return mean_var, grad_var, cov
+
+
+@partial(jax.jit, static_argnames=("d", "reduced_rank"))
+@f32_matmul
+def nigp_variance_cov(state: NoisyInputGPState, ktest, scale, *, d: int,
+                      reduced_rank: bool = False):
+    """(mean_var (m,), grad_var (m, d), cov (m, d(d+1)/2)) from the whitened
+    alpha_test = L⁻¹ ktest. cov rows follow the reference's lower-triangle
+    order: [cov(g0,f), cov(g1,f), cov(g1,g0), cov(g2,f), ...]."""
+    at = whiten(state.L, ktest)                    # (N, m(1+d))
+    return _varcov_from_whitened(at, ktest, scale, d, reduced_rank)
+
+
+@jax.jit
+@f32_matmul
+def nigp_l_inv(state: NoisyInputGPState):
+    """Explicit L^{-1} over the joint system for the repeated-query serving
+    path (same amortization as vanilla_l_inv: one trsm, then every later
+    query batch whitens with an MXU GEMM instead of a triangular solve)."""
+    from jax.scipy.linalg import solve_triangular
+
+    n = state.L.shape[0]
+    return solve_triangular(state.L, jnp.eye(n, dtype=state.L.dtype),
+                            lower=True)
+
+
+@partial(jax.jit, static_argnames=("d", "reduced_rank"))
+@f32_matmul
+def nigp_variance_cov_fast(L_inv, ktest, scale, *, d: int,
+                           reduced_rank: bool = False):
+    return _varcov_from_whitened(L_inv @ ktest, ktest, scale, d,
+                                 reduced_rank)
 
 
 @dataclasses.dataclass
@@ -201,10 +226,25 @@ class NigpTestResult:
 
     def _prepare(self):
         if self._varcov is None:
-            d = self._gp._x_dim if self._with_grad else 0
-            self._varcov = nigp_variance_cov(
-                self._gp.state, self._ktest, self._gp._scale, d=d,
-                reduced_rank=self._gp.reduced_rank_kernel)
+            gp = self._gp
+            d = gp._x_dim if self._with_grad else 0
+            gp._var_queries += 1
+            # the GEMM has 2x the flops of the trsm — it only wins while
+            # the trsm is latency-bound on a thin RHS (measured v5e,
+            # n_sys=7680: trsm 3072 cols beats the GEMM 12.6 vs 14.1 ms;
+            # at <=512 cols the trsm chain is pure latency)
+            if gp._var_queries >= 2 and self._ktest.shape[1] <= 512:
+                # repeated-query serving path: amortized L^{-1} GEMM
+                # whitening (see nigp_l_inv)
+                if gp._L_inv is None:
+                    gp._L_inv = nigp_l_inv(gp.state)
+                self._varcov = nigp_variance_cov_fast(
+                    gp._L_inv, self._ktest, gp._scale, d=d,
+                    reduced_rank=gp.reduced_rank_kernel)
+            else:
+                self._varcov = nigp_variance_cov(
+                    gp.state, self._ktest, gp._scale, d=d,
+                    reduced_rank=gp.reduced_rank_kernel)
         return self._varcov
 
     def get_mean_variance(self, parallel: bool = True):
@@ -246,6 +286,8 @@ class NoisyInputGaussianProcess:
         self._trained = False
         self._x_dim = 0
         self._y_dim = 0
+        self._L_inv = None
+        self._var_queries = 0
 
     @property
     def is_trained(self):
@@ -258,6 +300,8 @@ class NoisyInputGaussianProcess:
         del x_dim, y_dim  # shapes are taken from the data at train()
         self._trained = False
         self.state = None
+        self._L_inv = None
+        self._var_queries = 0
 
     def train(self, mat_x, mat_y, mat_grad=None, var_x=None, var_y=None,
               var_grad=None, grad_flag=None) -> bool:
@@ -272,6 +316,12 @@ class NoisyInputGaussianProcess:
             y = y[:, None]
         q = y.shape[1]
         nmax = max(self.setting.max_num_samples, n)
+        if self.dtype == np.float32 and nmax >= 256:
+            # pad the sample budget to a multiple of 128 so the joint system
+            # size nmax(1+d) is 128-aligned and the large-fit Pallas solve
+            # (ops/pallas_trsv.py) applies; padded rows are masked and the
+            # gram gives them identity rows, so posteriors are unchanged
+            nmax = -(-nmax // 128) * 128
         self._x_dim, self._y_dim = d, q
 
         def padv(v, fill=0.0):
@@ -316,6 +366,8 @@ class NoisyInputGaussianProcess:
                     self.dtype.type(self._scale), kernel=self._kernel),
                 lambda st: (st.alpha,))
         self._trained = True
+        self._L_inv = None
+        self._var_queries = 0
         return True
 
     def test(self, mat_x_test, predict_gradient: bool = False
@@ -354,6 +406,8 @@ class NoisyInputGaussianProcess:
         s = dd["state"]
         self.state = None if s is None else NoisyInputGPState(
             **{k: jnp.asarray(v) for k, v in s.items()})
+        self._L_inv = None
+        self._var_queries = 0
 
     def save(self, path):
         save_pytree(path, self.state_dict())

@@ -201,7 +201,9 @@ class VanillaTestResult:
         if self._var is None:
             gp = self._gp
             gp._var_queries += 1
-            if gp._var_queries >= 2:
+            # GEMM whitening only beats the trsm while the RHS is thin
+            # (2x flops; see NigpTestResult._prepare for measurements)
+            if gp._var_queries >= 2 and self._ktest.shape[1] <= 512:
                 # repeated-query serving path: amortized L^{-1} GEMM
                 if gp._L_inv is None:
                     gp._L_inv = vanilla_l_inv(gp.state)

@@ -1,0 +1,318 @@
+"""Streaming blocked Cholesky of ONE large SPD matrix as a single Pallas
+kernel (with the diagonal-block inverses as a free second output).
+
+This targets the fits the batched bank kernel cannot touch: the reference's
+big single systems — VanillaGP at n = 2k-8k (src/vanilla_gp.cpp:499) and
+the NIGP joint value/gradient system, (n(1+d))^2 = 7500^2 at the
+reference's 2D test shape (src/noisy_input_gp.cpp:888). XLA's
+`jnp.linalg.cholesky` on these shapes is a long chain of small kernels
+(panel factor + trsm + syrk per 128-panel) that runs 2-3x off the
+compute/HBM roofline on v5e (measured: 12.6 ms at n=8192 f32, vs ~2.8 ms
+of bf16x3 MXU work + ~3.5 GB of streamed HBM traffic).
+
+Design — left-looking tile algorithm, grid = one step per lower tile
+(column-major), all operands in HBM (`memory_space=ANY`) with manual
+double-buffered DMA:
+
+    for column j, row i >= j:                (one grid step per (i, j))
+      Acc   = A[i,j] - sum_{p<j} L[i,p] @ L[j,p]^T     (bf16x3 MXU dots,
+                                              L tiles DMA'd from the output
+                                              buffer written by earlier
+                                              steps; next-p tiles prefetch
+                                              while p multiplies)
+      i==j:  L[j,j], Dinv[j] = factor(Acc)   (in-VMEM blocked factorization:
+                                              SB=128 augmented eliminations
+                                              [D|I] -> [L^T|L^{-1}] + MXU
+                                              sub-updates + blocked
+                                              triangular inverse)
+      i>j :  L[i,j] = Acc @ Dinv[j]^T        (one MXU dot)
+
+The elimination produces exact-f32 factors (VPU rank-1 updates, no bf16
+matmul passes — same property as ops/pallas_bank.py); tile-tile dots run
+at XLA's own "f32" precision class (hand-rolled bf16x3, see
+ops/pallas_fitc._dot3x). The mirrored strict-upper tiles are zero-filled
+so the output is a clean lower-triangular matrix.
+
+Constraints: float32, n padded by the wrapper to a multiple of T=512
+(identity diagonal on the pad — exact, same convention as the bank).
+Opt out with ERL_GP_NO_PALLAS_CHOL=1 (or ERL_GP_NO_PALLAS=1).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from erl_gaussian_process_tpu.ops.pallas_fitc import _dot3x
+
+# explicit int32 loop/index constants (see ops/pallas_bank.py: i64 breaks
+# Mosaic's lowering under jax_enable_x64)
+_Z = np.int32(0)
+_ONE = np.int32(1)
+
+_T = 512    # HBM tile: (512, 512) f32 = 1 MB
+_SB = 128   # in-VMEM factorization sub-block
+
+_NN_DIMS = (((1,), (1,)), ((), ()))   # A @ B^T
+
+
+def pallas_chol_enabled(dtype, n: int) -> bool:
+    """True when the streaming blocked Cholesky applies. ``n`` is the
+    caller's (unpadded) system size; the wrapper pads to a 512 multiple.
+
+    Measured v5e f32 vs XLA's factorization (same matrices, two-point-slope
+    harness): n=4096 0.96x (wash), 6144 1.58x (4.18 vs 6.59 ms), 7680 1.30x
+    (6.35 vs 8.27 — the NIGP joint-system shape), 8192 1.63x (7.50 vs
+    12.26). Below ~6k the serial per-column elimination (~n * 0.3 us of
+    VMEM-bound rank-1 updates, the law for any right-looking base case)
+    dominates and XLA's chain is equally good, so the kernel stays off."""
+    if os.environ.get("ERL_GP_NO_PALLAS_CHOL"):
+        return False
+    if os.environ.get("ERL_GP_NO_PALLAS"):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if n < 6000:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _elim2d(aug_ref, sb: int):
+    """Augmented elimination [D | I] -> [L^T | L^{-1}] on an (sb, 2*sb)
+    VMEM ref — the 2D single-matrix form of pallas_bank._elimination."""
+    W = 2 * sb
+
+    def body(j):
+        row = aug_ref[pl.ds(j, 1), :]                       # (1, W)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        dj = jnp.sum(jnp.where(lane == j, row, 0.0), axis=1,
+                     keepdims=True)
+        inv = jax.lax.rsqrt(dj)                             # NaN if not SPD
+        s = dj * inv
+        urow = jnp.where((lane < sb) & (lane <= j), 0.0, row * inv) \
+            + jnp.where(lane == j, s, 0.0)
+        aug_ref[pl.ds(j, 1), :] = urow
+        apart = aug_ref[:, :sb]                             # (sb, sb)
+        lane_a = jax.lax.broadcasted_iota(jnp.int32, (sb, sb), 1)
+        lcol = jnp.sum(jnp.where(lane_a == j, apart, 0.0), axis=1,
+                       keepdims=True) * inv                 # (sb, 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (sb, 1), 0)
+        lcol = jnp.where(sub > j, lcol, 0.0)
+        aug_ref[:, :] = aug_ref[:, :] - lcol * urow
+        return j + np.int32(1)
+
+    jax.lax.while_loop(lambda j: j < sb, body, _Z)
+
+
+def _factor_tile(acc_ref, aug_ref, l_buf, i_buf):
+    """Blocked in-VMEM factorization of the (T, T) diagonal tile in
+    ``acc_ref``: writes L into ``l_buf`` and L^{-1} into ``i_buf``
+    (both fully overwritten). Mirrors /tmp-prototype `factor_tile`."""
+    T = acc_ref.shape[0]
+    nsb = T // _SB
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (_SB, _SB), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (_SB, _SB), 1))
+    l_buf[:, :] = jnp.zeros((T, T), l_buf.dtype)
+    i_buf[:, :] = jnp.zeros((T, T), i_buf.dtype)
+    for s in range(nsb):
+        lo = s * _SB
+        aug_ref[:, :_SB] = acc_ref[lo:lo + _SB, lo:lo + _SB]
+        aug_ref[:, _SB:] = eye.astype(aug_ref.dtype)
+        _elim2d(aug_ref, _SB)
+        lss = aug_ref[:, :_SB].T                     # left half holds L^T
+        iss = aug_ref[:, _SB:]
+        l_buf[lo:lo + _SB, lo:lo + _SB] = lss
+        i_buf[lo:lo + _SB, lo:lo + _SB] = iss
+        if s < nsb - 1:
+            hi = lo + _SB
+            c = acc_ref[hi:, lo:lo + _SB]            # (T-hi, SB)
+            lcol = _dot3x(c, iss, dims=_NN_DIMS)     # C @ Iss^T
+            l_buf[hi:, lo:lo + _SB] = lcol
+            acc_ref[hi:, hi:] = acc_ref[hi:, hi:] - _dot3x(
+                lcol, lcol, dims=_NN_DIMS)
+    # strict-lower blocks of L^{-1}: Inv[r,s] = -Irr (sum_p L[r,p] Inv[p,s])
+    mm = (((1,), (0,)), ((), ()))
+    for s in range(nsb):
+        for r in range(s + 1, nsb):
+            acc = jnp.zeros((_SB, _SB), i_buf.dtype)
+            for p in range(s, r):
+                acc = acc + _dot3x(
+                    l_buf[r * _SB:(r + 1) * _SB, p * _SB:(p + 1) * _SB],
+                    i_buf[p * _SB:(p + 1) * _SB, s * _SB:(s + 1) * _SB],
+                    dims=mm)
+            i_buf[r * _SB:(r + 1) * _SB, s * _SB:(s + 1) * _SB] = -_dot3x(
+                i_buf[r * _SB:(r + 1) * _SB, r * _SB:(r + 1) * _SB],
+                acc, dims=mm)
+    return
+
+
+def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
+                 acc, bi, bj, l_buf, i_buf, aug, zbuf, sems):
+    t = pl.program_id(0)
+    i = ti_ref[t]
+    j = tj_ref[t]
+    T = acc.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        # scratch VMEM is NOT zero-initialized; zbuf persists across steps
+        zbuf[:, :] = jnp.zeros_like(zbuf)
+
+    load = pltpu.make_async_copy(
+        a_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], acc, sems.at[_Z])
+    load.start()
+    load.wait()
+
+    # prefetched p-loop: Acc -= L[i,p] @ L[j,p]^T, next pair in flight
+    def start_pair(p, slot):
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(i * T, T), pl.ds(p * T, T)],
+            bi.at[slot], sems.at[2 * slot]).start()
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(j * T, T), pl.ds(p * T, T)],
+            bj.at[slot], sems.at[2 * slot + 1]).start()
+
+    def wait_pair(p, slot):
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(i * T, T), pl.ds(p * T, T)],
+            bi.at[slot], sems.at[2 * slot]).wait()
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(j * T, T), pl.ds(p * T, T)],
+            bj.at[slot], sems.at[2 * slot + 1]).wait()
+
+    @pl.when(j > 0)
+    def _():
+        start_pair(_Z, _Z)
+
+        def body(p):
+            slot = jax.lax.rem(p, np.int32(2))
+
+            @pl.when(p + 1 < j)
+            def _():
+                start_pair(p + np.int32(1), np.int32(1) - slot)
+
+            wait_pair(p, slot)
+            acc[:, :] = acc[:, :] - _dot3x(bi[slot], bj[slot],
+                                           dims=_NN_DIMS)
+            return p + np.int32(1)
+
+        jax.lax.while_loop(lambda p: p < j, body, _Z)
+
+    @pl.when(i == j)
+    def _():
+        _factor_tile(acc, aug, l_buf, i_buf)
+        out_l = pltpu.make_async_copy(
+            l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], sems.at[_Z])
+        out_i = pltpu.make_async_copy(
+            i_buf, dinv_any.at[pl.ds(j * T, T), :], sems.at[_ONE])
+        out_l.start()
+        out_i.start()
+        out_l.wait()
+        out_i.wait()
+
+    @pl.when(i != j)
+    def _():
+        # Dinv[j] was written by this column's diagonal step
+        ld = pltpu.make_async_copy(dinv_any.at[pl.ds(j * T, T), :],
+                                   bi.at[_Z], sems.at[_Z])
+        ld.start()
+        ld.wait()
+        l_buf[:, :] = _dot3x(acc[:, :], bi[_Z], dims=_NN_DIMS)
+        out_l = pltpu.make_async_copy(
+            l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], sems.at[_Z])
+        # zero the mirrored strict-upper tile so L comes back clean
+        out_z = pltpu.make_async_copy(
+            zbuf, l_any.at[pl.ds(j * T, T), pl.ds(i * T, T)], sems.at[_ONE])
+        out_l.start()
+        out_z.start()
+        out_l.wait()
+        out_z.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _chol_padded(A, ti, tj, *, tile: int):
+    n = A.shape[0]
+    nt = ti.shape[0]
+    grid = (nt,)
+    L, dinv = pl.pallas_call(
+        _chol_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), A.dtype),
+            jax.ShapeDtypeStruct((n, tile), A.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            # explicit whole-array blocks with i32 zero index maps: the
+            # DEFAULT index map returns bare-int literals, which trace as
+            # i64 under jax_enable_x64 and fail Mosaic legalization
+            pl.BlockSpec((nt,), lambda t: (_Z,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nt,), lambda t: (_Z,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, n), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, n), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((n, tile), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, tile), jnp.float32),       # acc
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # bi (2 slots)
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # bj
+            pltpu.VMEM((tile, tile), jnp.float32),       # l_buf
+            pltpu.VMEM((tile, tile), jnp.float32),       # i_buf
+            pltpu.VMEM((_SB, 2 * _SB), jnp.float32),     # aug
+            pltpu.VMEM((tile, tile), jnp.float32),       # zbuf (zeros)
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=n * n * n // 3,
+            bytes_accessed=(n * n * n // (3 * tile)) * 4 * 2,
+            transcendentals=n,
+        ),
+    )(ti, tj, A)
+    return L, dinv
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _tile_tables(nb: int):
+    """Column-major lower-triangle tile order: diag first per column."""
+    ti, tj = [], []
+    for j in range(nb):
+        for i in range(j, nb):
+            ti.append(i)
+            tj.append(j)
+    return (np.asarray(ti, np.int32), np.asarray(tj, np.int32))
+
+
+def chol_blocked(A, *, tile: int = _T):
+    """L = chol(A) (clean lower-triangular) for one large SPD f32 matrix.
+    Pads to a multiple of ``tile`` with an identity diagonal (exact).
+    Returns L at the caller's n. Caller checks ``pallas_chol_enabled``."""
+    n0 = A.shape[0]
+    n = _round_up(n0, tile)
+    if n != n0:
+        A = jnp.pad(A, [(0, n - n0), (0, n - n0)])
+        idx = jnp.arange(n)
+        pad_diag = (idx[:, None] == idx[None, :]) & (idx[:, None] >= n0)
+        A = jnp.where(pad_diag, 1.0, A)
+    ti, tj = _tile_tables(n // tile)
+    L, _ = _chol_padded(A, jnp.asarray(ti), jnp.asarray(tj), tile=tile)
+    return L[:n0, :n0]

@@ -206,3 +206,32 @@ def test_multi_output_equals_per_column():
     np.testing.assert_allclose(res2.get_mean_variance(),
                                make(y2[:, :1], g2[:1]).get_mean_variance(),
                                atol=1e-12)
+
+
+def test_fast_variance_path_matches_trsm():
+    """From the second variance query on, the serving path whitens with the
+    amortized explicit L^{-1} GEMM (nigp_l_inv) — results must match the
+    first-query triangular-solve path to solver precision."""
+    rng = np.random.default_rng(5)
+    n = 40
+    x = np.sort(rng.uniform(-1, 1, n))
+    y = np.sin(3 * x)[:, None]
+    g = (3 * np.cos(3 * x))[None, :]
+    s = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.3),
+        max_num_samples=n, no_gradient_observation=False)
+    gp = NoisyInputGaussianProcess(s)
+    assert gp.train(x[None], y, g, var_x=1e-6, var_y=1e-6, var_grad=1e-4)
+    xt = np.linspace(-1, 1, 33)
+
+    r1 = gp.test(xt[None], predict_gradient=True)
+    v1, gv1, c1 = (r1.get_mean_variance(), r1.get_gradient_variance(),
+                   r1.get_covariance())
+    assert gp._L_inv is None          # first query: triangular path
+    r2 = gp.test(xt[None], predict_gradient=True)
+    v2, gv2, c2 = (r2.get_mean_variance(), r2.get_gradient_variance(),
+                   r2.get_covariance())
+    assert gp._L_inv is not None      # second query: amortized GEMM path
+    np.testing.assert_allclose(v2, v1, atol=1e-10)
+    np.testing.assert_allclose(gv2, gv1, atol=1e-10)
+    np.testing.assert_allclose(c2, c1, atol=1e-10)

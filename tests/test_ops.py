@@ -278,3 +278,31 @@ def test_pallas_kernels_trace_i64_free_under_x64():
     for solver in (pallas_trsv._solve_lower, pallas_trsv._solve_lower_t):
         s = str(jax.make_jaxpr(lambda L, i, b: solver(L, i, b))(L, inv, bp))
         assert "i64" not in s and "int64" not in s
+
+    # the streaming blocked Cholesky (slot/semaphore indices must be i32:
+    # tpu.memref_slice rejects i64 operands, observed on-device)
+    from erl_gaussian_process_tpu.ops import pallas_chol
+    A = jnp.eye(1024, dtype=jnp.float32)
+    ti, tj = pallas_chol._tile_tables(2)
+    s = str(jax.make_jaxpr(
+        lambda A, ti, tj: pallas_chol._chol_padded(A, ti, tj, tile=512))(
+            A, jnp.asarray(ti), jnp.asarray(tj)))
+    assert "i64" not in s and "int64" not in s
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas chol compiles only on TPU")
+def test_pallas_chol_parity_tpu():
+    """Streaming blocked Cholesky vs XLA's factorization, including the
+    pad-to-512 path (n=1600) and posterior-grade accuracy vs float64."""
+    from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked
+
+    rng = np.random.default_rng(3)
+    for n in (1536, 1600):
+        X = rng.standard_normal((n, n + 8)).astype(np.float32)
+        A = (X @ X.T / n + 2 * np.eye(n, dtype=np.float32))
+        L = np.asarray(chol_blocked(jnp.asarray(A)))
+        Lr = np.linalg.cholesky(A.astype(np.float64))
+        rel = np.abs(L - Lr).max() / np.abs(Lr).max()
+        assert rel < 5e-5, (n, rel)
+        assert np.abs(np.triu(L, 1)).max() == 0.0
