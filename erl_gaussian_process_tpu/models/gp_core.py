@@ -18,21 +18,55 @@ import numpy as np
 from jax.scipy.linalg import solve_triangular
 
 
-def f32_matmul(fn):
-    """Trace the wrapped function under true-float32 matmul precision.
+import os
 
-    TPU's DEFAULT matmul precision executes f32 matmuls (and the matmuls
-    inside XLA's triangular solves / Choleskys) as single-pass bf16 on the
-    MXU. GP posteriors run through ``1 - ||L^{-1}k||^2``-style cancellations
-    whose errors the FITC weights amplify by up to 1/noise — measured on
-    v5e, DEFAULT costs 3 decimal digits of posterior accuracy on the
-    occupancy-map workload (MAE 4.2e-1 vs 3.5e-4 against float64) for only
-    ~12% speed. Every hot model function wraps itself in this decorator
-    (under the jit, so the setting applies at trace time). No effect on CPU.
-    """
+# Matmul precision for the f32 performance path. TPU's DEFAULT executes f32
+# matmuls as single-pass bf16 (measured v5e: 206 TFLOP/s but 2.4e-3 rel
+# error — the FITC 1/(lambda+noise) amplification turns that into THREE
+# lost decimal digits of map posterior, MAE 4.2e-1 vs 3.5e-4 against
+# float64). jax's "float32" alias is the SIX-pass scheme (31 TFLOP/s,
+# 5.8e-7) — accurate but half the throughput of the three-pass
+# BF16_BF16_F32_X3 (62 TFLOP/s, 1.3e-5), which is the accuracy class the
+# fused Pallas kernels already run at (hand-rolled bf16x3, see
+# ops/pallas_fitc._dot3x) and which passes every posterior quality gate.
+# X3 is therefore the default; set ERL_GP_MATMUL_PRECISION=float32 to get
+# the 6-pass scheme back (or any other jax precision string).
+_MATMUL_PRECISION = os.environ.get("ERL_GP_MATMUL_PRECISION",
+                                   "BF16_BF16_F32_X3")
+
+
+def matmul_precision():
+    """The ambient-precision context used by every hot model function.
+    TPU-only: the CPU backend cannot lower explicit BF16_* dot algorithms
+    in fused contexts (ElementalIrEmitter INVALID_ARGUMENT) and computes
+    exact f32 regardless, so off-TPU this is plain "highest"."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return jax.default_matmul_precision(
+        _MATMUL_PRECISION if on_tpu else "highest")
+
+
+def f32_matmul(fn):
+    """Trace the wrapped function under near-f32 matmul precision (see
+    ``_MATMUL_PRECISION`` above; applied at trace time, under the jit).
+
+    Dtype-dispatched: an explicit BF16_* dot algorithm would DOWNCAST
+    float64 operands (observed: the f64 golden suite fails under an
+    ambient X3 because even the CPU backend emulates the bf16 passes), so
+    calls whose arguments contain any f64 leaf trace under "highest"
+    instead. The jit retraces per dtype anyway, so each specialization
+    gets the right setting."""
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        with jax.default_matmul_precision("float32"):
+        leaves = jax.tree_util.tree_leaves((args, kwargs))
+        any64 = any(getattr(a, "dtype", None) == jnp.float64
+                    for a in leaves)
+        if any64:
+            with jax.default_matmul_precision("highest"):
+                return fn(*args, **kwargs)
+        with matmul_precision():
             return fn(*args, **kwargs)
     return wrapper
 

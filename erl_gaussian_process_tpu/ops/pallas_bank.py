@@ -60,6 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
 
+from erl_gaussian_process_tpu.models.gp_core import matmul_precision
+
 # index-map/loop constants are explicit int32: under jax_enable_x64 a bare
 # Python literal traces as i64 and Mosaic rejects the mixed-width index
 # tuple / in-kernel comparisons (observed: func.return (i32, i64) fails to
@@ -223,7 +225,7 @@ def _bank_fit_jit(x, y, var, mask, scale, *, name: str, d: int, n0: int,
     M = _fit_raw(scale.reshape(1, 1), xc, xr, varr, name=name, d=d, G=G)
     L, L_inv = _split_outputs(M, n, n0)
     yz = jnp.where(mask[:, :, None], y, 0.0)[:, :n0]
-    with jax.default_matmul_precision("float32"):
+    with matmul_precision():
         w = jnp.einsum("bij,bjq->biq", L_inv, yz)
         alpha = jnp.einsum("bji,bjq->biq", L_inv, w)
     return L, L_inv, alpha
@@ -258,7 +260,7 @@ def _bank_chol_jit(K, y, *, n0: int, G: int):
     n = K.shape[1]
     M = _chol_raw(K, G=G)
     L, L_inv = _split_outputs(M, n, n0)
-    with jax.default_matmul_precision("float32"):
+    with matmul_precision():
         w = jnp.einsum("bij,bjq->biq", L_inv, y[:, :n0])
         alpha = jnp.einsum("bji,bjq->biq", L_inv, w)
     return L, L_inv, alpha

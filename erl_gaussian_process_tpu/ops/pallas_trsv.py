@@ -29,6 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.linalg import solve_triangular
 
+from erl_gaussian_process_tpu.models.gp_core import matmul_precision
+
 _B = 128  # row-block: (B, n) stream = 4 MB at n=8192 f32
 # explicit int32 for index-map constants: under jax_enable_x64 a bare
 # Python literal traces as i64 and Mosaic rejects the mixed (i32, i64)
@@ -57,7 +59,7 @@ def _diag_block_inverses(L):
     blocks = L.reshape(nb, _B, nb, _B)
     diags = jnp.stack([blocks[k, :, k, :] for k in range(nb)])   # (nb, B, B)
     eye = jnp.eye(_B, dtype=L.dtype)
-    with jax.default_matmul_precision("float32"):
+    with matmul_precision():
         inv = jax.vmap(lambda d: solve_triangular(d, eye, lower=True))(diags)
     return inv.reshape(nb * _B, _B)
 

@@ -121,19 +121,24 @@ def test_lambda_clamp_no_nan_when_sample_hits_pseudo_point():
 
 
 def test_f32_matmul_precision_context_applies():
-    """The hot fns trace under float32 matmul precision (the TPU-default
-    single-pass bf16 loses ~3 digits of posterior accuracy; regression-guard
-    the decorator by observing the ambient precision inside a wrapped fn)."""
+    """The hot fns trace under a non-DEFAULT matmul precision (the
+    TPU-default single-pass bf16 loses ~3 digits of posterior accuracy).
+    On this CPU test backend the decorator resolves to "highest" (exact
+    f32); on TPU it resolves to the configured X3 scheme. f64 arguments
+    always get "highest" (an explicit BF16_* algorithm would downcast)."""
     from erl_gaussian_process_tpu.models.gp_core import f32_matmul
 
     seen = []
 
     @f32_matmul
-    def probe():
+    def probe(x):
         seen.append(jax.config.jax_default_matmul_precision)
+        return x
 
-    probe()
-    assert seen == ["float32"]
+    probe(jnp.ones((2,), jnp.float32))
+    probe(jnp.ones((2,), jnp.float64))
+    assert seen[0] in ("highest", "BF16_BF16_F32_X3")
+    assert seen[1] == "highest"
     # and the models actually use the decorator
     import erl_gaussian_process_tpu.models.vanilla_gp as vg
     import erl_gaussian_process_tpu.models.sparse_pseudo_input_gp as sp
