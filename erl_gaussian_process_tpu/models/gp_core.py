@@ -175,7 +175,18 @@ def mean_from_ktest(ktest: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
 
 def whiten(L: jnp.ndarray, ktest: jnp.ndarray) -> jnp.ndarray:
     """alpha_test = L^{-1} ktest (the lazy ``PrepareForVariance`` solve,
-    src/vanilla_gp.cpp:136-150). ktest: (n, m) -> (n, m)."""
+    src/vanilla_gp.cpp:136-150). ktest: (n, m) -> (n, m).
+
+    Wide-RHS f32 solves on TPU dispatch to the GEMM-only block
+    substitution (ops/blocked_solve.py): XLA's trsm ignores the ambient
+    dot algorithm and runs ~2x off the X3 MXU rate at these shapes."""
+    if L.ndim == 2 and ktest.ndim == 2:
+        from erl_gaussian_process_tpu.ops.blocked_solve import (
+            blocked_solve_lower,
+            blocked_whiten_enabled,
+        )
+        if blocked_whiten_enabled(L.dtype, L.shape[0], ktest.shape[1]):
+            return blocked_solve_lower(L, ktest)
     return solve_triangular(L, ktest, lower=True)
 
 

@@ -311,3 +311,23 @@ def test_pallas_chol_parity_tpu():
         rel = np.abs(L - Lr).max() / np.abs(Lr).max()
         assert rel < 5e-5, (n, rel)
         assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+def test_blocked_solve_matches_trsm():
+    """The GEMM-only block forward substitution (wide-RHS whitening path)
+    must match scipy's triangular solve. Runs on CPU at exact f32."""
+    import scipy.linalg as sla
+    from erl_gaussian_process_tpu.ops.blocked_solve import (
+        blocked_solve_lower,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (256, 640):   # exercises block picks 256 and 128
+        X = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+        A = X @ X.T + np.eye(n, dtype=np.float32)
+        L = np.linalg.cholesky(A).astype(np.float32)
+        B = rng.standard_normal((n, 700)).astype(np.float32)
+        got = np.asarray(blocked_solve_lower(jnp.asarray(L),
+                                             jnp.asarray(B)))
+        ref = sla.solve_triangular(L.astype(np.float64), B, lower=True)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
