@@ -249,6 +249,57 @@ def bench_nigp(n=2500, d=2, m_test=1024):
          ms=round(t_srv * 1e3, 3), trsm_ms=round(t_trsm * 1e3, 3))
 
 
+def bench_lidar_scan_train(rounds=5):
+    """End-to-end LidarGaussianProcess2D scan training on the reference's
+    real logged scans (data/double/train.dat, 28 scans x 270 rays, the
+    test_lidar_gp_2d.cpp workload): host-side frame/partition packing +
+    one bank_fit dispatch per scan. Wall-clock includes the host work —
+    this is the honest online-sensor number, not a device-only slope."""
+    from erl_gaussian_process_tpu.geometry import LidarFrame2DSetting
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models import LidarGaussianProcess2D
+    from erl_gaussian_process_tpu.models.lidar_gp_2d import LidarGP2DSetting
+    from erl_gaussian_process_tpu.models.mapping import (
+        MappingSetting,
+        MappingType,
+    )
+    from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
+    from erl_gaussian_process_tpu.utils.loaders import load_lidar_log
+
+    frames = load_lidar_log("/root/reference/data/double/train.dat")
+    f0 = frames[0]
+    setting = LidarGP2DSetting(
+        partition_on_hit_rays=False, symmetric_partitions=False,
+        group_size=26, overlap_size=6, margin=1, init_variance=1e6,
+        sensor_range_var=0.01, discontinuity_var=100.0,
+        max_valid_range_var=0.1,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=float(f0.angles[0]), angle_max=float(f0.angles[-1]),
+            num_rays=f0.angles.shape[0], discontinuity_detection=True),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=1, scale=0.05)),
+        mapping=MappingSetting(type=MappingType.IDENTITY))
+    gp = LidarGaussianProcess2D(setting, dtype=DTYPE)
+    eye, zero = np.eye(2), np.zeros(2)
+
+    def fetch():
+        return float(np.asarray(gp.bank.alpha)[(0, 0, 0)])
+
+    for f in frames:   # warm-up: compile + one full pass
+        gp.train(eye, zero, f.ranges)
+    fetch()
+    best = np.inf
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for f in frames:
+            gp.train(eye, zero, f.ranges)
+        fetch()
+        best = min(best, (time.perf_counter() - t0) / len(frames))
+    emit(metric="lidar_gp_2d_scan_train", value=round(1.0 / best, 1),
+         unit="scans/s", ms=round(best * 1e3, 3))
+
+
 def bench_spgp(n=2000, grid=31):
     rng = np.random.default_rng(0)
     c = np.linspace(-3, 3, grid)
@@ -310,6 +361,7 @@ def main():
     bench_bank()
     bench_bank(B=512, n=32)
     bench_nigp()
+    bench_lidar_scan_train()
     bench_spgp()
     import sys
     if "--sweep" in sys.argv:
