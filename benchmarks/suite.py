@@ -120,7 +120,13 @@ def bench_vanilla(n, m_test=4096, d=2):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (n, d)).astype(DTYPE))
     y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(DTYPE))
-    var = jnp.full((n,), 1e-4, DTYPE)
+    # var must sit in the float32-FEASIBLE regime: at n >= 4k the dense RBF
+    # gram's norm is ~1e3-1e4, so storage rounding alone perturbs it by
+    # ~1e-4 — var below that makes the system numerically indefinite for
+    # ANY f32 factorization (verified: XLA's 6-pass chol NaNs at var=1e-4,
+    # n=4096). The class API recovers via host jitter retry; the raw-fn
+    # benchmark must use a feasible noise so it times a REAL factorization.
+    var = jnp.full((n,), 1e-2, DTYPE)
     mask = jnp.ones((n,), bool)
     xq = jnp.asarray(rng.uniform(-1, 1, (m_test, d)).astype(DTYPE))
     scale = DTYPE(0.5)
@@ -130,6 +136,8 @@ def bench_vanilla(n, m_test=4096, d=2):
     fit_fn.consts = (x, y, var, mask)
     t_fit = _time(fit_fn, iters=_FIT_ITERS.get(n, 10))
     st = vanilla_fit(x, y, var, mask, scale, kernel="rbf")
+    assert np.isfinite(np.asarray(st.L)).all(), "fit produced NaN factor"
+    assert np.isfinite(np.asarray(st.alpha)).all()
     pred_fn = lambda e, st, xq: vanilla_predict(  # noqa: E731
         st, xq + e, scale, kernel="rbf")
     pred_fn.consts = (st, xq)
@@ -187,7 +195,9 @@ def bench_nigp(n=2500, d=2, m_test=1024):
     y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(DTYPE))
     grad = jnp.asarray(rng.uniform(-1, 1, (n, d, 1)).astype(DTYPE))
     var_x = jnp.full((n,), 1e-6, DTYPE)
-    var_y = jnp.full((n,), 1e-4, DTYPE)
+    # f32-feasible noise (see bench_vanilla: storage rounding of the joint
+    # gram makes smaller var indefinite at this system size)
+    var_y = jnp.full((n,), 1e-2, DTYPE)
     var_grad = jnp.full((n,), 1e-2, DTYPE)
     mask = jnp.ones((n,), bool)
     gmask = jnp.ones((n,), bool)
@@ -202,6 +212,7 @@ def bench_nigp(n=2500, d=2, m_test=1024):
 
     st = nigp_fit(x, y, grad, var_x, var_y, var_grad, mask, gmask, scale,
                   kernel="rbf")
+    assert np.isfinite(np.asarray(st.L)).all(), "NIGP fit produced NaN"
 
     def pred(e, st, xq):
         kt = nigp_ktest(st, xq + e, scale, kernel="rbf",

@@ -132,10 +132,6 @@ def cholesky_fit(K: jnp.ndarray, y: jnp.ndarray, *, robust: bool = True):
         chol_blocked,
         pallas_chol_enabled,
     )
-    from erl_gaussian_process_tpu.ops.pallas_trsv import (
-        cho_solve_vec,
-        pallas_trsv_enabled,
-    )
 
     if K.ndim == 2 and pallas_chol_enabled(K.dtype, K.shape[0]):
         # streaming blocked Pallas factorization (ops/pallas_chol.py):
@@ -143,11 +139,21 @@ def cholesky_fit(K: jnp.ndarray, y: jnp.ndarray, *, robust: bool = True):
         L = chol_blocked(K)
     else:
         L = jnp.linalg.cholesky(K)
-    if K.ndim == 2 and pallas_trsv_enabled(K.dtype, K.shape[0], y.shape[1]):
-        return L, cho_solve_vec(L, y)
+    return L, solve_with_L(L, y)
+
+
+def solve_with_L(L: jnp.ndarray, y: jnp.ndarray):
+    """alpha = K^{-1} y from the Cholesky factor: the thin-RHS Pallas
+    substitution on TPU/f32 (ops/pallas_trsv.py), else two trsm."""
+    from erl_gaussian_process_tpu.ops.pallas_trsv import (
+        cho_solve_vec,
+        pallas_trsv_enabled,
+    )
+
+    if L.ndim == 2 and pallas_trsv_enabled(L.dtype, L.shape[0], y.shape[1]):
+        return cho_solve_vec(L, y)
     a = solve_triangular(L, y, lower=True)
-    a = solve_triangular(L.T, a, lower=False)
-    return L, a
+    return solve_triangular(L.T, a, lower=False)
 
 
 def host_jitter_retry(fit_once, check_arrays, jitters=(0.0, 1e-10, 1e-8,
@@ -156,13 +162,28 @@ def host_jitter_retry(fit_once, check_arrays, jitters=(0.0, 1e-10, 1e-8,
     added to the noise diagonal; retried with the next level while any of
     ``check_arrays(result)`` contains non-finite values. The well-posed path
     costs one small device->host fetch and no extra device work (see
-    ``cholesky_fit`` for why in-jit retry is unacceptable on big systems)."""
+    ``cholesky_fit`` for why in-jit retry is unacceptable on big systems).
+
+    The float32 noise floor this guards: a dense n >= 4k gram has norm
+    ~1e3+, so f32 STORAGE rounding alone perturbs it by ~1e-4 — noise
+    below that makes the system indefinite for any f32 factorization
+    (measured: XLA's 6-pass chol NaNs at var=1e-4, n=4096). When the
+    retry escalates, the effective observation noise changes — hence the
+    warning, so silent model changes are visible."""
+    import logging
+
     result = None
     for j in jitters:
         result = fit_once(j)
         ok = all(bool(np.isfinite(np.asarray(a)).all())
                  for a in check_arrays(result))
         if ok:
+            if j > 0:
+                logging.getLogger("erl_gaussian_process_tpu").warning(
+                    "fit required jitter %g on the noise diagonal — the "
+                    "requested noise is below the float32 feasibility "
+                    "floor for this problem size (see gp_core."
+                    "host_jitter_retry)", j)
             return result
     return result
 

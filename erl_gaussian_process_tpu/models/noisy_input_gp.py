@@ -86,11 +86,21 @@ def nigp_fit_nograd(x, y, var_x, var_y, sample_mask, scale, *, kernel: str
                     ) -> NoisyInputGPState:
     """Train without gradient observations: plain gram with
     var = var_x + var_y (src/noisy_input_gp.cpp:821-829)."""
+    from erl_gaussian_process_tpu.models.gp_core import solve_with_L
+    from erl_gaussian_process_tpu.ops.pallas_chol import (
+        chol_blocked_gram,
+        pallas_chol_gram_enabled,
+    )
+
     var = jnp.where(sample_mask, var_x + var_y, 0.0)
-    K = train_gram(kernel, x, var, scale, mask=sample_mask)
     yv = jnp.where(sample_mask[:, None], y, 0.0)
-    L, a = cholesky_fit(K, yv, robust=False)
     grad_mask = jnp.zeros_like(sample_mask)
+    if pallas_chol_gram_enabled(x.dtype, x.shape[0], kernel, x.shape[1]):
+        L = chol_blocked_gram(kernel, x, var, sample_mask, scale)
+        return NoisyInputGPState(x, sample_mask, grad_mask, L,
+                                 solve_with_L(L, yv))
+    K = train_gram(kernel, x, var, scale, mask=sample_mask)
+    L, a = cholesky_fit(K, yv, robust=False)
     return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
 
 

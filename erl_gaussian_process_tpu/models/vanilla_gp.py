@@ -63,7 +63,20 @@ def vanilla_fit(x, y, var, mask, scale, *, kernel: str) -> VanillaGPState:
     x: (n, d); y: (n, y_dim); var: (n,); mask: (n,) bool.
     Mirrors Train() = UpdateKtrain + Solve (src/vanilla_gp.cpp:478-519).
     """
+    from erl_gaussian_process_tpu.models.gp_core import solve_with_L
+    from erl_gaussian_process_tpu.ops.pallas_chol import (
+        chol_blocked_gram,
+        pallas_chol_gram_enabled,
+    )
+
     y = jnp.where(mask[:, None], y, 0.0)
+    if pallas_chol_gram_enabled(x.dtype, x.shape[0], kernel, x.shape[1]):
+        # gram-fused streaming factorization: the (n, n) train gram is
+        # built tile-by-tile inside the Cholesky kernel and never
+        # round-trips through HBM (ops/pallas_chol.py)
+        L = chol_blocked_gram(kernel, x, var, mask, scale)
+        alpha = solve_with_L(L, y)
+        return VanillaGPState(x=x, mask=mask, L=L, alpha=alpha)
     K = train_gram(kernel, x, jnp.where(mask, var, 0.0), scale, mask=mask)
     # robust=False: single big system — NaN retry happens on the host
     # (class train()); in-jit retry costs 2-3x the chol itself (gp_core)

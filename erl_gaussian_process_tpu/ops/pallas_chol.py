@@ -155,22 +155,11 @@ def _factor_tile(acc_ref, aug_ref, l_buf, i_buf):
     return
 
 
-def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
-                 acc, bi, bj, l_buf, i_buf, aug, zbuf, sems):
-    t = pl.program_id(0)
-    i = ti_ref[t]
-    j = tj_ref[t]
+def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
+               zbuf, sems):
+    """Shared per-tile work after ``acc`` holds A[i, j]: subtract the
+    prefix products, then factor (diag) or solve (off-diag) and write."""
     T = acc.shape[0]
-
-    @pl.when(t == 0)
-    def _():
-        # scratch VMEM is NOT zero-initialized; zbuf persists across steps
-        zbuf[:, :] = jnp.zeros_like(zbuf)
-
-    load = pltpu.make_async_copy(
-        a_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], acc, sems.at[_Z])
-    load.start()
-    load.wait()
 
     # prefetched p-loop: Acc -= L[i,p] @ L[j,p]^T, next pair in flight
     def start_pair(p, slot):
@@ -236,6 +225,71 @@ def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
         out_z.start()
         out_l.wait()
         out_z.wait()
+
+
+def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
+                 acc, bi, bj, l_buf, i_buf, aug, zbuf, sems):
+    t = pl.program_id(0)
+    i = ti_ref[t]
+    j = tj_ref[t]
+    T = acc.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        # scratch VMEM is NOT zero-initialized; zbuf persists across steps
+        zbuf[:, :] = jnp.zeros_like(zbuf)
+
+    load = pltpu.make_async_copy(
+        a_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], acc, sems.at[_Z])
+    load.start()
+    load.wait()
+    _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
+               zbuf, sems)
+
+
+def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
+                      l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
+                      zbuf, xi_s, xj_s, vj_s, sems, *, fam: str, d: int):
+    """Gram-fused variant: A[i, j] = k(x_i, x_j) (+ noise diag on i == j)
+    is built in-kernel from DMA'd coordinate slices — the (n, n) gram
+    never round-trips through HBM."""
+    from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
+
+    t = pl.program_id(0)
+    i = ti_ref[t]
+    j = tj_ref[t]
+    T = acc.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        zbuf[:, :] = jnp.zeros_like(zbuf)
+
+    c_xi = pltpu.make_async_copy(xc_any.at[pl.ds(i * T, T), :], xi_s,
+                                 sems.at[_Z])
+    c_xj = pltpu.make_async_copy(xr_any.at[:, pl.ds(j * T, T)], xj_s,
+                                 sems.at[_ONE])
+    c_vj = pltpu.make_async_copy(var_any.at[:, pl.ds(j * T, T)], vj_s,
+                                 sems.at[np.int32(2)])
+    c_xi.start()
+    c_xj.start()
+    c_vj.start()
+    c_xi.wait()
+    c_xj.wait()
+    c_vj.wait()
+    r2 = jnp.zeros((T, T), acc.dtype)
+    for k in range(d):
+        diff = xi_s[:, k:k + 1] - xj_s[k:k + 1, :]
+        r2 = r2 + diff * diff
+    acc[:, :] = _apply_family(fam, r2, scale_ref[0, 0])
+
+    @pl.when(i == j)
+    def _():
+        sub = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        acc[:, :] = acc[:, :] + jnp.where(sub == lane, vj_s[:1, :], 0.0)
+
+    _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
+               zbuf, sems)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -315,4 +369,93 @@ def chol_blocked(A, *, tile: int = _T):
         A = jnp.where(pad_diag, 1.0, A)
     ti, tj = _tile_tables(n // tile)
     L, _ = _chol_padded(A, jnp.asarray(ti), jnp.asarray(tj), tile=tile)
+    return L[:n0, :n0]
+
+
+_GRAM_FAMILIES = ("rbf", "ou", "matern32")
+
+
+def pallas_chol_gram_enabled(dtype, n: int, fam: str, d: int) -> bool:
+    """Gate for the gram-fused factorization (train-gram semantics)."""
+    return (fam in _GRAM_FAMILIES and d <= 8
+            and pallas_chol_enabled(dtype, n))
+
+
+@functools.partial(jax.jit, static_argnames=("fam", "d", "tile"))
+def _chol_gram_padded(scale, xc, xr, vr, ti, tj, *, fam: str, d: int,
+                      tile: int):
+    n = xc.shape[0]
+    nt = ti.shape[0]
+    L, dinv = pl.pallas_call(
+        functools.partial(_chol_gram_kernel, fam=fam, d=d),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), xc.dtype),
+            jax.ShapeDtypeStruct((n, tile), xc.dtype),
+        ),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((nt,), lambda t: (_Z,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nt,), lambda t: (_Z,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda t: (_Z, _Z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, 128), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((8, n), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((8, n), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, n), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((n, tile), lambda t: (_Z, _Z),
+                         memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, tile), jnp.float32),       # acc
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # bi (2 slots)
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # bj
+            pltpu.VMEM((tile, tile), jnp.float32),       # l_buf
+            pltpu.VMEM((tile, tile), jnp.float32),       # i_buf
+            pltpu.VMEM((_SB, 2 * _SB), jnp.float32),     # aug
+            pltpu.VMEM((tile, tile), jnp.float32),       # zbuf (zeros)
+            pltpu.VMEM((tile, 128), jnp.float32),        # xi slice
+            pltpu.VMEM((8, tile), jnp.float32),          # xj slice
+            pltpu.VMEM((8, tile), jnp.float32),          # var slice
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=n * n * n // 3,
+            bytes_accessed=(n * n * n // (3 * tile)) * 4 * 2,
+            transcendentals=n * n,
+        ),
+    )(ti, tj, scale, xc, xr, vr)
+    return L, dinv
+
+
+def chol_blocked_gram(fam, x, var, mask, scale, *, tile: int = _T):
+    """L = chol(k(x, x) + diag(var)) with train-gram semantics (masked
+    rows become exact identity rows, the far-point trick of
+    ops/pallas_bank.py) — gram construction fused into the streaming
+    factorization, so the (n, n) matrix is built tile-by-tile in VMEM and
+    never read from HBM. x (n0, d); var/mask (n0,). Returns L (n0, n0).
+    Caller checks ``pallas_chol_gram_enabled``."""
+    n0, d = x.shape
+    dt = x.dtype
+    n = _round_up(n0, tile)
+    valid = jnp.zeros((n,), bool).at[:n0].set(mask)
+    far = (jnp.arange(n, dtype=dt) + 2.0) * dt.type(1e15)
+    # lane dim padded to 128: Mosaic DMA slices must be tile-aligned
+    xc = jnp.zeros((n, 128), dt).at[:n0, :d].set(x)
+    xc = xc.at[:, 0].set(jnp.where(valid, xc[:, 0], far))
+    vr = jnp.zeros((8, n), dt)
+    vr = vr.at[0, :n0].set(jnp.where(mask, var, 0.0))
+    ti, tj = _tile_tables(n // tile)
+    L, _ = _chol_gram_padded(
+        jnp.asarray(scale, dt).reshape(1, 1), xc, xc[:, :8].T, vr,
+        jnp.asarray(ti), jnp.asarray(tj), fam=fam, d=d, tile=tile)
     return L[:n0, :n0]

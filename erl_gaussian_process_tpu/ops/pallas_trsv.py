@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.linalg import solve_triangular
 
 from erl_gaussian_process_tpu.models.gp_core import matmul_precision
+from erl_gaussian_process_tpu.ops.pallas_fitc import _dot3x
 
 _B = 128  # row-block: (B, n) stream = 4 MB at n=8192 f32
 # explicit int32 for index-map constants: under jax_enable_x64 a bare
@@ -76,13 +77,13 @@ def _fwd_kernel(l_row_ref, inv_ref, b_ref, x_ref):
     # >= i*B are still zero, so a full-width masked dot equals the prefix dot
     col = jax.lax.broadcasted_iota(jnp.int32, l_row_ref.shape, 1)
     l_pre = jnp.where(col < i * _B, l_row_ref[:], 0.0)
-    # HIGHEST: Mosaic's DEFAULT dot is single-pass bf16 — solves feed
-    # 1 - ||.||^2 cancellations downstream (measured 3e-3 rel error at bf16)
-    acc = b_ref[:] - jnp.dot(l_pre, x_ref[:],
-                             preferred_element_type=x_ref.dtype,
-                             precision=jax.lax.Precision.HIGHEST)
-    x_blk = jnp.dot(inv_ref[:], acc, preferred_element_type=x_ref.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+    # bf16x3 dots (the X3 class): Mosaic's DEFAULT single-pass bf16 is not
+    # enough for the 1 - ||.||^2 cancellations these solves feed (measured
+    # 3e-3 rel); HIGHEST (6-pass) measured ~2x the kernel time of the
+    # hand-rolled 3-pass at no observable posterior difference
+    acc = b_ref[:] - _dot3x(l_pre, x_ref[:],
+                            dims=(((1,), (0,)), ((), ())))
+    x_blk = _dot3x(inv_ref[:], acc, dims=(((1,), (0,)), ((), ())))
     x_ref[pl.ds(i * _B, _B), :] = x_blk
 
 
@@ -99,15 +100,10 @@ def _bwd_kernel(l_col_ref, inv_ref, b_ref, x_ref):
     # (L^T x)_{block ib} needs rows > this block of the column panel
     row = jax.lax.broadcasted_iota(jnp.int32, l_col_ref.shape, 0)
     l_suf = jnp.where(row >= (ib + 1) * _B, l_col_ref[:], 0.0)   # (n, B)
-    acc = b_ref[:] - jax.lax.dot_general(
-        l_suf, x_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=x_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST)                      # (B, q)
+    acc = b_ref[:] - _dot3x(
+        l_suf, x_ref[:], dims=(((0,), (0,)), ((), ())))           # (B, q)
     # x_blk = inv(L_d)^T acc — contract the first axis of the stored inverse
-    x_blk = jax.lax.dot_general(
-        inv_ref[:], acc, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=x_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST)
+    x_blk = _dot3x(inv_ref[:], acc, dims=(((0,), (0,)), ((), ())))
     x_ref[pl.ds(ib * _B, _B), :] = x_blk
 
 
@@ -136,6 +132,11 @@ def _call(kernel, L, inv, b, reverse: bool):
         in_specs=[l_spec, i_spec, b_spec],
         out_specs=pl.BlockSpec((n, q), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            # the bf16x3 splits of the (B, n) row panel and the (n, q)
+            # solution need ~20 MB of scoped VMEM at n=8192 — above the
+            # 16 MB default limit, well under the 128 MB physical VMEM
+            vmem_limit_bytes=48 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=n * n * q, bytes_accessed=n * n * 2 + 2 * n * q * 4,
             transcendentals=0),

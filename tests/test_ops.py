@@ -244,8 +244,10 @@ def test_pallas_trsv_parity_tpu():
     x_ref = sla.solve_triangular(L.astype(np.float64), b, lower=True)
     xt_ref = sla.solve_triangular(L.T.astype(np.float64), b, lower=False)
     cs_ref = sla.cho_solve((L.astype(np.float64), True), b)
+    # bf16x3 in-kernel dots: X3-class accuracy (was 1e-5 with the
+    # 2x-slower 6-pass dots)
     for got, ref in [(x, x_ref), (xt, xt_ref), (cs, cs_ref)]:
-        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-5
 
 
 def test_pallas_kernels_trace_i64_free_under_x64():
@@ -331,3 +333,46 @@ def test_blocked_solve_matches_trsm():
                                              jnp.asarray(B)))
         ref = sla.solve_triangular(L.astype(np.float64), B, lower=True)
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas chol compiles only on TPU")
+def test_pallas_chol_gram_parity_tpu():
+    """Gram-fused streaming Cholesky vs train_gram + factorization,
+    including masked rows (identity via far-point coords) and padding.
+
+    Forward L-comparison is the wrong metric on an ill-conditioned train
+    gram (Cholesky sensitivity amplifies the X3-class trailing-update
+    error); what the posterior sees is the backward error ||L L^T - K||
+    and the resulting predictions, so those are what this test pins."""
+    import scipy.linalg as sla
+    from erl_gaussian_process_tpu.kernels import cross_gram, train_gram
+    from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked_gram
+
+    rng = np.random.default_rng(11)
+    n, d = 1600, 2
+    x = jnp.asarray(rng.uniform(-2, 2, (n, d)).astype(np.float32))
+    # noise in the f32-feasible regime (below ~1e-3 the gram's own
+    # f32 storage rounding makes the system indefinite at this n)
+    var = jnp.asarray((1e-2 + 1e-2 * rng.random(n)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.95)
+    y = np.where(np.asarray(mask), np.sin(2 * np.asarray(x[:, 0])), 0.0)
+    xq = jnp.asarray(rng.uniform(-2, 2, (200, d)).astype(np.float32))
+    for fam in ("rbf", "matern32"):
+        L = np.asarray(chol_blocked_gram(fam, x, var, mask,
+                                         np.float32(0.5)))
+        assert np.abs(np.triu(L, 1)).max() == 0.0
+        K = np.asarray(train_gram(fam, x, jnp.where(mask, var, 0.0),
+                                  np.float32(0.5), mask=mask), np.float64)
+        recon = np.abs(L.astype(np.float64) @ L.astype(np.float64).T
+                       - K).max()
+        assert recon < 5e-4, (fam, recon)
+        # posterior parity: mean predictions through the fused factor vs
+        # the f64 exact solve
+        kt = np.asarray(cross_gram(fam, x, xq, np.float32(0.5),
+                                   mask1=mask), np.float64)
+        a = sla.cho_solve((L.astype(np.float64), True), y)
+        a_ref = sla.cho_solve((np.linalg.cholesky(K), True), y)
+        mu, mu_ref = kt.T @ a, kt.T @ a_ref
+        mae = np.abs(mu - mu_ref).mean()
+        assert mae < 2e-3, (fam, mae)
