@@ -376,9 +376,20 @@ _GRAM_FAMILIES = ("rbf", "ou", "matern32")
 
 
 def pallas_chol_gram_enabled(dtype, n: int, fam: str, d: int) -> bool:
-    """Gate for the gram-fused factorization (train-gram semantics)."""
-    return (fam in _GRAM_FAMILIES and d <= 8
-            and pallas_chol_enabled(dtype, n))
+    """Gate for the gram-fused factorization (train-gram semantics).
+    Lower threshold than the plain-A path: even where the factorization
+    is a wash vs XLA (n ~ 4-6k), fusing the gram build into the kernel
+    still saves the gram op and the (n, n) HBM round-trip."""
+    if fam not in _GRAM_FAMILIES or d > 8:
+        return False
+    if os.environ.get("ERL_GP_NO_PALLAS_CHOL") or             os.environ.get("ERL_GP_NO_PALLAS"):
+        return False
+    if jnp.dtype(dtype) != jnp.float32 or n < 3584:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 @functools.partial(jax.jit, static_argnames=("fam", "d", "tile"))
