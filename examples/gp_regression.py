@@ -5,6 +5,12 @@ same 1D problem — the reference's test scenarios as a demo.
 Usage: JAX_PLATFORMS=cpu python examples/gp_regression.py
 """
 
+import os
+import sys
+
+# run from a checkout without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import numpy as np
 
 from erl_gaussian_process_tpu.api import (

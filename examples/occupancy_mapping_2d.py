@@ -10,6 +10,12 @@ Writes occupancy_map_2d.png next to this script.
 import os
 import time
 
+import os
+import sys
+
+# run from a checkout without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import numpy as np
 
 from erl_gaussian_process_tpu.geometry import Aabb, GridMapInfo2D

@@ -16,6 +16,12 @@ import os
 import sys
 import time
 
+import os
+import sys
+
+# run from a checkout without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import numpy as np
 
 from erl_gaussian_process_tpu.geometry import Aabb, GridMapInfo3D
