@@ -158,13 +158,12 @@ def nigp_variance_cov(state: NoisyInputGPState, ktest, scale, *, d: int,
 @f32_matmul
 def nigp_l_inv(state: NoisyInputGPState):
     """Explicit L^{-1} over the joint system for the repeated-query serving
-    path (same amortization as vanilla_l_inv: one trsm, then every later
-    query batch whitens with an MXU GEMM instead of a triangular solve)."""
-    from jax.scipy.linalg import solve_triangular
-
+    path (same amortization as vanilla_l_inv: one inversion, then every
+    later query batch whitens with an MXU GEMM instead of a triangular
+    solve). The inversion routes through ``whiten``'s GEMM-block
+    substitution on TPU (the n-RHS trsm is the widest solve there is)."""
     n = state.L.shape[0]
-    return solve_triangular(state.L, jnp.eye(n, dtype=state.L.dtype),
-                            lower=True)
+    return whiten(state.L, jnp.eye(n, dtype=state.L.dtype))
 
 
 @partial(jax.jit, static_argnames=("d", "reduced_rank"))

@@ -109,12 +109,11 @@ def vanilla_l_inv(state: VanillaGPState):
     """Explicit L^{-1} for the repeated-query serving path: computed once
     (lazily, from the second variance query on), every later query batch
     whitens with a GEMM instead of a triangular solve — TPUs run trsm
-    several times below matmul throughput."""
-    from jax.scipy.linalg import solve_triangular
-
+    several times below matmul throughput. The inversion itself is the
+    widest possible solve (n RHS), so it goes through ``whiten``'s
+    GEMM-block substitution on TPU."""
     n = state.L.shape[0]
-    return solve_triangular(state.L, jnp.eye(n, dtype=state.L.dtype),
-                            lower=True)
+    return whiten(state.L, jnp.eye(n, dtype=state.L.dtype))
 
 
 @partial(jax.jit, static_argnames=("reduced_rank",))
