@@ -68,13 +68,13 @@ def _bank_fit_xla(x, y, var, mask, scale, *, kernel: str) -> BankState:
 def bank_fit(x, y, var, mask, scale, *, kernel: str) -> BankState:
     """Train B GPs at once. x (B, n, d); y (B, n, q); var/mask (B, n).
 
-    On TPU/float32 with n > 64 this runs the single fused Pallas kernel
+    On TPU/float32 with n > 96 this runs the single fused Pallas kernel
     (gram + batched Cholesky + L^{-1}, ops/pallas_bank.py — measured 5.6x
     over the XLA chain at B=1024 n=128 on v5e) and the returned state
     carries ``L_inv``; otherwise the vmapped jnp path (small n stays there:
     below ~n=96 the kernel's pad-to-128 waste exceeds XLA's latency)."""
     n, d = x.shape[1], x.shape[2]
-    if n > 64 and pallas_bank_enabled(x.dtype, -(-n // 128) * 128, d):
+    if n > 96 and pallas_bank_enabled(x.dtype, -(-n // 128) * 128, d):
         L, L_inv, alpha = bank_fit_fused(kernel, x, y, var, mask, scale)
         return BankState(x=x, mask=mask, L=L, alpha=alpha,
                          trained=jnp.any(mask, axis=1), L_inv=L_inv)

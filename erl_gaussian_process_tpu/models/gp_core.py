@@ -214,6 +214,13 @@ def whiten(L: jnp.ndarray, ktest: jnp.ndarray) -> jnp.ndarray:
 def variance_from_whitened(alpha_test: jnp.ndarray, reduced_rank: bool = False):
     """var_j = 1 - ||alpha_test[:, j]||^2 for normalized kernels,
     +||.||^2 for reduced-rank kernels (sign contract:
-    src/vanilla_gp.cpp:116-131)."""
+    src/vanilla_gp.cpp:116-131).
+
+    The normalized-kernel branch clamps at 0: near a training point the
+    true variance is ~noise-level and the X3-class matmul approximations
+    on the serving path (blocked L^{-1} build, then the L^{-1} @ ktest
+    GEMM) can push ``1 - s`` negative by ~1e-5, which would NaN any
+    downstream sqrt. The reduced-rank branch is a plain norm, already
+    non-negative."""
     s = jnp.sum(alpha_test * alpha_test, axis=0)
-    return s if reduced_rank else 1.0 - s
+    return s if reduced_rank else jnp.maximum(0.0, 1.0 - s)

@@ -344,7 +344,14 @@ class LidarGaussianProcess2D:
                 [[il, ir, cl, cr] for (il, ir, cl, cr) in self.partitions]),
             "sensor_frame": self.sensor_frame.state_dict(),
             "mapped_distances": self.mapped_distances,
-            "bank": None if self.bank is None else self.bank._asdict(),
+            # L_inv is deliberately NOT serialized: it is a fused-fit
+            # by-product (an extra (B, n, n) array, ~50% bigger
+            # checkpoints) and bank_predict falls back to the triangular
+            # solve when it is None — keeping the checkpoint format
+            # identical across TPU-fused and XLA fits.
+            "bank": None if self.bank is None else {
+                k: v for k, v in self.bank._asdict().items()
+                if k != "L_inv"},
         }
 
     def load_state_dict(self, d):
@@ -362,9 +369,10 @@ class LidarGaussianProcess2D:
         self.sensor_frame.load_state_dict(d["sensor_frame"])
         self.mapped_distances = d["mapped_distances"]
         b = d["bank"]
+        known = set(BankState._fields)
         self.bank = None if b is None else BankState(
             **{k: (None if v is None else jnp.asarray(v))
-               for k, v in b.items()})
+               for k, v in b.items() if k in known})
 
     def save(self, path):
         save_pytree(path, self.state_dict())

@@ -271,7 +271,11 @@ class RangeSensorGaussianProcess3D:
             "trained": self._trained,
             "sensor_frame": self.sensor_frame.state_dict(),
             "mapped_distances": self.mapped_distances,
-            "bank": None if self.bank is None else self.bank._asdict(),
+            # L_inv excluded: fused-fit by-product, recomputed fallback-free
+            # at predict time (see models/lidar_gp_2d.state_dict)
+            "bank": None if self.bank is None else {
+                k: v for k, v in self.bank._asdict().items()
+                if k != "L_inv"},
         }
 
     def load_state_dict(self, d):
@@ -281,9 +285,10 @@ class RangeSensorGaussianProcess3D:
         self.sensor_frame.load_state_dict(d["sensor_frame"])
         self.mapped_distances = d["mapped_distances"]
         b = d["bank"]
+        known = set(BankState._fields)
         self.bank = None if b is None else BankState(
             **{k: (None if v is None else jnp.asarray(v))
-               for k, v in b.items()})
+               for k, v in b.items() if k in known})
 
     def save(self, path):
         from erl_gaussian_process_tpu.utils.serialization import save_pytree

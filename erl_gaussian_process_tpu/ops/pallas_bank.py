@@ -43,7 +43,8 @@ their gram rows exactly e_i — the identity-padding of the reference's GPU
 batch path (src/batch_gp_update_torch.cpp:60-67) with zero in-kernel masks.
 
 Constraints: float32, n a multiple of 128 (wrappers pad), n <= 512 (VMEM),
-d <= 8, q <= 128. Opt out with ERL_GP_NO_PALLAS_BANK=1 (or
+d <= 8. q is unconstrained — alpha is computed OUTSIDE the kernel as two
+batched GEMMs against L^{-1}. Opt out with ERL_GP_NO_PALLAS_BANK=1 (or
 ERL_GP_NO_PALLAS=1 for all Pallas kernels).
 """
 
@@ -78,17 +79,19 @@ _G_BY_N = {128: 16, 256: 4, 384: 2, 512: 1}
 _G_BY_N_GRAM_IN = {128: 8, 256: 2, 384: 1, 512: 1}
 
 
-def pallas_bank_enabled(dtype, n: int, d: int = 1, q: int = 1) -> bool:
+def pallas_bank_enabled(dtype, n: int, d: int = 1) -> bool:
     """True when the fused bank kernel applies. ``n`` is the PADDED member
-    size (multiple of 128). Below n=96 the 128-padding waste makes XLA's
-    batched path competitive — callers keep their jnp path there."""
+    size (multiple of 128). Below unpadded n~96 the 128-padding waste makes
+    XLA's batched path competitive — callers keep their jnp path there.
+    The output width q is deliberately NOT a parameter: alpha is two
+    batched GEMMs outside the kernel, so any q works."""
     if os.environ.get("ERL_GP_NO_PALLAS_BANK"):
         return False
     if os.environ.get("ERL_GP_NO_PALLAS"):
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if n > _MAX_N or d > _MAX_D or q > 128:
+    if n > _MAX_N or d > _MAX_D:
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -280,6 +280,12 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
     for k in range(d):
         diff = xi_s[:, k:k + 1] - xj_s[k:k + 1, :]
         r2 = r2 + diff * diff
+    # Far-point rows sit at (i+2)*1e15; once two masked rows are >~18400
+    # apart diff^2 overflows f32 to inf, and matern32's (1+cr)*exp(-cr)
+    # would evaluate inf*0 = NaN. Clamp to a finite huge r2 (exp(-sqrt(
+    # 1e30)/s) underflows to exactly 0 for every family, which is the
+    # intended masked-off-diagonal value).
+    r2 = jnp.minimum(r2, acc.dtype.type(1e30))
     acc[:, :] = _apply_family(fam, r2, scale_ref[0, 0])
 
     @pl.when(i == j)
