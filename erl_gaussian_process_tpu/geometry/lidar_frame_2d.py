@@ -55,12 +55,24 @@ class LidarFrame2D:
         self.hit_mask = np.zeros(s.num_rays, bool)
         self.continuity_mask = np.ones(s.num_rays, bool)
 
-    def update_ranges(self, rotation, translation, ranges):
+    def update_ranges(self, rotation, translation, ranges) -> bool:
+        """Returns False (leaving the frame invalid: all-miss hit mask)
+        when the scan has the wrong ray count, instead of raising —
+        library robustness over hard asserts (the reference returns
+        invalid frames + warns rather than aborting, SURVEY.md §5.3)."""
         s = self.setting
         self.rotation = np.asarray(rotation, self.dtype).reshape(2, 2)
         self.translation = np.asarray(translation, self.dtype).reshape(2)
         r = np.asarray(ranges, self.dtype).reshape(-1)
-        assert r.shape[0] == s.num_rays, (r.shape, s.num_rays)
+        if r.shape[0] != s.num_rays:
+            import logging
+            logging.getLogger("erl_gaussian_process_tpu").warning(
+                "update_ranges: got %d ranges for a %d-ray frame — scan "
+                "rejected, frame left invalid", r.shape[0], s.num_rays)
+            self.ranges = np.zeros(s.num_rays, dtype=self.dtype)
+            self.hit_mask = np.zeros(s.num_rays, bool)
+            self.continuity_mask = np.ones(s.num_rays, bool)
+            return False
         self.ranges = r
         finite = np.isfinite(r)
         self.hit_mask = finite & (r >= s.valid_range_min) & (r <= s.valid_range_max)
@@ -72,6 +84,7 @@ class LidarFrame2D:
             cont[:-1] &= ~big
             cont[1:] &= ~big
         self.continuity_mask = cont
+        return True
 
     def is_valid(self) -> bool:
         return bool(self.hit_mask.any())

@@ -15,6 +15,7 @@ from erl_gaussian_process_tpu.kernels.base import (
     kernel_names,
     register_kernel,
     resolve_kernel_name,
+    validate_kernel_setting,
 )
 from erl_gaussian_process_tpu.kernels.stationary import (
     cross_gram,
@@ -41,6 +42,7 @@ __all__ = [
     "kernel_names",
     "register_kernel",
     "resolve_kernel_name",
+    "validate_kernel_setting",
     "cross_gram",
     "kernel_fn",
     "pairwise_dist",

@@ -14,6 +14,8 @@ import dataclasses
 import re
 from typing import Callable, Dict, List
 
+import numpy as np
+
 _REGISTRY: Dict[str, Dict[str, Callable]] = {}
 
 # erl::covariance::RadialBiasFunction<double, 1> -> radial_bias_function
@@ -51,6 +53,26 @@ class KernelSetting:
     def from_dict(cls, d: dict) -> "KernelSetting":
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in (d or {}).items() if k in known})
+
+
+def validate_kernel_setting(ks, context: str = "") -> None:
+    """Config honesty: ``scale_mix``/``weights`` select scale-mixture
+    kernels in the reference's erl_covariance — there is no compute path
+    for them here, so a config that sets them non-neutral would silently
+    produce different posteriors than the reference. Reject loudly
+    (reference-neutral values are scale_mix=1, weights=[], the values in
+    every reference config: /root/reference/config/*.yaml:7-8)."""
+    mix = getattr(ks, "scale_mix", 1.0)
+    w = getattr(ks, "weights", None)
+    w = [] if w is None else list(np.asarray(w).ravel()) if not isinstance(
+        w, (list, tuple)) else list(w)
+    if float(mix) != 1.0 or len(w) > 0:
+        raise NotImplementedError(
+            f"{context or 'kernel'}: scale_mix={mix!r} / weights={list(w)!r} "
+            "request a scale-mixture kernel, which this rebuild does not "
+            "implement — use scale_mix: 1 and weights: [] (the values in "
+            "all reference configs), or open the deviation list in "
+            "docs/parity.md")
 
 
 def resolve_kernel_name(name: str) -> str:

@@ -188,6 +188,9 @@ class LidarGaussianProcess2D:
         self.sensor_frame = LidarFrame2D(self.setting.sensor_frame,
                                          dtype=dtype)
         self.mapping = Mapping(self.setting.mapping)
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        validate_kernel_setting(self.setting.gp.kernel,
+                                "LidarGaussianProcess2D.gp")
         self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
         self._scale = float(self.setting.gp.kernel.scale)
         self._trained = False
@@ -243,6 +246,16 @@ class LidarGaussianProcess2D:
         cont = self.sensor_frame.continuity_mask
         discon_on = self.setting.sensor_frame.discontinuity_detection
 
+        if not self.partitions:
+            # empty partition list (e.g. a scan with too few rays for the
+            # group geometry): False + warning, not an exception —
+            # reference Train() returns false on untrainable input
+            # (src/vanilla_gp.cpp:481-484)
+            import logging
+            logging.getLogger("erl_gaussian_process_tpu").warning(
+                "LidarGaussianProcess2D.train: no partitions for this "
+                "scan — nothing to train")
+            return False
         B = len(self.partitions)
         width = max(ir - il for (il, ir, _, _) in self.partitions)
         xs = np.zeros((B, width, 1), self.dtype)

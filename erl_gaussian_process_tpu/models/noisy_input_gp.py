@@ -174,6 +174,66 @@ def nigp_variance_cov_fast(L_inv, ktest, scale, *, d: int,
                                  reduced_rank)
 
 
+class NigpTrainSet:
+    """Mirror of NoisyInputGaussianProcess::TrainSet
+    (noisy_input_gp.hpp:166-196): x (d, n), y (n, q), grad (d*q, n)
+    output-major row blocks, var_x/var_y/var_grad (n,), grad_flag (n,).
+    Held padded so a checkpointed model can rebuild the joint Ktrain and
+    be retrained (reference Write/Read round-trips the full TrainSet,
+    src/noisy_input_gp.cpp:952-1147)."""
+
+    def __init__(self, xp, yp, gradp, vx, vy, vg, gmask, num_samples):
+        self.xp, self.yp, self.gradp = xp, yp, gradp
+        self.vx, self.vy, self.vg = vx, vy, vg
+        self.gmask = gmask
+        self.num_samples = int(num_samples)
+
+    @property
+    def x(self):
+        return self.xp[:self.num_samples].T
+
+    @property
+    def y(self):
+        return self.yp[:self.num_samples]
+
+    @property
+    def grad(self):
+        n = self.num_samples
+        _, d, q = self.gradp.shape
+        # back to the reference layout: (d*q, n), output-major row blocks
+        return self.gradp[:n].transpose(0, 2, 1).reshape(n, q * d).T
+
+    @property
+    def var_x(self):
+        return self.vx[:self.num_samples]
+
+    @property
+    def var_y(self):
+        return self.vy[:self.num_samples]
+
+    @property
+    def var_grad(self):
+        return self.vg[:self.num_samples]
+
+    @property
+    def grad_flag(self):
+        return self.gmask[:self.num_samples]
+
+    @property
+    def x_dim(self):
+        return self.xp.shape[1]
+
+    @property
+    def y_dim(self):
+        return self.yp.shape[1]
+
+    @property
+    def sample_mask(self):
+        m = np.zeros((self.xp.shape[0],), bool)
+        m[:self.num_samples] = True
+        return m
+
+
 @dataclasses.dataclass
 class NoisyInputGPSetting:
     """Mirror of NoisyInputGaussianProcess::Setting
@@ -288,6 +348,9 @@ class NoisyInputGaussianProcess:
             warn_if_x64_disabled,
         )
         warn_if_x64_disabled(self.dtype)
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        validate_kernel_setting(self.setting.kernel,
+                                "NoisyInputGaussianProcess")
         self._kernel = resolve_kernel_name(self.setting.kernel_type)
         self._scale = float(self.setting.kernel.scale)
         self.state: Optional[NoisyInputGPState] = None
@@ -297,14 +360,19 @@ class NoisyInputGaussianProcess:
         self._y_dim = 0
         self._L_inv = None
         self._var_queries = 0
+        self._train_set: Optional[NigpTrainSet] = None
 
     @property
     def is_trained(self):
         return self._trained
 
+    def get_train_set(self) -> Optional[NigpTrainSet]:
+        return self._train_set
+
     def reset(self, max_num_samples: int, x_dim: int, y_dim: int):
         """Reference Reset(max_num_samples, x_dim, y_dim) parity: size the
-        padded buffers and drop the trained state."""
+        padded buffers and drop the trained state (the stored train set
+        survives, as its buffers do in the reference)."""
         self.setting.max_num_samples = int(max_num_samples)
         del x_dim, y_dim  # shapes are taken from the data at train()
         self._trained = False
@@ -312,10 +380,56 @@ class NoisyInputGaussianProcess:
         self._L_inv = None
         self._var_queries = 0
 
-    def train(self, mat_x, mat_y, mat_grad=None, var_x=None, var_y=None,
-              var_grad=None, grad_flag=None) -> bool:
-        """x: (d, n); y: (n, q) or (n,); grad: (d*q, n) per the reference's
-        TrainSet.grad layout (output-major row blocks of size d)."""
+    def _fit_train_set(self) -> bool:
+        """C++ Train() body: joint gram + LLT from the stored TrainSet
+        (src/noisy_input_gp.cpp:807-898), empty-data guarded."""
+        import logging
+        ts = self._train_set
+        if ts is None or ts.num_samples <= 0:
+            logging.getLogger("erl_gaussian_process_tpu").warning(
+                "num_samples = %d, it should be > 0.",
+                0 if ts is None else ts.num_samples)
+            return False
+        from erl_gaussian_process_tpu.models.gp_core import host_jitter_retry
+
+        self._x_dim, self._y_dim = ts.x_dim, ts.y_dim
+        xp, yp, smask = ts.xp, ts.yp, ts.sample_mask
+        vx, vy, vg = ts.vx, ts.vy, ts.vg
+        if self.setting.no_gradient_observation:
+            self.state = host_jitter_retry(
+                lambda j: nigp_fit_nograd(
+                    xp, yp, vx, vy + self.dtype.type(j), smask,
+                    self.dtype.type(self._scale), kernel=self._kernel),
+                lambda st: (st.alpha,))
+        else:
+            self.state = host_jitter_retry(
+                lambda j: nigp_fit(
+                    xp, yp, ts.gradp, vx, vy + self.dtype.type(j),
+                    vg + self.dtype.type(j), smask, ts.gmask,
+                    self.dtype.type(self._scale), kernel=self._kernel),
+                lambda st: (st.alpha,))
+        self._trained = True
+        self._L_inv = None
+        self._var_queries = 0
+        return True
+
+    def train(self, mat_x=None, mat_y=None, mat_grad=None, var_x=None,
+              var_y=None, var_grad=None, grad_flag=None) -> bool:
+        """``train()`` with no arguments is the C++ ``Train()``
+        (already-trained → warn + False, src/noisy_input_gp.cpp:879-884;
+        empty train set → warn + False); ``train(x, y, ...)`` is the
+        binding path (reset + store + Train). x: (d, n); y: (n, q) or
+        (n,); grad: (d*q, n) per the reference's TrainSet.grad layout
+        (output-major row blocks of size d)."""
+        if mat_x is None:
+            import logging
+            if self._trained:
+                logging.getLogger("erl_gaussian_process_tpu").warning(
+                    "The model has been trained. Please reset the model "
+                    "before training.")
+                return False
+            return self._fit_train_set()
+
         x = np.asarray(mat_x, self.dtype)
         if x.ndim == 1:
             x = x[None, :]
@@ -324,13 +438,14 @@ class NoisyInputGaussianProcess:
         if y.ndim == 1:
             y = y[:, None]
         q = y.shape[1]
-        nmax = max(self.setting.max_num_samples, n)
+        nmax = max(self.setting.max_num_samples, max(n, 1))
         if self.dtype == np.float32 and nmax >= 256:
             # pad the sample budget to a multiple of 128 so the joint system
             # size nmax(1+d) is 128-aligned and the large-fit Pallas solve
             # (ops/pallas_trsv.py) applies; padded rows are masked and the
             # gram gives them identity rows, so posteriors are unchanged
             nmax = -(-nmax // 128) * 128
+        self.reset(nmax, d, q)
         self._x_dim, self._y_dim = d, q
 
         def padv(v, fill=0.0):
@@ -344,40 +459,21 @@ class NoisyInputGaussianProcess:
         yp = np.zeros((nmax, q), self.dtype)
         yp[:n] = y
         vx, vy, vg = padv(var_x), padv(var_y), padv(var_grad)
-        smask = np.zeros((nmax,), bool)
-        smask[:n] = True
-
-        from erl_gaussian_process_tpu.models.gp_core import host_jitter_retry
-
-        if self.setting.no_gradient_observation:
-            self.state = host_jitter_retry(
-                lambda j: nigp_fit_nograd(
-                    xp, yp, vx, vy + self.dtype.type(j), smask,
-                    self.dtype.type(self._scale), kernel=self._kernel),
-                lambda st: (st.alpha,))
-        else:
-            gmask = np.zeros((nmax,), bool)
+        gmask = np.zeros((nmax,), bool)
+        gp_ = np.zeros((nmax, d, q), self.dtype)
+        if not self.setting.no_gradient_observation:
             if grad_flag is None:
                 gmask[:n] = True
             else:
                 gmask[:n] = np.asarray(grad_flag).astype(bool)[:n]
-            gp_ = np.zeros((nmax, d, q), self.dtype)
             if mat_grad is not None:
                 g = np.asarray(mat_grad, self.dtype)
                 if g.ndim == 1:
                     g = g[None, :]
                 # reference grad layout: rows d*q, col per sample
                 gp_[:n] = g.T.reshape(n, q, d).transpose(0, 2, 1)
-            self.state = host_jitter_retry(
-                lambda j: nigp_fit(
-                    xp, yp, gp_, vx, vy + self.dtype.type(j),
-                    vg + self.dtype.type(j), smask, gmask,
-                    self.dtype.type(self._scale), kernel=self._kernel),
-                lambda st: (st.alpha,))
-        self._trained = True
-        self._L_inv = None
-        self._var_queries = 0
-        return True
+        self._train_set = NigpTrainSet(xp, yp, gp_, vx, vy, vg, gmask, n)
+        return self._fit_train_set()
 
     def test(self, mat_x_test, predict_gradient: bool = False
              ) -> Optional[NigpTestResult]:
@@ -397,12 +493,17 @@ class NoisyInputGaussianProcess:
         return memory_usage(self.state)
 
     def state_dict(self):
+        ts = self._train_set
         return {
             "setting": self.setting.to_dict(),
             "trained": self._trained,
             "x_dim": self._x_dim,
             "y_dim": self._y_dim,
             "state": None if self.state is None else self.state._asdict(),
+            "train_set": None if ts is None else {
+                "x": ts.xp, "y": ts.yp, "grad": ts.gradp,
+                "var_x": ts.vx, "var_y": ts.vy, "var_grad": ts.vg,
+                "grad_flag": ts.gmask, "num_samples": ts.num_samples},
         }
 
     def load_state_dict(self, dd):
@@ -415,6 +516,12 @@ class NoisyInputGaussianProcess:
         s = dd["state"]
         self.state = None if s is None else NoisyInputGPState(
             **{k: jnp.asarray(v) for k, v in s.items()})
+        ts = dd.get("train_set")
+        self._train_set = None if ts is None else NigpTrainSet(
+            np.asarray(ts["x"]), np.asarray(ts["y"]), np.asarray(ts["grad"]),
+            np.asarray(ts["var_x"]), np.asarray(ts["var_y"]),
+            np.asarray(ts["var_grad"]), np.asarray(ts["grad_flag"]),
+            int(ts["num_samples"]))
         self._L_inv = None
         self._var_queries = 0
 

@@ -150,6 +150,9 @@ class RangeSensorGaussianProcess3D:
             self.setting.sensor_frame_type, self.setting.sensor_frame,
             dtype=dtype)
         self.mapping = Mapping(self.setting.mapping)
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        validate_kernel_setting(self.setting.gp.kernel,
+                                "RangeSensorGaussianProcess3D.gp")
         self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
         self._scale = float(self.setting.gp.kernel.scale)
         fc = self.sensor_frame.frame_coords()

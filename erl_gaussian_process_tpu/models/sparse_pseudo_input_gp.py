@@ -273,6 +273,20 @@ class SparsePseudoInputGaussianProcess:
             warn_if_x64_disabled,
         )
         warn_if_x64_disabled(self.dtype)
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        validate_kernel_setting(self.setting.kernel,
+                                "SparsePseudoInputGaussianProcess")
+        if self.setting.use_sparse:
+            # config honesty (the dense path covers use_sparse's math
+            # exactly — the sparse variant is a CPU cache optimization, see
+            # module docstring — but the knob must not be silently ignored)
+            import logging
+            logging.getLogger("erl_gaussian_process_tpu").warning(
+                "use_sparse: true requested — the TPU rebuild always runs "
+                "the DENSE update path (identical posterior; the sparse "
+                "variant is a CPU-side optimization, "
+                "src/sparse_pseudo_input_gp.cpp:793-832). See docs/"
+                "parity.md deviations.")
         self._kernel = resolve_kernel_name(self.setting.kernel_type)
         self._scale = float(self.setting.kernel.scale)
         p = np.asarray(pseudo_points, self.dtype)

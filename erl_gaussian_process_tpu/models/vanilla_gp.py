@@ -147,6 +147,45 @@ def rr_fit(x, y, var, mask, freq, sqrt_s, origin, half, inv_sqrt_vol
     return VanillaGPState(x=x, mask=mask, L=L, alpha=alpha)
 
 
+class VanillaTrainSet:
+    """Mirror of VanillaGaussianProcess::TrainSet (vanilla_gp.hpp; bound
+    fields bind_vanilla_gp.cpp:66-72): ``x`` (x_dim, n) column-major,
+    ``y`` (n, y_dim), ``var`` (n,). Held as padded host arrays so the
+    model can rebuild Ktrain / be retrained from a checkpoint (the
+    reference serializes the full TrainSet, src/vanilla_gp.cpp:606-790)."""
+
+    def __init__(self, xp: np.ndarray, yp: np.ndarray, vp: np.ndarray,
+                 num_samples: int):
+        self.xp, self.yp, self.vp = xp, yp, vp
+        self.num_samples = int(num_samples)
+
+    @property
+    def x(self):
+        return self.xp[:self.num_samples].T
+
+    @property
+    def y(self):
+        return self.yp[:self.num_samples]
+
+    @property
+    def var(self):
+        return self.vp[:self.num_samples]
+
+    @property
+    def x_dim(self):
+        return self.xp.shape[1]
+
+    @property
+    def y_dim(self):
+        return self.yp.shape[1]
+
+    @property
+    def mask(self):
+        m = np.zeros((self.xp.shape[0],), bool)
+        m[:self.num_samples] = True
+        return m
+
+
 @dataclasses.dataclass
 class VanillaGPSetting:
     """Mirror of VanillaGaussianProcess::Setting (vanilla_gp.hpp:23-37)."""
@@ -256,11 +295,14 @@ class VanillaGaussianProcess:
         self._y_dim = 0
         self._L_inv = None
         self._var_queries = 0
+        self._train_set: Optional[VanillaTrainSet] = None
 
     def _setup_kernel(self):
         """Resolve the kernel family; for reduced-rank kernel types build the
         stateful basis, like the reference's BuildSpectralDensities after
         create/load (src/vanilla_gp.cpp:828, :757)."""
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        validate_kernel_setting(self.setting.kernel, "VanillaGaussianProcess")
         self._scale = float(self.setting.kernel.scale)
         self._basis: Optional[ReducedRankBasis] = None
         rr_base = parse_reduced_rank_name(self.setting.kernel_type)
@@ -291,7 +333,15 @@ class VanillaGaussianProcess:
     def is_trained(self) -> bool:
         return self._trained
 
+    def get_train_set(self) -> Optional[VanillaTrainSet]:
+        """Reference GetTrainSet (the binding fills this then calls Train,
+        bind_vanilla_gp.cpp:88-96)."""
+        return self._train_set
+
     def reset(self, max_num_samples: int, x_dim: int, y_dim: int):
+        """Reference Reset: size buffers and clear the trained flag. The
+        stored train set survives (the reference keeps its buffers; Reset
+        is what re-arms Train after the already-trained guard)."""
         self.setting.max_num_samples = int(max_num_samples)
         self._x_dim, self._y_dim = int(x_dim), int(y_dim)
         self._n = 0
@@ -300,31 +350,20 @@ class VanillaGaussianProcess:
         self._L_inv = None
         self._var_queries = 0
 
-    def train(self, mat_x_train, mat_y_train, vec_var_y) -> bool:
-        """x: (x_dim, n); y: (n, y_dim) or (n,); var: (n,) or scalar."""
-        x = np.asarray(mat_x_train, dtype=self.dtype)
-        if x.ndim == 1:
-            x = x[None, :]
-        y = np.asarray(mat_y_train, dtype=self.dtype)
-        if y.ndim == 1:
-            y = y[:, None]
-        n = x.shape[1]
-        var = np.broadcast_to(
-            np.asarray(vec_var_y, dtype=self.dtype), (n,))
-        self.reset(max(self.setting.max_num_samples, n), x.shape[0], y.shape[1])
-        nmax = self.setting.max_num_samples
-
-        xp = np.zeros((nmax, x.shape[0]), self.dtype)
-        xp[:n] = x.T
-        yp = np.zeros((nmax, y.shape[1]), self.dtype)
-        yp[:n] = y
-        vp = np.zeros((nmax,), self.dtype)
-        vp[:n] = var
-        mask = np.zeros((nmax,), bool)
-        mask[:n] = True
-
+    def _fit_train_set(self) -> bool:
+        """The C++ Train() body: fit from the stored TrainSet
+        (UpdateKtrain + Solve, src/vanilla_gp.cpp:478-519), with the
+        empty-data guard (:481-484)."""
+        import logging
+        ts = self._train_set
+        if ts is None or ts.num_samples <= 0:
+            logging.getLogger("erl_gaussian_process_tpu").warning(
+                "num_samples = %d, it should be > 0.",
+                0 if ts is None else ts.num_samples)
+            return False
         from erl_gaussian_process_tpu.models.gp_core import host_jitter_retry
 
+        xp, yp, vp, mask = ts.xp, ts.yp, ts.vp, ts.mask
         if self._basis is not None:
             b = self._basis
             self.state = host_jitter_retry(
@@ -340,11 +379,55 @@ class VanillaGaussianProcess:
                     xp, yp, vp + self.dtype.type(j), mask,
                     self.dtype.type(self._scale), kernel=self._kernel),
                 lambda st: (st.alpha,))
-        self._n = n
+        self._n = ts.num_samples
         self._trained = True
         self._L_inv = None
         self._var_queries = 0
         return True
+
+    def train(self, mat_x_train=None, mat_y_train=None, vec_var_y=None
+              ) -> bool:
+        """Two reference-parity layers in one entry point:
+
+        - ``train()`` with NO arguments is the C++ ``Train()``
+          (src/vanilla_gp.cpp:509-519): refuses with a warning when
+          already trained (call ``reset`` first) or when the stored
+          train set is empty, else fits from the stored train set.
+        - ``train(x, y, var)`` is the pybind binding's ``train``
+          (bind_vanilla_gp.cpp:80-97): resets, stores the data as the
+          train set, then runs Train(). x: (x_dim, n); y: (n, y_dim) or
+          (n,); var: (n,) or scalar.
+        """
+        if mat_x_train is None:
+            import logging
+            if self._trained:
+                logging.getLogger("erl_gaussian_process_tpu").warning(
+                    "The model has been trained. Please reset the model "
+                    "before training.")
+                return False
+            return self._fit_train_set()
+
+        x = np.asarray(mat_x_train, dtype=self.dtype)
+        if x.ndim == 1:
+            x = x[None, :]
+        y = np.asarray(mat_y_train, dtype=self.dtype)
+        if y.ndim == 1:
+            y = y[:, None]
+        n = x.shape[1]
+        var = np.broadcast_to(
+            np.asarray(vec_var_y, dtype=self.dtype), (n,))
+        self.reset(max(self.setting.max_num_samples, max(n, 1)),
+                   x.shape[0], y.shape[1])
+        nmax = self.setting.max_num_samples
+
+        xp = np.zeros((nmax, x.shape[0]), self.dtype)
+        xp[:n] = x.T
+        yp = np.zeros((nmax, y.shape[1]), self.dtype)
+        yp[:n] = y
+        vp = np.zeros((nmax,), self.dtype)
+        vp[:n] = var
+        self._train_set = VanillaTrainSet(xp, yp, vp, n)
+        return self._fit_train_set()
 
     def test(self, mat_x_test) -> Optional[VanillaTestResult]:
         """x: (x_dim, m) column-major (or (m,) for 1-D inputs)."""
@@ -361,8 +444,11 @@ class VanillaGaussianProcess:
         from erl_gaussian_process_tpu.utils.timing import memory_usage
         return memory_usage(self.state)
 
-    # -- checkpoint (reference Write/Read, src/vanilla_gp.cpp:606-790) ----
+    # -- checkpoint (reference Write/Read, src/vanilla_gp.cpp:606-790;
+    # the reference round-trips the FULL TrainSet so a loaded model can
+    # rebuild Ktrain / be retrained, :640-668) -----------------------------
     def state_dict(self) -> dict:
+        ts = self._train_set
         return {
             "setting": self.setting.to_dict(),
             "trained": self._trained,
@@ -370,6 +456,9 @@ class VanillaGaussianProcess:
             "x_dim": self._x_dim,
             "y_dim": self._y_dim,
             "state": None if self.state is None else self.state._asdict(),
+            "train_set": None if ts is None else {
+                "x": ts.xp, "y": ts.yp, "var": ts.vp,
+                "num_samples": ts.num_samples},
         }
 
     def load_state_dict(self, d: dict):
@@ -385,6 +474,10 @@ class VanillaGaussianProcess:
         self.state = None if s is None else VanillaGPState(
             x=jnp.asarray(s["x"]), mask=jnp.asarray(s["mask"]),
             L=jnp.asarray(s["L"]), alpha=jnp.asarray(s["alpha"]))
+        ts = d.get("train_set")
+        self._train_set = None if ts is None else VanillaTrainSet(
+            np.asarray(ts["x"]), np.asarray(ts["y"]), np.asarray(ts["var"]),
+            int(ts["num_samples"]))
 
     def save(self, path: str):
         save_pytree(path, self.state_dict())
