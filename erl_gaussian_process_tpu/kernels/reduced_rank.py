@@ -212,6 +212,76 @@ def rr_features(x, mask, freq, sqrt_s, origin, half, inv_sqrt_vol):
     return jnp.where(mask[:, None], phi, 0.0)
 
 
+@jax.jit
+def rr_features_with_grad(x, freq, sqrt_s, origin, half, inv_sqrt_vol):
+    """Whitened features AND their input gradients: (phi (n, m),
+    dphi (n, d, m)) with dphi[i, k, j] = d phit_j / d x_k (x_i).
+
+    The reduced-rank GP is linear in the basis weights, so gradient
+    observations/predictions are plain linear observations with
+    gradient-feature rows — this is how the NIGP joint system threads
+    through the reduced-rank kernel (the reference routes it through
+    ReducedRankCovariance::ComputeKtrainWithGradient, called at
+    src/noisy_input_gp.cpp:860-868; the external implementation is
+    reconstructed from the Hilbert-RR math, see module docstring).
+    Unmasked — callers apply sample/grad masks."""
+    d = x.shape[1]
+    z = x - origin[None, :] + half[None, :]
+    z = jnp.clip(z, 0.0, 2.0 * half[None, :])
+    angles = z[:, None, :] * freq[None, :, :]          # (n, m, d)
+    sin = jnp.sin(angles)
+    cos = jnp.cos(angles)
+    w = inv_sqrt_vol * sqrt_s                          # (m,)
+    phi = jnp.prod(sin, axis=-1) * w[None, :]
+    # d is tiny and static (1-3): unrolled per-dim product-of-others
+    dphis = []
+    dims = jnp.arange(d)
+    for k in range(d):
+        others = jnp.prod(
+            jnp.where(dims[None, None, :] == k, 1.0, sin), axis=-1)
+        dphis.append(others * cos[:, :, k] * freq[None, :, k])
+    dphi = jnp.stack(dphis, axis=1) * w[None, None, :]  # (n, d, m)
+    return phi, dphi
+
+
+def rr_joint_train_system(phi, dphi, y, grad, var_val, var_grad,
+                          sample_mask, grad_mask):
+    """Joint value/gradient reduced-rank information system:
+
+        A = I + Phit^T Wv Phit + sum_k dPhit_k^T Wg dPhit_k
+        b = Phit^T Wv y + sum_k dPhit_k^T Wg grad_k
+
+    with Wv = diag(sample_mask / var_val), Wg = diag(grad_mask / var_grad).
+    ``var_val`` carries the NIGP value-noise placement var_x + var_y
+    (kernels/gradient.py noise contract). phi (n, m); dphi (n, d, m);
+    y (n, q); grad (n, d, q). Returns (A (m, m), b (m, q))."""
+    wv = jnp.where(sample_mask, 1.0 / var_val, 0.0)
+    wg = jnp.where(grad_mask, 1.0 / var_grad, 0.0)
+    m = phi.shape[1]
+    A = jnp.eye(m, dtype=phi.dtype) + phi.T @ (phi * wv[:, None])
+    A = A + jnp.einsum("ndm,n,ndp->mp", dphi, wg, dphi)
+    b = phi.T @ (jnp.where(sample_mask[:, None], y, 0.0) * wv[:, None])
+    b = b + jnp.einsum("ndm,n,ndq->mq", dphi, wg,
+                       jnp.where(grad_mask[:, None, None], grad, 0.0))
+    return A, b
+
+
+def rr_ktest_joint(xq, freq, sqrt_s, origin, half, inv_sqrt_vol,
+                   with_test_grad: bool):
+    """Reduced-rank "Ktest" in the NIGP joint layout: rows = #basis,
+    columns = [means(mq) | grad-dim0(mq) | grad-dim1(mq) | ...]
+    (dim-major blocks, matching cross_gram_with_gradient's column
+    convention and the reference's jj = index + (j+1)*num_test indexing,
+    src/noisy_input_gp.cpp:196). Shape (m, mq*(1+d)) or (m, mq)."""
+    phi, dphi = rr_features_with_grad(xq, freq, sqrt_s, origin, half,
+                                      inv_sqrt_vol)
+    if not with_test_grad:
+        return phi.T
+    d = xq.shape[1]
+    cols = [phi.T] + [dphi[:, k, :].T for k in range(d)]
+    return jnp.concatenate(cols, axis=1)
+
+
 def rr_train_system(basis_phi: jnp.ndarray, y, var, mask):
     """A = I + Phit^T diag(mask/var) Phit; b = Phit^T (mask * y / var).
 

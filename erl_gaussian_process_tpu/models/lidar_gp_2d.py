@@ -8,12 +8,12 @@ padded (B, group_size) batch with a single batched Cholesky on the MXU.
 Query routing (SearchPartition, :398-411) is a vectorized interval test plus
 a gathered per-query 1-point predict (models/batch_gp.bank_predict_assigned).
 
-Scope note: the bank path implements exact local GPs (the reference's
-default; its production sensor-GP kernel is Ornstein-Uhlenbeck). Reduced-rank
-kernels — whose variance sign flip the reference threads through this class
-(lidar_gp_2d.cpp:148-151) — are supported on the single-GP path
-(models/vanilla_gp.py); partition sizes here (~26 samples) are far below the
-regime where a reduced-rank basis would pay.
+Reduced-rank kernels thread through the whole class (a ``reduced_rank_*``
+``gp.kernel_type``): the bank fit solves per-partition basis information
+systems over a shared Hilbert basis (models/batch_gp.bank_fit_rr) and the
+routed predict applies the +||.||^2 variance sign contract — mirroring the
+reference's m_reduced_rank_kernel_ on the TestResult
+(lidar_gp_2d.cpp:58,148-151).
 """
 
 from __future__ import annotations
@@ -151,8 +151,9 @@ class LidarGP2DTestResult:
             a = gp.sensor_frame.angles_world_to_frame(a)
         idx = gp.search_partition(a)
         mean, var, valid = bank_predict_assigned(
-            gp.bank, jnp.asarray(a[:, None]), jnp.asarray(idx),
-            gp.dtype.type(gp._scale), kernel=gp._kernel)
+            gp.bank, a[:, None], idx,
+            gp.dtype.type(gp._scale), kernel=gp._kernel,
+            reduced_rank=gp.reduced_rank_kernel, basis=gp._basis)
         self._mean = np.asarray(mean[:, 0])
         self._var = np.asarray(var)
         self._valid = np.asarray(valid)
@@ -188,11 +189,7 @@ class LidarGaussianProcess2D:
         self.sensor_frame = LidarFrame2D(self.setting.sensor_frame,
                                          dtype=dtype)
         self.mapping = Mapping(self.setting.mapping)
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
-        validate_kernel_setting(self.setting.gp.kernel,
-                                "LidarGaussianProcess2D.gp")
-        self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
-        self._scale = float(self.setting.gp.kernel.scale)
+        self._setup_kernel()
         self._trained = False
         self.bank: Optional[BankState] = None
         self.mapped_distances = None
@@ -204,6 +201,46 @@ class LidarGaussianProcess2D:
                 n, self.setting.group_size, self.setting.overlap_size,
                 self.setting.margin, self.setting.symmetric_partitions, angles)
         self._part_bounds = self._bounds_array()
+
+    def _setup_kernel(self):
+        """Resolve the partition-GP kernel; a reduced-rank kernel_type on
+        the gp setting threads the RR flag through the whole class — bank
+        fit, routed predict, and the variance sign contract (the
+        reference's m_reduced_rank_kernel_ on the TestResult,
+        src/lidar_gp_2d.cpp:58,148-151)."""
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        from erl_gaussian_process_tpu.kernels.reduced_rank import (
+            ReducedRankBasis,
+            ReducedRankSetting,
+            parse_reduced_rank_name,
+        )
+        validate_kernel_setting(self.setting.gp.kernel,
+                                "LidarGaussianProcess2D.gp")
+        self._scale = float(self.setting.gp.kernel.scale)
+        self._basis = None
+        rr_base = parse_reduced_rank_name(self.setting.gp.kernel_type)
+        if rr_base is not None:
+            ks = self.setting.gp.kernel
+            if not isinstance(ks, ReducedRankSetting):
+                ks = ReducedRankSetting.from_dict(ks.to_dict())
+                self.setting.gp.kernel = ks
+            if rr_base:
+                ks.base_kernel = rr_base
+            if list(ks.num_basis) == [32] and list(ks.boundary) == [1.0]:
+                # default basis box: angular domain + ~3*scale margin
+                # (the Hilbert box must extend past the data by a few
+                # length scales or the truncation biases the posterior)
+                sf = self.setting.sensor_frame
+                halfspan = max(abs(sf.angle_min), abs(sf.angle_max))
+                ks.boundary = [float(halfspan + 3.0 * ks.scale)]
+            self._basis = ReducedRankBasis(ks, dtype=self.dtype)
+            self._kernel = ks.base_kernel
+        else:
+            self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
+        self.reduced_rank_kernel = self._basis is not None
+
+    def using_reduced_rank_kernel(self) -> bool:
+        return self.reduced_rank_kernel
 
     def _bounds_array(self):
         if not self.partitions:
@@ -275,10 +312,16 @@ class LidarGaussianProcess2D:
                 vs[b, :cnt] = self.setting.sensor_range_var
             ms[b, :cnt] = True
 
-        self.bank = bank_fit(
-            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
-            jnp.asarray(ms), self.dtype.type(self._scale),
-            kernel=self._kernel)
+        if self._basis is not None:
+            from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
+            self.bank = bank_fit_rr(
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                jnp.asarray(ms), self._basis)
+        else:
+            self.bank = bank_fit(
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                jnp.asarray(ms), self.dtype.type(self._scale),
+                kernel=self._kernel)
         self._trained = True
         return True
 
@@ -330,8 +373,9 @@ class LidarGaussianProcess2D:
         ang = np.arctan2(p[:, 1], p[:, 0])
         idx = self.search_partition(ang)
         mean, var, valid = bank_predict_assigned(
-            self.bank, jnp.asarray(ang[:, None]), jnp.asarray(idx),
-            self.dtype.type(self._scale), kernel=self._kernel)
+            self.bank, ang[:, None], idx,
+            self.dtype.type(self._scale), kernel=self._kernel,
+            reduced_rank=self.reduced_rank_kernel, basis=self._basis)
         mean = np.asarray(mean[:, 0])
         var = np.asarray(var)
         valid = np.asarray(valid) & (var <= self.setting.max_valid_range_var)
@@ -369,8 +413,7 @@ class LidarGaussianProcess2D:
 
     def load_state_dict(self, d):
         self.setting = LidarGP2DSetting.from_dict(d["setting"])
-        self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
-        self._scale = float(self.setting.gp.kernel.scale)
+        self._setup_kernel()
         self.mapping = Mapping(self.setting.mapping)
         self._trained = bool(d["trained"])
         self.partitions = [

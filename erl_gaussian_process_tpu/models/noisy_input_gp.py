@@ -34,6 +34,15 @@ from erl_gaussian_process_tpu.kernels import (
     train_gram,
     train_gram_with_gradient,
 )
+from erl_gaussian_process_tpu.kernels.reduced_rank import (
+    ReducedRankBasis,
+    ReducedRankSetting,
+    parse_reduced_rank_name,
+    rr_features,
+    rr_joint_train_system,
+    rr_ktest_joint,
+    rr_train_system,
+)
 from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul, whiten
 from erl_gaussian_process_tpu.utils.serialization import (
     eq_state,
@@ -104,6 +113,45 @@ def nigp_fit_nograd(x, y, var_x, var_y, sample_mask, scale, *, kernel: str
     return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
 
 
+@jax.jit
+@f32_matmul
+def nigp_rr_fit(x, y, grad, var_x, var_y, var_grad, sample_mask, grad_mask,
+                freq, sqrt_s, origin, half, inv_sqrt_vol
+                ) -> NoisyInputGPState:
+    """Reduced-rank train with gradient observations: the joint
+    value/gradient information system A = I + Phi^T Wv Phi + dPhi^T Wg dPhi
+    (kernels/reduced_rank.rr_joint_train_system — gradient observations are
+    linear observations of the basis weights). L is (m, m) with m = #basis;
+    the reference's 'Ktrain rows = #basis' reduced-rank shape contract
+    threaded through NIGP (src/noisy_input_gp.cpp:860-868 + 1183-1184)."""
+    from erl_gaussian_process_tpu.kernels.reduced_rank import (
+        rr_features_with_grad,
+    )
+
+    phi, dphi = rr_features_with_grad(x, freq, sqrt_s, origin, half,
+                                      inv_sqrt_vol)
+    A, b = rr_joint_train_system(
+        phi, dphi, y, grad, var_x + var_y, var_grad, sample_mask, grad_mask)
+    L, a = cholesky_fit(A, b, robust=False)
+    return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
+
+
+@jax.jit
+@f32_matmul
+def nigp_rr_fit_nograd(x, y, var_x, var_y, sample_mask, freq, sqrt_s,
+                       origin, half, inv_sqrt_vol) -> NoisyInputGPState:
+    """Reduced-rank train without gradient observations: plain RR system
+    with the NIGP value-noise placement var = var_x + var_y
+    (src/noisy_input_gp.cpp:821-829)."""
+    phi = rr_features(x, sample_mask, freq, sqrt_s, origin, half,
+                      inv_sqrt_vol)
+    A, b = rr_train_system(phi, jnp.where(sample_mask[:, None], y, 0.0),
+                           var_x + var_y, sample_mask)
+    L, a = cholesky_fit(A, b, robust=False)
+    return NoisyInputGPState(x, sample_mask, jnp.zeros_like(sample_mask),
+                             L, a)
+
+
 @partial(jax.jit, static_argnames=("kernel", "with_test_grad", "with_train_grad"))
 def nigp_ktest(state: NoisyInputGPState, xq, scale, *, kernel: str,
                with_test_grad: bool, with_train_grad: bool):
@@ -119,6 +167,8 @@ def nigp_mean(state: NoisyInputGPState, ktest, num_test: int):
     return ktest[:, :num_test].T @ state.alpha
 
 
+@partial(jax.jit, static_argnames=("num_test", "d"))
+@f32_matmul
 def nigp_gradient(state: NoisyInputGPState, ktest, num_test: int, d: int):
     """Gradients from dim-major columns m..m(1+d). Returns (m, d, q)."""
     gcols = ktest[:, num_test:num_test * (1 + d)]
@@ -252,7 +302,11 @@ class NoisyInputGPSetting:
         d = dict(d or {})
         d.pop("kernel_setting_type", None)
         if "kernel" in d:
-            d["kernel"] = KernelSetting.from_dict(d["kernel"])
+            rr = parse_reduced_rank_name(str(d.get("kernel_type", "")))
+            kcls = ReducedRankSetting if rr is not None else KernelSetting
+            d["kernel"] = kcls.from_dict(d["kernel"] or {})
+            if rr:  # family named in kernel_type wins
+                d["kernel"].base_kernel = rr
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 
@@ -267,10 +321,20 @@ class NigpTestResult:
         self._gp = gp
         self._xq = xq
         self._with_grad = will_predict_gradient
-        self._ktest = nigp_ktest(
-            gp.state, xq, gp._scale, kernel=gp._kernel,
-            with_test_grad=will_predict_gradient,
-            with_train_grad=not gp.setting.no_gradient_observation)
+        if gp._basis is not None:
+            # reduced-rank: "Ktest" rows = #basis, columns in the same
+            # query-major-then-dim-major joint layout (the shape contract
+            # the reference threads through NIGP, noisy_input_gp.cpp:
+            # 58-63 GetMinimumKtestSize with reduced-rank rows)
+            b = gp._basis
+            self._ktest = rr_ktest_joint(
+                jnp.asarray(xq), b._freq, b._sqrt_s, b._origin, b._half,
+                b._inv_sqrt_vol, with_test_grad=will_predict_gradient)
+        else:
+            self._ktest = nigp_ktest(
+                gp.state, xq, gp._scale, kernel=gp._kernel,
+                with_test_grad=will_predict_gradient,
+                with_train_grad=not gp.setting.no_gradient_observation)
         self._varcov = None
 
     @property
@@ -348,19 +412,51 @@ class NoisyInputGaussianProcess:
             warn_if_x64_disabled,
         )
         warn_if_x64_disabled(self.dtype)
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
-        validate_kernel_setting(self.setting.kernel,
-                                "NoisyInputGaussianProcess")
-        self._kernel = resolve_kernel_name(self.setting.kernel_type)
-        self._scale = float(self.setting.kernel.scale)
         self.state: Optional[NoisyInputGPState] = None
-        self.reduced_rank_kernel = False
+        self._setup_kernel()
         self._trained = False
         self._x_dim = 0
         self._y_dim = 0
         self._L_inv = None
         self._var_queries = 0
         self._train_set: Optional[NigpTrainSet] = None
+
+    def _setup_kernel(self):
+        """Resolve the kernel family; reduced-rank kernel types build the
+        stateful basis (the reference's BuildSpectralDensities-after-
+        create/load contract, src/noisy_input_gp.cpp:1183-1184 + 1110-1112)."""
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        validate_kernel_setting(self.setting.kernel,
+                                "NoisyInputGaussianProcess")
+        self._scale = float(self.setting.kernel.scale)
+        self._basis: Optional[ReducedRankBasis] = None
+        rr_base = parse_reduced_rank_name(self.setting.kernel_type)
+        if rr_base is not None:
+            ks = self.setting.kernel
+            if not isinstance(ks, ReducedRankSetting):
+                ks = ReducedRankSetting.from_dict(ks.to_dict())
+                self.setting.kernel = ks
+            if rr_base:
+                ks.base_kernel = rr_base
+            self._basis = ReducedRankBasis(ks, dtype=self.dtype)
+            self._kernel = ks.base_kernel
+        else:
+            self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self.reduced_rank_kernel = self._basis is not None
+
+    # -- reduced-rank kernel surface (reference:
+    # UsingReducedRankKernel / Get/SetKernelCoordOrigin,
+    # src/noisy_input_gp.cpp:675-695) --------------------------------------
+    def using_reduced_rank_kernel(self) -> bool:
+        return self.reduced_rank_kernel
+
+    def get_kernel_coord_origin(self):
+        assert self._basis is not None, "not a reduced-rank kernel"
+        return self._basis.coord_origin
+
+    def set_kernel_coord_origin(self, origin):
+        assert self._basis is not None, "not a reduced-rank kernel"
+        self._basis.set_coord_origin(origin)
 
     @property
     def is_trained(self):
@@ -395,11 +491,30 @@ class NoisyInputGaussianProcess:
         self._x_dim, self._y_dim = ts.x_dim, ts.y_dim
         xp, yp, smask = ts.xp, ts.yp, ts.sample_mask
         vx, vy, vg = ts.vx, ts.vy, ts.vg
+        b = self._basis
         if self.setting.no_gradient_observation:
+            if b is not None:
+                self.state = host_jitter_retry(
+                    lambda j: nigp_rr_fit_nograd(
+                        jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(vx),
+                        jnp.asarray(vy + self.dtype.type(j)),
+                        jnp.asarray(smask), b._freq, b._sqrt_s, b._origin,
+                        b._half, b._inv_sqrt_vol),
+                    lambda st: (st.alpha,))
+            else:
+                self.state = host_jitter_retry(
+                    lambda j: nigp_fit_nograd(
+                        xp, yp, vx, vy + self.dtype.type(j), smask,
+                        self.dtype.type(self._scale), kernel=self._kernel),
+                    lambda st: (st.alpha,))
+        elif b is not None:
             self.state = host_jitter_retry(
-                lambda j: nigp_fit_nograd(
-                    xp, yp, vx, vy + self.dtype.type(j), smask,
-                    self.dtype.type(self._scale), kernel=self._kernel),
+                lambda j: nigp_rr_fit(
+                    jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(ts.gradp),
+                    jnp.asarray(vx), jnp.asarray(vy + self.dtype.type(j)),
+                    jnp.asarray(vg + self.dtype.type(j)),
+                    jnp.asarray(smask), jnp.asarray(ts.gmask),
+                    b._freq, b._sqrt_s, b._origin, b._half, b._inv_sqrt_vol),
                 lambda st: (st.alpha,))
         else:
             self.state = host_jitter_retry(
@@ -508,8 +623,7 @@ class NoisyInputGaussianProcess:
 
     def load_state_dict(self, dd):
         self.setting = NoisyInputGPSetting.from_dict(dd["setting"])
-        self._kernel = resolve_kernel_name(self.setting.kernel_type)
-        self._scale = float(self.setting.kernel.scale)
+        self._setup_kernel()
         self._trained = bool(dd["trained"])
         self._x_dim = int(dd["x_dim"])
         self._y_dim = int(dd["y_dim"])

@@ -111,8 +111,9 @@ class RangeSensorGP3DTestResult:
         idx = gp.search_partition(coords)
         idx = np.where(ok, idx, -1).astype(np.int32)
         mean, var, valid = bank_predict_assigned(
-            gp.bank, jnp.asarray(coords), jnp.asarray(idx),
-            gp.dtype.type(gp._scale), kernel=gp._kernel)
+            gp.bank, coords, idx,
+            gp.dtype.type(gp._scale), kernel=gp._kernel,
+            reduced_rank=gp.reduced_rank_kernel, basis=gp._basis)
         self._gp = gp
         self._mean = np.asarray(mean[:, 0])
         self._var = np.asarray(var)
@@ -150,11 +151,7 @@ class RangeSensorGaussianProcess3D:
             self.setting.sensor_frame_type, self.setting.sensor_frame,
             dtype=dtype)
         self.mapping = Mapping(self.setting.mapping)
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
-        validate_kernel_setting(self.setting.gp.kernel,
-                                "RangeSensorGaussianProcess3D.gp")
-        self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
-        self._scale = float(self.setting.gp.kernel.scale)
+        self._setup_kernel()
         fc = self.sensor_frame.frame_coords()
         self.row_partitions = _grid_partitions(
             fc[:, 0, 0], self.setting.row_group_size,
@@ -169,6 +166,48 @@ class RangeSensorGaussianProcess3D:
         self._trained = False
         self.bank: Optional[BankState] = None
         self.mapped_distances = None
+
+    def _setup_kernel(self):
+        """Resolve the partition-GP kernel; reduced-rank kernel types
+        thread the RR flag through bank fit / routed predict / variance
+        sign, mirroring the reference's m_reduced_rank_kernel_ on this
+        class's TestResult (src/range_sensor_gp_3d.cpp:71,160)."""
+        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        from erl_gaussian_process_tpu.kernels.reduced_rank import (
+            ReducedRankBasis,
+            ReducedRankSetting,
+            parse_reduced_rank_name,
+        )
+        validate_kernel_setting(self.setting.gp.kernel,
+                                "RangeSensorGaussianProcess3D.gp")
+        self._scale = float(self.setting.gp.kernel.scale)
+        self._basis = None
+        rr_base = parse_reduced_rank_name(self.setting.gp.kernel_type)
+        if rr_base is not None:
+            ks = self.setting.gp.kernel
+            if not isinstance(ks, ReducedRankSetting):
+                ks = ReducedRankSetting.from_dict(ks.to_dict())
+                self.setting.gp.kernel = ks
+            if rr_base:
+                ks.base_kernel = rr_base
+            if len(ks.num_basis) != 2:
+                # default basis box: (az, el) frame-coord domain + ~3*scale
+                # margin per dim (Hilbert box truncation bias otherwise)
+                fc = self.sensor_frame.frame_coords()
+                spans = [float(np.abs(fc[..., k]).max() + 3.0 * ks.scale)
+                         for k in range(2)]
+                nb = ks.num_basis[0] if ks.num_basis else 16
+                ks.num_basis = [nb, nb]
+                ks.boundary = spans
+                ks.coord_origin = [0.0, 0.0]
+            self._basis = ReducedRankBasis(ks, dtype=self.dtype)
+            self._kernel = ks.base_kernel
+        else:
+            self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
+        self.reduced_rank_kernel = self._basis is not None
+
+    def using_reduced_rank_kernel(self) -> bool:
+        return self.reduced_rank_kernel
 
     @property
     def is_trained(self):
@@ -210,9 +249,16 @@ class RangeSensorGaussianProcess3D:
                 xs[b, :cnt] = sub_fc
                 ys[b, :cnt, 0] = sub_y
                 ms[b, :cnt] = True
-        self.bank = bank_fit(
-            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
-            jnp.asarray(ms), self.dtype.type(self._scale), kernel=self._kernel)
+        if self._basis is not None:
+            from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
+            self.bank = bank_fit_rr(
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                jnp.asarray(ms), self._basis)
+        else:
+            self.bank = bank_fit(
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                jnp.asarray(ms), self.dtype.type(self._scale),
+                kernel=self._kernel)
         self._trained = True
         return True
 
@@ -248,8 +294,9 @@ class RangeSensorGaussianProcess3D:
         ok = ok & self.sensor_frame.coords_in_frame(coords)
         idx = np.where(ok, self.search_partition(coords), -1).astype(np.int32)
         mean, var, valid = bank_predict_assigned(
-            self.bank, jnp.asarray(coords), jnp.asarray(idx),
-            self.dtype.type(self._scale), kernel=self._kernel)
+            self.bank, coords, idx,
+            self.dtype.type(self._scale), kernel=self._kernel,
+            reduced_rank=self.reduced_rank_kernel, basis=self._basis)
         mean = np.asarray(mean[:, 0])
         var = np.asarray(var)
         valid = np.asarray(valid) & (var <= self.setting.max_valid_range_var)

@@ -147,6 +147,70 @@ def test_se2_so2_transforms():
         (t + R @ [2.0, 0.0])[None], atol=1e-12)
 
 
+def test_reduced_rank_kernel_through_the_bank(tmp_path, frame0):
+    """Reduced-rank gp.kernel_type threads through the whole class
+    (reference: lidar_gp_2d.cpp:148-151 routes m_reduced_rank_kernel_ into
+    the TestResult variance): the bank trains per-partition basis
+    information systems and the routed predict uses +||.||^2 variances.
+    Accuracy is checked on a smooth synthetic scan (the real log's
+    discontinuities are a kernel-scale stress test, not an RR target)."""
+    from erl_gaussian_process_tpu.kernels import ReducedRankSetting
+
+    n = 270
+    angles = np.linspace(-2.2, 2.2, n)
+    ranges = 3.0 + 0.8 * np.sin(2.0 * angles)      # smooth star-shaped room
+    s = LidarGP2DSetting(
+        group_size=GROUP + OVERLAP, overlap_size=OVERLAP, margin=MARGIN,
+        sensor_range_var=1e-4, max_valid_range_var=0.5,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=float(angles[0]), angle_max=float(angles[-1]),
+            num_rays=n, discontinuity_detection=False),
+        gp=VanillaGPSetting(
+            kernel_type="reduced_rank_rbf",
+            kernel=ReducedRankSetting(x_dim=1, scale=0.25, num_basis=[96],
+                                      boundary=[3.0], coord_origin=[0.0])),
+        mapping=MappingSetting(type=MappingType.IDENTITY),
+    )
+    gp = LidarGaussianProcess2D(s)
+    assert gp.using_reduced_rank_kernel()
+    assert gp.train(np.eye(2), np.zeros(2), ranges)
+    # bank state follows the RR shape contract: L rows = #basis
+    assert gp.bank.L.shape[1] == 96
+    res = gp.test(angles, angles_are_local=True, un_map=True)
+    pred, valid = res.get_mean()
+    assert valid.sum() > 0.9 * n
+    mae = np.abs(pred[valid] - ranges[valid]).mean()
+    assert mae < 0.02, mae
+    var, vvalid = res.get_variance()
+    assert np.all(var[vvalid] > 0)  # RR variances are +||.||^2 > 0
+
+    # exact-kernel twin for comparison: RR must be in the same accuracy class
+    gp2 = LidarGaussianProcess2D(_make_setting_like(s, "rbf", 0.25))
+    gp2.train(np.eye(2), np.zeros(2), ranges)
+    pred2, valid2 = gp2.test(angles, True, True).get_mean()
+    mae2 = np.abs(pred2[valid2] - ranges[valid2]).mean()
+    assert mae < mae2 + 0.01, (mae, mae2)
+
+    # checkpoint round-trip restores the RR configuration
+    p = str(tmp_path / "lidar_rr.npz")
+    gp.save(p)
+    gp3 = LidarGaussianProcess2D(LidarGP2DSetting(
+        sensor_frame=LidarFrame2DSetting(num_rays=n)))
+    gp3.load(p)
+    assert gp3.using_reduced_rank_kernel()
+    assert gp == gp3
+    p3, v3 = gp3.test(angles, True, True).get_mean()
+    np.testing.assert_array_equal(pred, p3)
+
+
+def _make_setting_like(s, kernel_type, scale):
+    d = s.to_dict()
+    d["gp"] = {"kernel_type": kernel_type,
+               "kernel": {"x_dim": 1, "scale": scale}}
+    return LidarGP2DSetting.from_dict(d)
+
+
 def test_real_scan_float32(frame0):
     """Float32 path (reference F-suffixed instantiation) on the real scan:
     accuracy must stay within ~2x of the float64 golden bound."""

@@ -101,6 +101,85 @@ def test_bank_predict_assigned_routing():
     np.testing.assert_allclose(np.asarray(mean)[3, 0], 3.0, atol=5e-3)
 
 
+def test_bank_predict_assigned_matches_per_member_oracle():
+    """The segmented routed predict (queries grouped by partition, one
+    whitening GEMM per member) must equal the brute-force oracle of every
+    member answering every query (bank_predict) — the restructure that
+    removed the O(m·n²) per-query factor gather must not change values."""
+    rng = np.random.default_rng(7)
+    B, nmax, m = 6, 24, 237
+    xs = rng.uniform(-1, 1, (B, nmax, 2))
+    ys = np.sin(xs[:, :, :1] * 3) + np.arange(B)[:, None, None]
+    vs = np.full((B, nmax), 1e-3)
+    ms = np.ones((B, nmax), bool)
+    ms[4, 11:] = False
+    bank = bank_fit(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                    jnp.asarray(ms), 0.4, kernel="matern32")
+    q = rng.uniform(-1, 1, (m, 2))
+    idx = rng.integers(-1, B, m).astype(np.int32)   # incl. unresolved -1
+    mean, var, valid = bank_predict_assigned(
+        bank, q, idx, 0.4, kernel="matern32")
+    # oracle: every member answers every query; select the routed one
+    om, ov = bank_predict(
+        bank, jnp.asarray(np.tile(q[None], (B, 1, 1))), 0.4,
+        kernel="matern32")
+    om, ov = np.asarray(om), np.asarray(ov)
+    assert list(np.asarray(valid)) == list(idx >= 0)
+    sel = idx >= 0
+    np.testing.assert_allclose(mean[sel], om[idx[sel], np.arange(m)[sel]],
+                               atol=1e-11)
+    np.testing.assert_allclose(var[sel], ov[idx[sel], np.arange(m)[sel]],
+                               atol=1e-11)
+
+
+def test_bank_fit_rr_matches_single_rr_gp():
+    """Reduced-rank bank: each member's basis information system must match
+    a standalone reduced-rank VanillaGP on the same data (the RR-threading
+    contract for the partition classes, lidar_gp_2d.cpp:148-151)."""
+    from erl_gaussian_process_tpu.kernels import ReducedRankSetting
+    from erl_gaussian_process_tpu.kernels.reduced_rank import ReducedRankBasis
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
+    from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
+
+    rng = np.random.default_rng(11)
+    B, nmax = 3, 40
+    xs = np.zeros((B, nmax, 1))
+    ys = np.zeros((B, nmax, 1))
+    vs = np.zeros((B, nmax))
+    ms = np.zeros((B, nmax), bool)
+    counts = [40, 18, 29]
+    for b, n in enumerate(counts):
+        xs[b, :n, 0] = np.sort(rng.uniform(-0.8, 0.8, n))
+        ys[b, :n, 0] = np.sin(3 * xs[b, :n, 0]) * (b + 1)
+        vs[b, :n] = 1e-3
+        ms[b, :n] = True
+    rset = ReducedRankSetting(x_dim=1, scale=0.3, num_basis=[48],
+                              boundary=[1.5], coord_origin=[0.0])
+    basis = ReducedRankBasis(rset, dtype=np.float64)
+    bank = bank_fit_rr(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                       jnp.asarray(ms), basis)
+    assert bank.L.shape == (B, 48, 48)  # rows = #basis, not n
+
+    q = np.linspace(-0.7, 0.7, 33)
+    idx = np.tile(np.arange(B), 11)
+    mean, var, valid = bank_predict_assigned(
+        bank, np.tile(q[:, None], (1, 1)), idx.astype(np.int32), 0.3,
+        kernel="rbf", reduced_rank=True, basis=basis)
+    assert np.asarray(valid).all()
+    assert (var > 0).all()  # +||.||^2 sign contract
+    for b in range(B):
+        gp = VanillaGaussianProcess(VanillaGPSetting(
+            kernel_type="rr_rbf", kernel=rset))
+        n = counts[b]
+        gp.train(xs[b, :n, 0][None], ys[b, :n, 0], 1e-3)
+        res = gp.test(q[None, :])
+        sel = np.flatnonzero(idx == b)
+        np.testing.assert_allclose(mean[sel, 0], res.get_mean()[sel],
+                                   atol=1e-10)
+        np.testing.assert_allclose(var[sel], res.get_variance()[sel],
+                                   atol=1e-10)
+
+
 def test_batch_gp_bank_c9_api():
     """The BatchGaussianProcessUpdateTorch-style staging API: load padded
     (K, alpha) problems, one batched solve, read back L/alpha."""

@@ -114,6 +114,39 @@ def test_world_frame_and_compute_occ():
     assert occ_far[v2].min() > 0.9
 
 
+def test_reduced_rank_kernel_3d_bank():
+    """RR gp.kernel_type threads through the 3D partition grid (reference:
+    m_reduced_rank_kernel_ on this class's TestResult,
+    src/range_sensor_gp_3d.cpp:71,160): 2-D basis per partition, +||.||^2
+    variances, accuracy in the same class as the exact kernel."""
+    from erl_gaussian_process_tpu.kernels import ReducedRankSetting
+
+    setting = _lidar_setting()
+    setting.gp = VanillaGPSetting(
+        kernel_type="reduced_rank_rbf",
+        # boundary = domain extent + ~3*scale: the Hilbert basis needs
+        # breathing room past the data or the box truncation biases the
+        # posterior (measured: boundary [3.8, 0.75] -> MSE 3.4e-2;
+        # [4.8, 2.1] -> 3.0e-6, at par with the exact RBF's 2.7e-6)
+        kernel=ReducedRankSetting(x_dim=2, scale=0.5, num_basis=[24, 12],
+                                  boundary=[4.8, 2.1],
+                                  coord_origin=[0.0, 0.0]))
+    gp = RangeSensorGaussianProcess3D(setting)
+    assert gp.using_reduced_rank_kernel()
+    dirs = gp.sensor_frame.ray_directions_in_frame()
+    ranges = _wavy_room_ranges(dirs)
+    assert gp.train(np.eye(3), np.zeros(3), ranges)
+    assert gp.bank.L.shape[1] == 24 * 12  # rows = #basis
+    q = dirs.reshape(-1, 3)
+    res = gp.test(q, directions_are_local=True, un_map=True)
+    pred, valid = res.get_mean()
+    assert valid.mean() > 0.9
+    mse = np.mean((pred[valid] - ranges.reshape(-1)[valid]) ** 2)
+    assert mse < 1e-5, mse
+    var, vvalid = res.get_variance()
+    assert np.all(var[vvalid] > 0)  # +||.||^2 sign contract
+
+
 def test_partition_grid_covers_frame():
     gp = RangeSensorGaussianProcess3D(_lidar_setting())
     fc = gp.sensor_frame.frame_coords().reshape(-1, 2)

@@ -129,6 +129,114 @@ def test_rr_serialization_round_trip(tmp_path):
                                rr2.test(xq).get_variance(), atol=0)
 
 
+# ---- reduced-rank threading through NoisyInputGaussianProcess -------------
+# (reference: m_reduced_rank_kernel_ flips every variance/covariance formula
+# inside NIGP's TestResult, src/noisy_input_gp.cpp:247,257,277,295,325,353)
+
+def _nigp_pair(with_grad: bool, base="matern32", num_basis=512, scale=0.3,
+               n=80, noise=1e-4):
+    from erl_gaussian_process_tpu.models.noisy_input_gp import (
+        NoisyInputGaussianProcess,
+        NoisyInputGPSetting,
+    )
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(-0.8, 0.8, n))
+    y = np.sin(3.0 * x)
+    g = 3.0 * np.cos(3.0 * x)[None, :]
+    kw = dict(var_x=noise, var_y=noise, var_grad=noise)
+    exact = NoisyInputGaussianProcess(NoisyInputGPSetting(
+        kernel_type=base, kernel=KernelSetting(x_dim=1, scale=scale),
+        no_gradient_observation=not with_grad))
+    assert exact.train(x[None, :], y, g if with_grad else None, **kw)
+    rr = NoisyInputGaussianProcess(NoisyInputGPSetting(
+        kernel_type=f"reduced_rank_{base}",
+        kernel=ReducedRankSetting(x_dim=1, scale=scale,
+                                  num_basis=[num_basis], boundary=[2.0],
+                                  coord_origin=[0.0]),
+        no_gradient_observation=not with_grad))
+    assert rr.using_reduced_rank_kernel()
+    assert rr.train(x[None, :], y, g if with_grad else None, **kw)
+    return exact, rr
+
+
+@pytest.mark.parametrize("with_grad", [True, False])
+def test_nigp_rr_converges_to_exact(with_grad):
+    # matern32 base: the exact path's 3/s^2 prior gradient variance (the
+    # reference quirk, src/noisy_input_gp.cpp:724) is CORRECT for this
+    # family, so exact and RR gradient variances must converge. (For RBF
+    # they deliberately differ by 2/s^2 — see the quirk test below.)
+    exact, rr = _nigp_pair(with_grad)
+    xq = np.linspace(-0.7, 0.7, 101)[None, :]
+    re = exact.test(xq, predict_gradient=True)
+    rq = rr.test(xq, predict_gradient=True)
+    # means and predicted gradients agree with the exact NIGP
+    assert np.max(np.abs(re.get_mean() - rq.get_mean())) < 2e-3
+    assert np.max(np.abs(re.get_gradient() - rq.get_gradient())) < 0.05
+    # variance/covariance follow the RR sign contract and match the exact GP
+    ve, vq = re.get_mean_variance(), rq.get_mean_variance()
+    assert np.all(vq > 0)
+    assert np.max(np.abs(ve - vq)) < 5e-3
+    ge, gq = re.get_gradient_variance(), rq.get_gradient_variance()
+    assert np.all(gq > 0)
+    # gradient variance: matern32's gradient process is rough (its
+    # covariance is not differentiable at 0), so between samples the
+    # exact posterior grad-var rebounds toward the 3/s^2=33 prior on a
+    # length scale the truncated basis cannot represent — RR
+    # UNDERESTIMATES it there (one-sided truncation bias, inherent to
+    # Hilbert-RR; the tight two-sided equality check lives in the RBF
+    # quirk test below, where the spectrum decays exponentially).
+    assert np.all(ge - gq > -0.05), np.min(ge - gq)
+    assert np.max(ge - gq) < 0.1 * 3.0 / 0.09, np.max(ge - gq)
+    ce, cq = re.get_covariance(), rq.get_covariance()
+    assert np.max(np.abs(ce - cq)) < 0.1
+    # the RR "Ktest" rows = #basis, columns in the joint (1+d) layout
+    assert rq.k_test.shape == (512, 101 * 2)
+
+
+def test_nigp_rr_rbf_gradient_variance_quirk():
+    """For RBF the exact path uses the reference's 3/s^2 prior gradient
+    variance even though RBF's true prior is 1/s^2 — so exact-vs-RR
+    gradient variances must differ by exactly 2/s^2 (the RR path has no
+    quirk to replicate: +||.||^2 IS the posterior)."""
+    exact, rr = _nigp_pair(True, base="rbf", num_basis=64)
+    xq = np.linspace(-0.6, 0.6, 51)[None, :]
+    ge = exact.test(xq, True).get_gradient_variance()
+    gq = rr.test(xq, True).get_gradient_variance()
+    offset = 2.0 / (0.3 * 0.3)
+    np.testing.assert_allclose(ge - gq, offset, atol=1e-2)
+
+
+def test_nigp_rr_gradient_accuracy_against_truth():
+    """With gradient observations the RR-NIGP must reproduce the true
+    derivative (the capability the variance plumbing exists to serve)."""
+    _, rr = _nigp_pair(True, base="rbf", num_basis=64)
+    xq = np.linspace(-0.6, 0.6, 201)
+    res = rr.test(xq[None, :], predict_gradient=True)
+    mae_m = np.mean(np.abs(res.get_mean() - np.sin(3 * xq)))
+    mae_g = np.mean(np.abs(res.get_gradient()[0] - 3 * np.cos(3 * xq)))
+    assert mae_m < 1e-3, mae_m
+    assert mae_g < 1e-2, mae_g
+
+
+def test_nigp_rr_serialization_round_trip(tmp_path):
+    from erl_gaussian_process_tpu.models.noisy_input_gp import (
+        NoisyInputGaussianProcess,
+    )
+    _, rr = _nigp_pair(True, base="rbf", num_basis=64)
+    p = str(tmp_path / "nigp_rr.npz")
+    rr.save(p)
+    rr2 = NoisyInputGaussianProcess()
+    rr2.load(p)
+    assert rr2.using_reduced_rank_kernel()
+    assert rr == rr2
+    xq = np.linspace(-0.5, 0.5, 32)[None, :]
+    np.testing.assert_allclose(
+        rr.test(xq, True).get_mean(), rr2.test(xq, True).get_mean(), atol=0)
+    np.testing.assert_allclose(
+        rr.test(xq, True).get_gradient_variance(),
+        rr2.test(xq, True).get_gradient_variance(), atol=0)
+
+
 def test_rr_2d_matern():
     rng = np.random.default_rng(1)
     n = 400
