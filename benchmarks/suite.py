@@ -311,6 +311,44 @@ def bench_lidar_scan_train(rounds=5):
          unit="scans/s", ms=round(best * 1e3, 3))
 
 
+def bench_routed_predict(B=60, n=144, d=2, m=16384, rounds=8):
+    """Routed prediction at serving load: m queries, each answered by its
+    assigned bank member (the `test`/`compute_occ` path of both sensor
+    GPs). This is the workload where the old per-query design gathered an
+    (m, n, n) factor stack (~830 MB HBM traffic at this shape); the
+    segmented design reads each member's factor once. Wall-clock includes
+    the host-side grouping — the honest serving number."""
+    from erl_gaussian_process_tpu.models.batch_gp import (
+        bank_predict_assigned,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, n, d)).astype(DTYPE))
+    y = jnp.asarray(rng.uniform(-1, 1, (B, n, 1)).astype(DTYPE))
+    var = jnp.full((B, n), 1e-2, DTYPE)
+    mask = jnp.asarray(rng.uniform(size=(B, n)) < 0.95)
+    bank = bank_fit(x, y, var, mask, DTYPE(0.4), kernel="matern32")
+    _fetch(bank.alpha)
+    q = rng.uniform(-1, 1, (m, d)).astype(DTYPE)
+    idx = rng.integers(0, B, m).astype(np.int32)
+    idx[rng.uniform(size=m) < 0.03] = -1   # unresolved queries
+
+    def once(k):
+        mean, var_, valid = bank_predict_assigned(
+            bank, q + DTYPE(1e-7 * k), idx, DTYPE(0.4), kernel="matern32")
+        return float(mean[0, 0]) + float(var_[0])
+
+    once(0)  # compile + warm the shape buckets
+    best = np.inf
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        once(r + 1)
+        best = min(best, time.perf_counter() - t0)
+    emit(metric=f"routed_predict_B{B}_n{n}_m{m}",
+         value=round(m / best), unit="queries/s",
+         ms=round(best * 1e3, 3))
+
+
 def bench_spgp(n=2000, grid=31):
     rng = np.random.default_rng(0)
     c = np.linspace(-3, 3, grid)
@@ -373,6 +411,7 @@ def main():
     bench_bank(B=512, n=32)
     bench_nigp()
     bench_lidar_scan_train()
+    bench_routed_predict()
     bench_spgp()
     import sys
     if "--sweep" in sys.argv:

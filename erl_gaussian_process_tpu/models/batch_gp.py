@@ -141,13 +141,18 @@ def bank_predict(state: BankState, xq, scale, *, kernel: str,
 
 @partial(jax.jit, static_argnames=("kernel", "reduced_rank", "fused"))
 @f32_matmul
-def _predict_segmented(xs, ms, Ws, als, qs, scale, *, kernel: str,
+def _predict_segmented(state: BankState, mids, qs, scale, *, kernel: str,
                        reduced_rank: bool, fused: bool):
-    """One active bank member per row: xs (B', n, d); Ws (B', n, n);
-    als (B', n, q); qs (B', C, d) — member b' answers its C grouped
-    queries with ONE cross gram + ONE whitening GEMM. Factor traffic is
-    O(B'·n²), not O(m·n²) (each member's (n, n) factor is read once
-    regardless of how many queries routed to it)."""
+    """One active bank member per row of ``mids``: member mids[b'] answers
+    its C grouped queries qs[b'] with ONE cross gram + ONE whitening GEMM.
+    Factor traffic is O(B'·n²), not O(m·n²) (each member's (n, n) factor
+    is read once regardless of how many queries routed to it). The member
+    gathers happen INSIDE the jit so the whole routed predict is a single
+    dispatch (each extra dispatch costs ~5 ms through the remote tunnel)."""
+    xs = state.x[mids]
+    ms = state.mask[mids]
+    Ws = (state.L_inv if fused else state.L)[mids]
+    als = state.alpha[mids]
 
     def one(x, mask, W, alpha, qrow):
         kt = cross_gram(kernel, x, qrow, scale, mask1=mask)   # (n, C)
@@ -200,33 +205,37 @@ def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
     ok[ok] = trained[idx[ok]]
     if not ok.any():
         return mean_out, var_out, ok
-    active = np.unique(idx[ok])
-    counts = np.bincount(idx[ok], minlength=B)
+    # vectorized grouping: stable-sort query indices by member, then pack
+    # each member's contiguous run into its row (O(m log m) host work)
+    okj = np.flatnonzero(ok)
+    order = okj[np.argsort(idx[okj], kind="stable")]
+    sorted_members = idx[order]
+    active = np.unique(sorted_members)
+    counts = np.bincount(sorted_members, minlength=B)[active]
     C = _next_pow2(int(counts.max()))
     Bp = _next_pow2(int(active.size))
+    starts = np.searchsorted(sorted_members, active)
+    row = np.searchsorted(active, sorted_members)
+    pos = np.arange(order.size) - starts[row]
     slots = np.zeros((Bp, C), np.int64)
     svalid = np.zeros((Bp, C), bool)
     member_ids = np.zeros((Bp,), np.int64)
-    for row, b in enumerate(active):
-        js = np.flatnonzero(ok & (idx == b))
-        slots[row, : js.size] = js
-        svalid[row, : js.size] = True
-        member_ids[row] = b
+    slots[row, pos] = order
+    svalid[row, pos] = True
+    member_ids[: active.size] = active
     qs = jnp.asarray(q[slots])                       # (Bp, C, d)
-    mids = member_ids
+    mids = jnp.asarray(member_ids)
     fused = state.L_inv is not None
     if basis is not None:
         mean_seg, var_seg = _predict_segmented_rr(
-            state.L[mids], state.alpha[mids], qs,
+            state, mids, qs,
             basis._freq, basis._sqrt_s, basis._origin, basis._half,
-            basis._inv_sqrt_vol, fused=False)
+            basis._inv_sqrt_vol)
     else:
-        Ws = (state.L_inv if fused else state.L)[mids]
         mean_seg, var_seg = _predict_segmented(
-            state.x[mids], state.mask[mids], Ws, state.alpha[mids], qs,
+            state, mids, qs,
             scale, kernel=kernel, reduced_rank=reduced_rank, fused=fused)
-    mean_seg = np.asarray(mean_seg)
-    var_seg = np.asarray(var_seg)
+    mean_seg, var_seg = jax.device_get((mean_seg, var_seg))
     mean_out[slots[svalid]] = mean_seg[svalid]
     var_out[slots[svalid]] = var_seg[svalid]
     return mean_out, var_out, ok
@@ -234,14 +243,15 @@ def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
 
 @jax.jit
 @f32_matmul
-def _predict_segmented_rr(Ls, als, qs, freq, sqrt_s, origin, half,
-                          inv_sqrt_vol, *, fused: bool = False):
+def _predict_segmented_rr(state: BankState, mids, qs, freq, sqrt_s, origin,
+                          half, inv_sqrt_vol):
     """Reduced-rank segmented routed predict: the query features are
     member-independent (rows = #basis), so kt is built once per query
     group and whitened against each member's information factor."""
     from erl_gaussian_process_tpu.kernels.reduced_rank import rr_features
 
-    del fused
+    Ls = state.L[mids]
+    als = state.alpha[mids]
 
     def one(L, alpha, qrow):
         ones = jnp.ones(qrow.shape[0], bool)
