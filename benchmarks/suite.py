@@ -402,6 +402,55 @@ def bench_spgp(n=2000, grid=31):
          unit="updates/s", ms=round(t * 1e3, 3))
 
 
+def bench_spgp_3d(n=2000, grid=(11, 11, 9)):
+    """3D occupancy-map update rate at the replica-trajectory example's
+    production shape (examples/replica_hotel_3d.py: 1089 pseudo points,
+    <=2000 samples/update, Matern-3/2) — same loop-carry methodology as
+    bench_spgp."""
+    rng = np.random.default_rng(0)
+    axes = [np.linspace(-3, 3, g) for g in grid]
+    pv = np.meshgrid(*axes, indexing="ij")
+    P = pad_pseudo_points(
+        np.stack([v.ravel() for v in pv], axis=-1).astype(DTYPE))
+    x = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(DTYPE))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(DTYPE))
+    var = jnp.full((n,), 1e-4, DTYPE)
+    mask = jnp.ones((n,), bool)
+    scale = DTYPE(0.4)
+    iters = 200
+
+    def make(k):
+        @jax.jit
+        def loop(s):
+            def body(i, s):
+                xi = x + i.astype(DTYPE) * DTYPE(1e-7)
+                return spgp_update(s, xi, y, var, mask, scale,
+                                   kernel="matern32")
+            return jax.lax.fori_loop(0, k, body, s)
+        return loop
+
+    import time as _t
+    l1, l2 = make(iters), make(2 * iters)
+    seq = [0]
+
+    def run(loop):
+        seq[0] += 1
+        s0 = spgp_init(jnp.asarray(P) + DTYPE(1e-6 * seq[0]), scale,
+                       kernel="matern32")
+        float(np.asarray(s0.qm[0, 0]))
+        t0 = _t.perf_counter()
+        r = loop(s0)
+        float(np.asarray(r.qm[0, 0]))
+        return _t.perf_counter() - t0
+
+    run(l1); run(l2)
+    t1 = min(run(l1) for _ in range(2))
+    t2 = min(run(l2) for _ in range(2))
+    t = max(t2 - t1, 1e-9) / iters
+    emit(metric=f"spgp3d_update_M{len(P)}_N{n}", value=round(1.0 / t, 1),
+         unit="updates/s", ms=round(t * 1e3, 3))
+
+
 def main():
     emit(metric="backend", value=jax.default_backend(),
          unit=str(jax.devices()[0]))
@@ -413,6 +462,7 @@ def main():
     bench_lidar_scan_train()
     bench_routed_predict()
     bench_spgp()
+    bench_spgp_3d()
     import sys
     if "--sweep" in sys.argv:
         bench_bank_sweep()

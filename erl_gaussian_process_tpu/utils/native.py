@@ -108,6 +108,9 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.egp_raycast_2d.argtypes = [
         c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p, c.c_int64,
         c.c_double, c.c_void_p]
+    lib.egp_raycast_mesh.argtypes = [
+        c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p, c.c_int64,
+        c.c_double, c.c_void_p]
     return lib
 
 
@@ -278,3 +281,55 @@ def raycast_2d(segments: np.ndarray, origins: np.ndarray,
          (t < max_range)
     t = np.where(ok, t, np.inf)
     return t.min(axis=1)
+
+
+def raycast_mesh(triangles: np.ndarray, origins: np.ndarray,
+                 directions: np.ndarray,
+                 max_range: float = np.inf) -> np.ndarray:
+    """Nearest-hit distances for rays vs a 3D triangle soup (Moller-
+    Trumbore); misses are +inf. The host-side equivalent of the Open3D
+    RaycastingScene ground truth in the reference's 3D tests
+    (test/gtest/test_range_sensor_gp_3d.cpp:59-109).
+
+    triangles: (t, 3, 3) or (t, 9) [v0 v1 v2]; origins: (n, 3) or (3,);
+    directions: (n, 3) unit. Native (OpenMP) when available, else
+    chunked-vectorized numpy.
+    """
+    tris = np.ascontiguousarray(
+        np.asarray(triangles, np.float64).reshape(-1, 9))
+    dirs = np.ascontiguousarray(np.asarray(directions, np.float64)
+                                .reshape(-1, 3))
+    orig = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(origins, np.float64).reshape(-1, 3),
+        (len(dirs), 3)))
+    mr = float(min(max_range, 1e300))
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(len(dirs), np.float64)
+        lib.egp_raycast_mesh(tris.ctypes.data, len(tris), orig.ctypes.data,
+                             dirs.ctypes.data, len(dirs), mr,
+                             out.ctypes.data)
+        return out
+    # numpy fallback, chunked over rays to bound the (chunk, T) temporaries
+    v0 = tris[:, 0:3]
+    e1 = tris[:, 3:6] - v0
+    e2 = tris[:, 6:9] - v0
+    out = np.empty(len(dirs), np.float64)
+    chunk = max(1, int(4e6 // max(len(tris), 1)))
+    for s in range(0, len(dirs), chunk):
+        d = dirs[s:s + chunk]                         # (c, 3)
+        o = orig[s:s + chunk]
+        p = np.cross(d[:, None, :], e2[None, :, :])   # (c, T, 3)
+        det = np.einsum("tj,ctj->ct", e1, p)
+        sv = o[:, None, :] - v0[None, :, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / det
+            u = np.einsum("ctj,ctj->ct", sv, p) * inv
+            q = np.cross(sv, e1[None, :, :])
+            w = np.einsum("ctj,ctj->ct", q * inv[..., None], d[:, None, :])
+            t = np.einsum("tj,ctj->ct", e2, q) * inv
+        ok = (np.abs(det) > 1e-14) & (u >= 0) & (u <= 1) & (w >= 0) \
+            & (u + w <= 1) & (t > 1e-9) & (t < mr)
+        t = np.where(ok, t, np.inf)
+        out[s:s + chunk] = t.min(axis=1)
+    return out

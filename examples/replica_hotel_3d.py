@@ -5,9 +5,13 @@ The reference ships the 983-pose hotel-0 trajectory
 (data/replica-hotel-0-traj.txt: 983 rows of a row-major 4x4 pose) but its
 mesh assets are absent from the snapshot (.MISSING_LARGE_BLOBS), so — as in
 the reference's own situation — ranges must come from elsewhere: this demo
-raycasts a synthetic room (axis-aligned box shell) sized to the trajectory's
-bounding box. The full pipeline is the real thing: per-pose depth-style
-scans -> fused dataset-sampling + FITC updates -> 3D posterior.
+raycasts a procedural hotel-room triangle mesh (furnished shell sized to
+the trajectory's bounding box; geometry.simulators.replica_hotel_like_mesh)
+with the host Moller-Trumbore raycaster — the same ground-truth mechanism
+as the reference's Open3D RaycastingScene path
+(test_range_sensor_gp_3d.cpp:59-109). The full pipeline is the real thing:
+per-pose depth-style scans -> fused dataset-sampling + FITC updates -> 3D
+posterior.
 
 Usage:  JAX_PLATFORMS='' python examples/replica_hotel_3d.py [n_poses]
 """
@@ -49,21 +53,17 @@ def load_trajectory(path=TRAJ):
     return raw.reshape(-1, 4, 4)
 
 
-def ray_box_exit(origins, dirs, box_min, box_max):
-    """Distance along each ray to the box shell from inside (slab method)."""
-    with np.errstate(divide="ignore"):
-        t1 = (box_min - origins) / dirs
-        t2 = (box_max - origins) / dirs
-    tmax = np.maximum(t1, t2)
-    return np.nanmin(np.where(np.isfinite(tmax), tmax, np.inf), axis=-1)
-
-
 def main():
     n_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 983
     poses = load_trajectory()[:n_poses]
     pos = poses[:, :3, 3]
     lo = pos.min(axis=0) - 1.5
     hi = pos.max(axis=0) + 1.5
+
+    from erl_gaussian_process_tpu.geometry.simulators import (
+        replica_hotel_like_mesh,
+    )
+    mesh = replica_hotel_like_mesh(lo + 0.2, hi - 0.2)
 
     setting = SpGpOccupancyMapSetting(
         sp_gp=SpGpSetting(kernel_type="matern32",
@@ -92,7 +92,7 @@ def main():
     for T in poses:
         R, t = T[:3, :3], T[:3, 3]
         dirs = d_local @ R.T
-        rng = ray_box_exit(t[None, :], dirs, lo + 0.2, hi - 0.2)
+        rng = mesh.cast_rays(t, dirs)
         hit = np.isfinite(rng) & (rng <= setting.max_distance)
         pts = t + dirs * np.where(hit, rng, 0.0)[:, None]
         omap.update(t.astype(np.float32), pts.astype(np.float32), hit)

@@ -278,4 +278,56 @@ EGP_API void egp_raycast_2d(const double* segs, int64_t n_segs,
     }
 }
 
+// --------------------------------------------------------- 3D mesh raycaster
+//
+// Batched Moller-Trumbore ray vs triangle-soup intersection with OpenMP —
+// the host-side equivalent of the Open3D RaycastingScene the reference's 3D
+// tests use for ground truth (test/gtest/test_range_sensor_gp_3d.cpp:59-109).
+// tris: (T, 9) [v0 v1 v2] row-major; origins/dirs: (R, 3); misses -> +inf.
+
+EGP_API void egp_raycast_mesh(const double* tris, int64_t n_tris,
+                              const double* origins, const double* dirs,
+                              int64_t n_rays, double max_range, double* out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < n_rays; ++r) {
+        const double ox = origins[3 * r], oy = origins[3 * r + 1],
+                     oz = origins[3 * r + 2];
+        const double dx = dirs[3 * r], dy = dirs[3 * r + 1],
+                     dz = dirs[3 * r + 2];
+        double best = max_range;
+        bool hit = false;
+        for (int64_t t = 0; t < n_tris; ++t) {
+            const double* v = tris + 9 * t;
+            const double e1x = v[3] - v[0], e1y = v[4] - v[1],
+                         e1z = v[5] - v[2];
+            const double e2x = v[6] - v[0], e2y = v[7] - v[1],
+                         e2z = v[8] - v[2];
+            // p = d x e2
+            const double px = dy * e2z - dz * e2y;
+            const double py = dz * e2x - dx * e2z;
+            const double pz = dx * e2y - dy * e2x;
+            const double det = e1x * px + e1y * py + e1z * pz;
+            if (std::fabs(det) < 1e-14) continue;
+            const double inv = 1.0 / det;
+            const double sx = ox - v[0], sy = oy - v[1], sz = oz - v[2];
+            const double u = (sx * px + sy * py + sz * pz) * inv;
+            if (u < 0.0 || u > 1.0) continue;
+            // q = s x e1
+            const double qx = sy * e1z - sz * e1y;
+            const double qy = sz * e1x - sx * e1z;
+            const double qz = sx * e1y - sy * e1x;
+            const double w = (dx * qx + dy * qy + dz * qz) * inv;
+            if (w < 0.0 || u + w > 1.0) continue;
+            const double tt = (e2x * qx + e2y * qy + e2z * qz) * inv;
+            if (tt > 1e-9 && tt < best) {
+                best = tt;
+                hit = true;
+            }
+        }
+        out[r] = hit ? best : INFINITY;
+    }
+}
+
 EGP_API int egp_version() { return 1; }

@@ -140,6 +140,38 @@ def test_raycast_native_matches_numpy():
     np.testing.assert_allclose(r_native[finite], r_np[finite], rtol=1e-12)
 
 
+def test_raycast_mesh_native_matches_numpy():
+    """3D Moller-Trumbore parity: native OpenMP vs chunked numpy, plus a
+    ground-truth sanity check on an analytic box (ray hitting a wall at a
+    known distance)."""
+    from erl_gaussian_process_tpu.geometry.simulators import (
+        reference_room_mesh_3d,
+        TriangleMesh,
+    )
+
+    mesh = reference_room_mesh_3d()
+    rng = np.random.default_rng(5)
+    d = rng.normal(size=(409, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origin = mesh.center() + np.array([0.2, -0.1, 0.05])
+
+    r_native = mesh.cast_rays(origin, d)
+    os.environ["ERL_GP_NO_NATIVE"] = "1"
+    try:
+        nat._lib, nat._tried = None, False
+        r_np = mesh.cast_rays(origin, d)
+    finally:
+        del os.environ["ERL_GP_NO_NATIVE"]
+        nat._lib, nat._tried = None, False
+    assert np.isfinite(r_native).all()  # closed room: every ray hits
+    np.testing.assert_allclose(r_native, r_np, rtol=1e-12)
+
+    # analytic check: +x ray from the origin of a unit box hits x = 1
+    box = TriangleMesh.box([-1, -1, -1], [1, 1, 1])
+    r = box.cast_rays(np.zeros(3), np.array([[1.0, 0, 0], [0, -1.0, 0]]))
+    np.testing.assert_allclose(r, [1.0, 1.0], atol=1e-12)
+
+
 def test_reference_float_and_double_logs_agree():
     """Parse the reference's real scan logs in both dtypes (data/double +
     data/float); frames must agree to float32 precision."""

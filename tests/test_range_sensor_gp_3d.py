@@ -114,6 +114,108 @@ def test_world_frame_and_compute_occ():
     assert occ_far[v2].min() > 0.9
 
 
+# ---- reference-comparable mesh-raycast ground truth ------------------------
+# Protocol ported from test/gtest/test_range_sensor_gp_3d.cpp:33-151: scan a
+# triangle mesh from its center with a random orientation, train, then test
+# 10000 uniform random sphere directions against raycast ground truth. The
+# Replica .ply meshes are absent from the snapshot (.MISSING_LARGE_BLOBS);
+# geometry.simulators.reference_room_mesh_3d stands in. MSE gates are the
+# reference's own: <= 4.2e-4 (lidar), <= 2.2e-4 (depth).
+
+def _euler(r, p, y):
+    cr, sr, cp, sp, cy, sy = np.cos(r), np.sin(r), np.cos(p), np.sin(p), \
+        np.cos(y), np.sin(y)
+    return (np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+            @ np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+            @ np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]]))
+
+
+def _random_pose_and_queries(seed=0, n_test=10000):
+    rng = np.random.default_rng(seed)
+    rpy = rng.uniform(-1, 1, 3) * np.array([np.pi / 4, np.pi / 4, np.pi])
+    R = _euler(*rpy)
+    az = rng.uniform(-np.pi, np.pi, n_test)
+    el = rng.uniform(-np.pi / 2, np.pi / 2, n_test)
+    dirs = np.stack([np.cos(az) * np.cos(el), np.sin(az) * np.cos(el),
+                     np.sin(el)], axis=-1)
+    return R, dirs
+
+
+def test_lidar3d_mesh_reference_protocol():
+    """Reference lidar protocol: 271x91 scan (az +-3pi/4, el +-pi/2), OU
+    kernel, group 10, inverse-sqrt mapping; MSE gate 4.2e-4 (reference
+    observed 4.14e-4 on Replica office-1,
+    test_range_sensor_gp_3d.cpp:150-151). Measured here: ~1.4e-4."""
+    from erl_gaussian_process_tpu.geometry.simulators import (
+        reference_room_mesh_3d,
+    )
+
+    mesh = reference_room_mesh_3d()
+    R, dirs_test = _random_pose_and_queries()
+    t = mesh.center()
+    setting = RangeSensorGP3DSetting(
+        row_group_size=10, row_overlap_size=4, row_margin=0,
+        col_group_size=10, col_overlap_size=4, col_margin=0,
+        min_num_samples_per_group=10, sensor_range_var=0.01,
+        max_valid_range_var=0.1, sensor_frame_type="lidar",
+        sensor_frame=LidarFrame3DSetting(
+            azimuth_min=-np.pi * 3 / 4, azimuth_max=np.pi * 3 / 4,
+            elevation_min=-np.pi / 2, elevation_max=np.pi / 2,
+            num_azimuth_lines=271, num_elevation_lines=91),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=2, scale=0.3)),
+        mapping=MappingSetting(type=MappingType.INVERSE_SQRT))
+    gp = RangeSensorGaussianProcess3D(setting)
+    dirs_f = gp.sensor_frame.ray_directions_in_frame()
+    ranges = mesh.cast_rays(t, dirs_f.reshape(-1, 3) @ R.T)
+    assert np.isfinite(ranges).all()
+    assert gp.train(R, t, ranges.reshape(dirs_f.shape[:2]))
+
+    gt = mesh.cast_rays(t, dirs_test)
+    pred, valid = gp.test(dirs_test, directions_are_local=False,
+                          un_map=True).get_mean()
+    assert valid.any()
+    mse = np.mean((pred[valid] - gt[valid]) ** 2)
+    assert mse <= 4.2e-4, mse
+
+
+def test_depth3d_mesh_reference_protocol():
+    """Reference depth-camera protocol (test_range_sensor_gp_3d.cpp:156-342):
+    pinhole scan of the mesh, 10000 random sphere queries (out-of-FOV ones
+    invalid), MSE gate 2.2e-4 (reference observed 2.10e-4)."""
+    from erl_gaussian_process_tpu.geometry.simulators import (
+        reference_room_mesh_3d,
+    )
+
+    mesh = reference_room_mesh_3d()
+    R, dirs_test = _random_pose_and_queries(seed=1)
+    t = mesh.center()
+    setting = RangeSensorGP3DSetting(
+        row_group_size=10, row_overlap_size=4, row_margin=0,
+        col_group_size=10, col_overlap_size=4, col_margin=0,
+        min_num_samples_per_group=10, sensor_range_var=0.01,
+        max_valid_range_var=0.1, sensor_frame_type="depth",
+        sensor_frame=DepthFrame3DSetting(
+            valid_range_min=0.1, valid_range_max=40.0,
+            image_height=120, image_width=160,
+            fx=110.0, fy=110.0, cx=80.0, cy=60.0),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=2, scale=8.0)),
+        mapping=MappingSetting(type=MappingType.INVERSE_SQRT))
+    gp = RangeSensorGaussianProcess3D(setting)
+    dirs_f = gp.sensor_frame.ray_directions_in_frame()
+    ranges = mesh.cast_rays(t, dirs_f.reshape(-1, 3) @ R.T)
+    assert np.isfinite(ranges).all()
+    assert gp.train(R, t, ranges.reshape(dirs_f.shape[:2]))
+
+    gt = mesh.cast_rays(t, dirs_test)
+    pred, valid = gp.test(dirs_test, directions_are_local=False,
+                          un_map=True).get_mean()
+    assert valid.any()  # only in-FOV queries resolve
+    mse = np.mean((pred[valid] - gt[valid]) ** 2)
+    assert mse <= 2.2e-4, mse
+
+
 def test_reduced_rank_kernel_3d_bank():
     """RR gp.kernel_type threads through the 3D partition grid (reference:
     m_reduced_rank_kernel_ on this class's TestResult,
