@@ -183,9 +183,15 @@ class LidarGaussianProcess2D:
     TestResult = LidarGP2DTestResult
 
     def __init__(self, setting: Optional[LidarGP2DSetting] = None,
-                 dtype=np.float64):
+                 dtype=np.float64, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — each scan's partition
+        bank is fitted with the bank axis sharded over the mesh
+        (parallel/mesh.sharded_bank_fit; members are independent, so no
+        collectives). Reduced-rank banks stay single-chip (their
+        per-partition basis systems are tiny)."""
         self.setting = setting or LidarGP2DSetting()
         self.dtype = np.dtype(dtype)
+        self.mesh = mesh
         self.sensor_frame = LidarFrame2D(self.setting.sensor_frame,
                                          dtype=dtype)
         self.mapping = Mapping(self.setting.mapping)
@@ -317,6 +323,12 @@ class LidarGaussianProcess2D:
             self.bank = bank_fit_rr(
                 jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
                 jnp.asarray(ms), self._basis)
+        elif self.mesh is not None:
+            from erl_gaussian_process_tpu.parallel.mesh import sharded_bank_fit
+            self.bank = sharded_bank_fit(
+                self.mesh, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                jnp.asarray(ms), self.dtype.type(self._scale),
+                kernel=self._kernel)
         else:
             self.bank = bank_fit(
                 jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),

@@ -142,8 +142,13 @@ class RangeSensorGaussianProcess3D:
     TestResult = RangeSensorGP3DTestResult
 
     def __init__(self, setting: Optional[RangeSensorGP3DSetting] = None,
-                 dtype=np.float64):
+                 dtype=np.float64, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the flattened
+        row×col partition bank is fitted with the bank axis sharded over
+        the mesh (parallel/mesh.sharded_bank_fit). Reduced-rank banks stay
+        single-chip (tiny per-partition basis systems)."""
         self.setting = setting or RangeSensorGP3DSetting()
+        self.mesh = mesh
         assert self.setting.row_overlap_size % 2 == 0
         assert self.setting.col_overlap_size % 2 == 0
         self.dtype = np.dtype(dtype)
@@ -254,6 +259,12 @@ class RangeSensorGaussianProcess3D:
             self.bank = bank_fit_rr(
                 jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
                 jnp.asarray(ms), self._basis)
+        elif self.mesh is not None:
+            from erl_gaussian_process_tpu.parallel.mesh import sharded_bank_fit
+            self.bank = sharded_bank_fit(
+                self.mesh, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                jnp.asarray(ms), self.dtype.type(self._scale),
+                kernel=self._kernel)
         else:
             self.bank = bank_fit(
                 jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
@@ -330,7 +341,7 @@ class RangeSensorGaussianProcess3D:
 
     def load_state_dict(self, d):
         self.__init__(RangeSensorGP3DSetting.from_dict(d["setting"]),
-                      dtype=self.dtype)
+                      dtype=self.dtype, mesh=getattr(self, "mesh", None))
         self._trained = bool(d["trained"])
         self.sensor_frame.load_state_dict(d["sensor_frame"])
         self.mapped_distances = d["mapped_distances"]

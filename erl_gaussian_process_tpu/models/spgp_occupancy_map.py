@@ -182,11 +182,21 @@ class SpGpOccupancyMap:
 
     def __init__(self, setting: Optional[SpGpOccupancyMapSetting],
                  pseudo_points, map_boundary: Aabb, seed: int = 0,
-                 dtype=np.float64, free_slots_per_ray: Optional[int] = None):
-        """pseudo_points: (d, M) column-major (reference ctor layout)."""
+                 dtype=np.float64, free_slots_per_ray: Optional[int] = None,
+                 mesh=None):
+        """pseudo_points: (d, M) column-major (reference ctor layout).
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` — updates run the FULL
+        fused step (sampler included) with the sample axis sharded over the
+        mesh and one psum pair for the FITC accumulation; predictions shard
+        the query axis (parallel/mesh.py). Same per-step PRNG fold-in as
+        the single-chip step, so the sampled dataset is bitwise identical;
+        only psum reassociation of the f32 sums differs (drift gated in
+        tests/test_parallel.py)."""
         self.setting = setting or SpGpOccupancyMapSetting()
         self.dtype = np.dtype(dtype)
         self.map_boundary = map_boundary
+        self.mesh = mesh
         self.sp_gp = SparsePseudoInputGaussianProcess(
             self.setting.sp_gp, pseudo_points, dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
@@ -219,12 +229,7 @@ class SpGpOccupancyMap:
             point_mask = np.isfinite(p).all(axis=-1)
         s = self.setting
         self.step += 1
-        new_state, n_used = update_step(
-            self.sp_gp.state, self.key, self.step,
-            jnp.asarray(np.asarray(sensor_position, self.dtype)),
-            jnp.asarray(np.where(point_mask[:, None], p, 0.0)),
-            jnp.asarray(point_mask),
-            self._aabb_min, self._aabb_max, self.dtype.type(self.sp_gp._scale),
+        kw = dict(
             kernel=self.sp_gp._kernel, diagonal_qm=s.sp_gp.diagonal_qm,
             free_slots=self.free_slots,
             max_samples=int(s.sp_gp.max_num_samples),
@@ -233,6 +238,19 @@ class SpGpOccupancyMap:
             free_points_per_meter=s.free_points_per_meter,
             logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
             logodd_variance=s.logodd_variance)
+        args = (self.sp_gp.state, self.key, self.step,
+                jnp.asarray(np.asarray(sensor_position, self.dtype)),
+                jnp.asarray(np.where(point_mask[:, None], p, 0.0)),
+                jnp.asarray(point_mask),
+                self._aabb_min, self._aabb_max,
+                self.dtype.type(self.sp_gp._scale))
+        if self.mesh is not None:
+            from erl_gaussian_process_tpu.parallel.mesh import (
+                sharded_update_step,
+            )
+            new_state, n_used = sharded_update_step(self.mesh, *args, **kw)
+        else:
+            new_state, n_used = update_step(*args, **kw)
         self.sp_gp.state = new_state
         self.sp_gp._trained = True
         self.sp_gp._cache = None
@@ -284,6 +302,20 @@ class SpGpOccupancyMap:
         # reuse the lazily-cached chol(Q_M)/solved-alpha (invalidated by
         # update); a fresh Cholesky per query batch would cost ~M^3/3 extra
         L_qm, a = self.sp_gp._prepared()
+        if self.mesh is not None and not compute_gradient:
+            from erl_gaussian_process_tpu.parallel.mesh import (
+                sharded_spgp_predict,
+            )
+            nd = self.mesh.devices.size
+            m0 = p.shape[0]
+            mp = -(-m0 // nd) * nd
+            pq = np.zeros((mp, p.shape[1]), self.dtype)
+            pq[:m0] = p
+            mean, _ = sharded_spgp_predict(
+                self.mesh, self.sp_gp.state, L_qm, a, jnp.asarray(pq),
+                self.dtype.type(self.sp_gp._scale),
+                kernel=self.sp_gp._kernel)
+            return np.asarray(mean[:m0, 0]), None
         mean, grad = predict_prepared_step(
             self.sp_gp.state, L_qm, a, jnp.asarray(p),
             self.dtype.type(self.sp_gp._scale), kernel=self.sp_gp._kernel,

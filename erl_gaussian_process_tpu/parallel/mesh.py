@@ -9,6 +9,8 @@ is explicit and rides ICI.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,28 +32,66 @@ def make_mesh(n_devices: int | None = None, axis_name: str = BANK_AXIS) -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def _pad_axis(arrs, axis: int, mult: int, pad_values=None):
+    """Pad every array's ``axis`` up to a multiple of ``mult``."""
+    n = arrs[0].shape[axis]
+    npad = -(-n // mult) * mult
+    if npad == n:
+        return arrs, n
+    out = []
+    for i, a in enumerate(arrs):
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, npad - n)
+        cval = 0 if pad_values is None else pad_values[i]
+        out.append(jnp.pad(a, widths, constant_values=cval))
+    return out, n
+
+
 def sharded_bank_fit(mesh: Mesh, x, y, var, mask, scale, *, kernel: str
                      ) -> BankState:
-    """bank_fit with the bank axis sharded over the mesh. B must be divisible
-    by the mesh size. No collectives — members are independent."""
+    """bank_fit with the bank axis sharded over the mesh. The bank is padded
+    with empty members up to a mesh-size multiple (empty members train to
+    the identity and stay flagged untrained). No collectives — members are
+    independent.
+
+    Each shard takes the fused Pallas bank kernel when it applies on its
+    local slice (TPU/f32, padded n >= 128 — verifying Mosaic kernels
+    compose with shard_map is part of this path's contract); otherwise the
+    vmapped XLA chain."""
+    from erl_gaussian_process_tpu.ops.pallas_bank import (
+        bank_fit_fused,
+        pallas_bank_enabled,
+    )
+
+    nd = mesh.devices.size
+    (x, y, var, mask), B0 = _pad_axis([x, y, var, mask], 0, nd)
+    n, d = x.shape[1], x.shape[2]
+    use_pallas = n > 96 and pallas_bank_enabled(x.dtype, -(-n // 128) * 128, d)
 
     @f32_matmul
     def local(xl, yl, vl, ml):
-        def one(xi, yi, vi, mi):
-            yv = jnp.where(mi[:, None], yi, 0.0)
-            K = train_gram(kernel, xi, jnp.where(mi, vi, 0.0), scale, mask=mi)
-            L, alpha = cholesky_fit(K, yv)
-            return L, alpha
+        if use_pallas:
+            L, L_inv, alpha = bank_fit_fused(kernel, xl, yl, vl, ml, scale)
+        else:
+            def one(xi, yi, vi, mi):
+                yv = jnp.where(mi[:, None], yi, 0.0)
+                K = train_gram(kernel, xi, jnp.where(mi, vi, 0.0), scale,
+                               mask=mi)
+                return cholesky_fit(K, yv)
 
-        L, alpha = jax.vmap(one)(xl, yl, vl, ml)
-        return L, alpha, jnp.any(ml, axis=1)
+            L, alpha = jax.vmap(one)(xl, yl, vl, ml)
+            L_inv = jnp.zeros((0,), xl.dtype)  # sentinel: not available
+        return L, L_inv, alpha, jnp.any(ml, axis=1)
 
     spec = P(BANK_AXIS)
-    L, alpha, trained = jax.jit(jax.shard_map(
+    L, L_inv, alpha, trained = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(spec, spec, spec, spec),
-        out_specs=(spec, spec, spec)))(x, y, var, mask)
-    return BankState(x=x, mask=mask, L=L, alpha=alpha, trained=trained)
+        out_specs=(spec, spec if use_pallas else P(), spec, spec)))(
+        x, y, var, mask)
+    return BankState(x=x[:B0], mask=mask[:B0], L=L[:B0], alpha=alpha[:B0],
+                     trained=trained[:B0],
+                     L_inv=L_inv[:B0] if use_pallas else None)
 
 
 def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
@@ -67,7 +107,9 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
     def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
         kmn = cross_gram(kernel, pseudo, xl, scale)
         beta = solve_triangular(L_km, kmn, lower=True)
-        lam = 1.0 - jnp.sum(beta * beta, axis=0)
+        # clamp as in the single-chip spgp_update: roundoff can push
+        # ||beta||^2 past 1 near pseudo points -> lam < 0 can cancel var
+        lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
         inv = jnp.where(ml, 1.0 / (lam + vl), 0.0)
         ksc = kmn * inv[None, :]
         dqm = jax.lax.psum(ksc @ kmn.T, BANK_AXIS)
@@ -84,6 +126,72 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
         state.pseudo, state.L_km, state.qm, state.alpha, x, y, var, mask)
     return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
                      L_inv=state.L_inv, qm=qm, alpha=alpha)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "kernel", "diagonal_qm", "free_slots",
+                          "max_samples"),
+         donate_argnames=("state",))
+def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
+                        sensor_position, points, point_mask, aabb_min,
+                        aabb_max, scale, *, kernel, diagonal_qm, free_slots,
+                        max_samples, min_distance, max_distance,
+                        free_sampling_margin, free_points_per_meter,
+                        logodd_occupied, logodd_free, logodd_variance):
+    """The FULL fused occupancy-map update (sampler -> label -> FITC),
+    sharded over the mesh — the multi-chip twin of
+    models/spgp_occupancy_map.update_step, one jit.
+
+    The free-space sampler runs replicated (identical per-step PRNG fold-in
+    -> bitwise-identical dataset to the single-chip step; per-ray work is
+    trivial next to the FITC GEMMs), then the rank-N FITC update shards the
+    SAMPLE axis: each chip grams/solves/scales its local columns and the
+    (dQ_M, dalpha) accumulation is one psum pair over ICI. The only
+    numerical difference vs single-chip is psum reassociation of the f32
+    sums — measured by tests/test_parallel.py's drift gate."""
+    from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
+        generate_dataset_fixed,
+    )
+
+    step_key = jax.random.fold_in(key, step)
+    pts, lbl, mask = generate_dataset_fixed(
+        step_key, sensor_position, points, point_mask, aabb_min, aabb_max,
+        min_distance, max_distance, free_sampling_margin,
+        free_points_per_meter, free_slots_per_ray=free_slots)
+    order_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    mask = mask & (order_rank < max_samples)
+    y = jnp.where(lbl > 0, logodd_occupied, logodd_free)[:, None]
+    var = jnp.full(pts.shape[0], logodd_variance, pts.dtype)
+    n_used = jnp.sum(mask)
+
+    nd = mesh.devices.size
+    (pts, y, var, mask), _ = _pad_axis([pts, y, var, mask], 0, nd)
+
+    @f32_matmul
+    def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
+        kmn = cross_gram(kernel, pseudo, xl, scale)
+        beta = solve_triangular(L_km, kmn, lower=True)
+        # same clamp as the single-chip spgp_update (lam >= 0 is the math)
+        lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
+        inv = jnp.where(ml, 1.0 / (lam + vl), 0.0)
+        ksc = kmn * inv[None, :]
+        if diagonal_qm:
+            dqm = jax.lax.psum(
+                jnp.sum(ksc * kmn, axis=1, keepdims=True), BANK_AXIS)
+        else:
+            dqm = jax.lax.psum(ksc @ kmn.T, BANK_AXIS)
+        yv = jnp.where(ml[:, None], yl, 0.0)
+        dalpha = jax.lax.psum(ksc @ yv, BANK_AXIS)
+        return qm + dqm, alpha + dalpha
+
+    rep, shard = P(), P(BANK_AXIS)
+    qm, alpha = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, shard, shard, shard, shard),
+        out_specs=(rep, rep))(
+        state.pseudo, state.L_km, state.qm, state.alpha, pts, y, var, mask)
+    return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
+                     L_inv=state.L_inv, qm=qm, alpha=alpha), n_used
 
 
 def sharded_spgp_predict(mesh: Mesh, state: SpGpState, L_qm, alpha_solved,
