@@ -262,6 +262,93 @@ class LidarGaussianProcess2D:
     def angle_partitions(self):
         return list(self.partitions)
 
+    def _assemble_bank_arrays(self):
+        """Per-partition padded training arrays from the stored scan
+        (the gather half of reference Train, src/lidar_gp_2d.cpp:366-392)."""
+        angles = self.sensor_frame.angles_in_frame
+        hit = self.sensor_frame.hit_mask
+        cont = self.sensor_frame.continuity_mask
+        discon_on = self.setting.sensor_frame.discontinuity_detection
+        B = len(self.partitions)
+        width = max(ir - il for (il, ir, _, _) in self.partitions)
+        xs = np.zeros((B, width, 1), self.dtype)
+        ys = np.zeros((B, width, 1), self.dtype)
+        vs = np.zeros((B, width), self.dtype)
+        ms = np.zeros((B, width), bool)
+        for b, (il, ir, _, _) in enumerate(self.partitions):
+            sel = np.arange(il, ir)[hit[il:ir]]
+            cnt = sel.shape[0]
+            xs[b, :cnt, 0] = angles[sel]
+            ys[b, :cnt, 0] = self.mapped_distances[sel]
+            if discon_on:
+                vs[b, :cnt] = np.where(cont[sel],
+                                       self.setting.sensor_range_var,
+                                       self.setting.discontinuity_var)
+            else:
+                vs[b, :cnt] = self.setting.sensor_range_var
+            ms[b, :cnt] = True
+        return xs, ys, vs, ms
+
+    @property
+    def gps(self):
+        """Per-partition GP views as real VanillaGaussianProcess objects
+        (reference `gps` property, pyerl_gaussian_process.pyi:126): each
+        carries its partition's train set and the bank row's factor, so
+        test()/get_variance work on it standalone. Introspection path —
+        the hot routed predict is bank_predict_assigned, not this."""
+        from erl_gaussian_process_tpu.models.vanilla_gp import (
+            VanillaGaussianProcess,
+            VanillaGPState,
+            VanillaTrainSet,
+        )
+        if not self._trained or self.bank is None:
+            return []
+        xs, ys, vs, ms = self._assemble_bank_arrays()
+        L = np.asarray(self.bank.L)
+        alpha = np.asarray(self.bank.alpha)
+        trained = np.asarray(self.bank.trained)
+        out = []
+        for b in range(len(self.partitions)):
+            g = VanillaGaussianProcess(self.setting.gp, dtype=self.dtype)
+            n_b = int(ms[b].sum())
+            g._train_set = VanillaTrainSet(xs[b], ys[b], vs[b], n_b)
+            g.state = VanillaGPState(
+                x=jnp.asarray(xs[b]), mask=jnp.asarray(ms[b]),
+                L=jnp.asarray(L[b]), alpha=jnp.asarray(alpha[b]))
+            g._trained = bool(trained[b])
+            g._n = n_b
+            g._x_dim, g._y_dim = 1, 1
+            out.append(g)
+        return out
+
+    def reset(self):
+        """Drop the trained state (reference Reset,
+        pyerl_gaussian_process.pyi:135); the sensor frame/settings
+        survive, partitions are rebuilt on the next train()."""
+        self._trained = False
+        self.bank = None
+        self.mapped_distances = None
+
+    def partition_on_angles(self):
+        """(Re)build the angle-partition table from the current frame
+        geometry (reference method, pyerl_gaussian_process.pyi:136)."""
+        angles = self.sensor_frame.angles_in_frame
+        self.partitions = partition_on_angles(
+            angles.shape[0], self.setting.group_size,
+            self.setting.overlap_size, self.setting.margin,
+            self.setting.symmetric_partitions, angles)
+        self._part_bounds = self._bounds_array()
+
+    def partition_on_hit_rays(self):
+        """(Re)build the hit-ray partition table from the current scan
+        (reference method, pyerl_gaussian_process.pyi:137)."""
+        self.partitions = partition_on_hit_rays(
+            self.sensor_frame.hit_ray_indices,
+            self.sensor_frame.num_hit_rays,
+            self.setting.group_size, self.setting.overlap_size,
+            self.sensor_frame.angles_in_frame)
+        self._part_bounds = self._bounds_array()
+
     def train(self, rotation, translation, ranges) -> bool:
         """Store the scan, map distances, build the padded partition bank,
         and fit it in one batched call (reference Train,
@@ -284,11 +371,6 @@ class LidarGaussianProcess2D:
                 self.sensor_frame.angles_in_frame)
             self._part_bounds = self._bounds_array()
 
-        angles = self.sensor_frame.angles_in_frame
-        hit = self.sensor_frame.hit_mask
-        cont = self.sensor_frame.continuity_mask
-        discon_on = self.setting.sensor_frame.discontinuity_detection
-
         if not self.partitions:
             # empty partition list (e.g. a scan with too few rays for the
             # group geometry): False + warning, not an exception —
@@ -299,24 +381,7 @@ class LidarGaussianProcess2D:
                 "LidarGaussianProcess2D.train: no partitions for this "
                 "scan — nothing to train")
             return False
-        B = len(self.partitions)
-        width = max(ir - il for (il, ir, _, _) in self.partitions)
-        xs = np.zeros((B, width, 1), self.dtype)
-        ys = np.zeros((B, width, 1), self.dtype)
-        vs = np.zeros((B, width), self.dtype)
-        ms = np.zeros((B, width), bool)
-        for b, (il, ir, _, _) in enumerate(self.partitions):
-            sel = np.arange(il, ir)[hit[il:ir]]
-            cnt = sel.shape[0]
-            xs[b, :cnt, 0] = angles[sel]
-            ys[b, :cnt, 0] = self.mapped_distances[sel]
-            if discon_on:
-                vs[b, :cnt] = np.where(cont[sel],
-                                       self.setting.sensor_range_var,
-                                       self.setting.discontinuity_var)
-            else:
-                vs[b, :cnt] = self.setting.sensor_range_var
-            ms[b, :cnt] = True
+        xs, ys, vs, ms = self._assemble_bank_arrays()
 
         if self._basis is not None:
             from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr

@@ -283,6 +283,12 @@ class NigpTrainSet:
         m[:self.num_samples] = True
         return m
 
+    @property
+    def num_samples_with_grad(self):
+        """Count of samples carrying gradient observations (reference
+        TrainSet.num_samples_with_grad, noisy_input_gp.hpp:166-196)."""
+        return int(np.asarray(self.gmask).sum())
+
 
 @dataclasses.dataclass
 class NoisyInputGPSetting:
@@ -403,6 +409,7 @@ class NoisyInputGaussianProcess:
 
     Setting = NoisyInputGPSetting
     TestResult = NigpTestResult
+    TrainSet = NigpTrainSet
 
     def __init__(self, setting: Optional[NoisyInputGPSetting] = None,
                  dtype=np.float64):
@@ -464,6 +471,61 @@ class NoisyInputGaussianProcess:
 
     def get_train_set(self) -> Optional[NigpTrainSet]:
         return self._train_set
+
+    # -- reference binding accessor surface (the pyi's property set,
+    # python/erl_gaussian_process/pyerl_gaussian_process.pyi:204-224) ------
+    @property
+    def train_set(self) -> Optional[NigpTrainSet]:
+        return self._train_set
+
+    @property
+    def kernel(self):
+        """Kernel introspection (reference `kernel` property returns the
+        Covariance object; here the setting object carries the same
+        hyperparameters and the resolved family name)."""
+        return self.setting.kernel
+
+    @property
+    def kernel_origin(self):
+        """Reduced-rank coordinate origin (reference `kernel_origin`
+        attribute, pyerl_gaussian_process.pyi:210)."""
+        return self.get_kernel_coord_origin()
+
+    @kernel_origin.setter
+    def kernel_origin(self, origin):
+        self.set_kernel_coord_origin(origin)
+
+    @property
+    def alpha(self):
+        """Solved weights over the joint system (reference `alpha`
+        property, src/noisy_input_gp.cpp accessor)."""
+        return None if self.state is None else np.asarray(self.state.alpha)
+
+    @property
+    def cholesky_k_train(self):
+        """Lower Cholesky factor of the joint train gram."""
+        return None if self.state is None else np.asarray(self.state.L)
+
+    @property
+    def k_train(self):
+        """The joint train gram that was factored (incl. observation noise
+        and identity padding): reconstructed as L L^T from the stored
+        factor, so it reflects exactly what the model solved against —
+        including any host jitter escalation."""
+        if self.state is None:
+            return None
+        L = np.asarray(self.state.L)
+        return L @ L.T
+
+    @property
+    def memory_usage(self) -> int:
+        return self.get_memory_usage()
+
+    def update_ktrain(self) -> bool:
+        """Recompute the joint gram/factor from the stored train set
+        (reference UpdateKtrain, called after kernel-origin changes). The
+        fused fit recomputes the solve along with the factor."""
+        return self._fit_train_set()
 
     def reset(self, max_num_samples: int, x_dim: int, y_dim: int):
         """Reference Reset(max_num_samples, x_dim, y_dim) parity: size the

@@ -222,16 +222,99 @@ class RangeSensorGaussianProcess3D:
     def num_partitions(self):
         return len(self.row_partitions), len(self.col_partitions)
 
-    def train(self, rotation, translation, ranges) -> bool:
-        """One scan → one flattened padded bank fit
-        (reference Train, src/range_sensor_gp_3d.cpp:321-364)."""
+    @property
+    def range_sensor_frame(self):
+        """Reference `range_sensor_frame` property
+        (pyerl_gaussian_process.pyi:283)."""
+        return self.sensor_frame
+
+    @property
+    def gps(self):
+        """Row-major grid of per-partition GP views as real
+        VanillaGaussianProcess objects (reference `gps` property,
+        pyerl_gaussian_process.pyi:277, list[list]). Introspection path —
+        the hot routed predict is bank_predict_assigned."""
+        from erl_gaussian_process_tpu.models.vanilla_gp import (
+            VanillaGaussianProcess,
+            VanillaGPState,
+            VanillaTrainSet,
+        )
+        if not self._trained or self.bank is None:
+            return []
+        xs, ys, vs, ms = self._assemble_bank_arrays()
+        L = np.asarray(self.bank.L)
+        alpha = np.asarray(self.bank.alpha)
+        trained = np.asarray(self.bank.trained)
+        R, C = self.num_partitions
+        grid = []
+        for i in range(R):
+            row = []
+            for j in range(C):
+                b = i * C + j
+                g = VanillaGaussianProcess(self.setting.gp,
+                                           dtype=self.dtype)
+                n_b = int(ms[b].sum())
+                g._train_set = VanillaTrainSet(xs[b], ys[b], vs[b], n_b)
+                g.state = VanillaGPState(
+                    x=jnp.asarray(xs[b]), mask=jnp.asarray(ms[b]),
+                    L=jnp.asarray(L[b]), alpha=jnp.asarray(alpha[b]))
+                g._trained = bool(trained[b])
+                g._n = n_b
+                g._x_dim, g._y_dim = 2, 1
+                row.append(g)
+            grid.append(row)
+        return grid
+
+    def reset(self):
+        """Drop the trained state (reference Reset,
+        pyerl_gaussian_process.pyi:291); frame/settings/partition tables
+        survive."""
         self._trained = False
+        self.bank = None
+        self.mapped_distances = None
+
+    # -- frame transforms (reference .pyi surface,
+    # pyerl_gaussian_process.pyi:286-290) ----------------------------------
+    def global_to_local_so3(self, dir_global):
+        """World direction(s) (n, 3) -> sensor frame (R^T d per row)."""
+        return self.sensor_frame.dir_world_to_frame(dir_global)
+
+    def local_to_global_so3(self, dir_local):
+        return (np.asarray(dir_local, self.dtype)
+                @ self.sensor_frame.rotation.T)
+
+    def global_to_local_se3(self, xyz_global):
+        p = (np.asarray(xyz_global, self.dtype)
+             - self.sensor_frame.translation)
+        return p @ self.sensor_frame.rotation
+
+    def local_to_global_se3(self, xyz_local):
+        return (np.asarray(xyz_local, self.dtype)
+                @ self.sensor_frame.rotation.T
+                + self.sensor_frame.translation)
+
+    def compute_frame_coords(self, dirs_local):
+        """(azimuth, elevation)-style frame coords for local directions
+        (delegates to the frame; reference pyi:290)."""
+        coords, _ = self.sensor_frame.compute_frame_coords(dirs_local)
+        return coords
+
+    def store_data(self, rotation, translation, ranges) -> bool:
+        """Store a scan (pose + ranges + mapped distances) WITHOUT
+        training (reference StoreData, pyerl_gaussian_process.pyi:292;
+        Train = StoreData + fit)."""
         self.sensor_frame.update_ranges(rotation, translation, ranges)
         if not self.sensor_frame.is_valid():
             return False
         self.mapped_distances = np.asarray(
             Mapping(self.setting.mapping).map(self.sensor_frame.ranges),
             self.dtype)
+        return True
+
+    def _assemble_bank_arrays(self):
+        """Per-(row,col)-partition padded training arrays from the stored
+        scan (the gather half of reference Train,
+        src/range_sensor_gp_3d.cpp:334-360)."""
         fc = self.sensor_frame.frame_coords()
         hit = self.sensor_frame.hit_mask
         R, C = self.num_partitions
@@ -254,6 +337,15 @@ class RangeSensorGaussianProcess3D:
                 xs[b, :cnt] = sub_fc
                 ys[b, :cnt, 0] = sub_y
                 ms[b, :cnt] = True
+        return xs, ys, vs, ms
+
+    def train(self, rotation, translation, ranges) -> bool:
+        """One scan → one flattened padded bank fit
+        (reference Train, src/range_sensor_gp_3d.cpp:321-364)."""
+        self._trained = False
+        if not self.store_data(rotation, translation, ranges):
+            return False
+        xs, ys, vs, ms = self._assemble_bank_arrays()
         if self._basis is not None:
             from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
             self.bank = bank_fit_rr(

@@ -278,6 +278,7 @@ class VanillaGaussianProcess:
 
     Setting = VanillaGPSetting
     TestResult = VanillaTestResult
+    TrainSet = VanillaTrainSet
 
     def __init__(self, setting: Optional[VanillaGPSetting] = None,
                  dtype=np.float64):
