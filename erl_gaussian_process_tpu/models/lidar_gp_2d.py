@@ -439,12 +439,16 @@ class LidarGaussianProcess2D:
         return LidarGP2DTestResult(self, angles, angles_are_local, un_map)
 
     def compute_occ(self, pos_local: np.ndarray):
-        """Occupancy test for local positions (n, 2) — vectorized version of
-        the reference's per-point ComputeOcc (src/lidar_gp_2d.cpp:428-459):
+        """Occupancy test — vectorized version of the reference's
+        per-point ComputeOcc (src/lidar_gp_2d.cpp:428-459):
         occ = 2 / (1 + exp(dist·T·(r̂ - map(dist)))) - 1, gated on variance.
 
-        Returns (valid (n,), dist (n,), range_pred (n,), occ (n,)).
+        A single point (2,) returns the reference binding's dict
+        {success, dist_pos, range_pred, occ} of scalars
+        (bind_lidar_gp_2d.cpp:97-108); a batch (n, 2) returns the
+        vectorized tuple (valid (n,), dist (n,), range_pred (n,), occ (n,)).
         """
+        single = np.asarray(pos_local).ndim == 1
         p = np.atleast_2d(np.asarray(pos_local, self.dtype))
         dist = np.linalg.norm(p, axis=-1)
         ang = np.arctan2(p[:, 1], p[:, 0])
@@ -461,6 +465,10 @@ class LidarGaussianProcess2D:
         # 2/(1+e^z)-1 == -tanh(z/2): saturates instead of overflowing exp
         occ = -np.tanh(0.5 * a * (mean - mapped))
         range_pred = np.asarray(self.mapping.inv(mean))
+        if single:
+            return {"success": bool(valid[0]), "dist_pos": float(dist[0]),
+                    "range_pred": float(range_pred[0]),
+                    "occ": float(occ[0])}
         return valid, dist, range_pred, occ
 
     def get_memory_usage(self) -> int:

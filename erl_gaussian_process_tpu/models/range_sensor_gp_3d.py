@@ -389,7 +389,11 @@ class RangeSensorGaussianProcess3D:
 
     def compute_occ(self, pos_local: np.ndarray):
         """Vectorized ComputeOcc (reference src/range_sensor_gp_3d.cpp:409-439).
-        pos_local (n, 3). Returns (valid, dist, range_pred, occ)."""
+        pos_local (n, 3) returns (valid, dist, range_pred, occ); a single
+        point (3,) returns the reference binding's dict {success,
+        dist_pos, range_pred, occ} of scalars
+        (bind_range_sensor_gp_3d.cpp:115-126)."""
+        single = np.asarray(pos_local).ndim == 1
         p = np.atleast_2d(np.asarray(pos_local, self.dtype))
         dist = np.linalg.norm(p, axis=-1)
         dirs = p / np.where(dist > 0, dist, 1.0)[:, None]
@@ -408,6 +412,10 @@ class RangeSensorGaussianProcess3D:
         # 2/(1+e^z)-1 == -tanh(z/2): saturates instead of overflowing exp
         occ = -np.tanh(0.5 * a * (mean - mapped))
         range_pred = np.asarray(self.mapping.inv(mean))
+        if single:
+            return {"success": bool(valid[0]), "dist_pos": float(dist[0]),
+                    "range_pred": float(range_pred[0]),
+                    "occ": float(occ[0])}
         return valid, dist, range_pred, occ
 
     def get_memory_usage(self) -> int:

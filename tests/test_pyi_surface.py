@@ -215,3 +215,35 @@ def test_store_data_then_train_3d():
     gp.reset()
     assert not gp.is_trained and gp.bank is None
     assert gp.num_partitions == (R, C)
+
+
+def test_compute_occ_single_point_returns_reference_dict():
+    """Reference binding shape: compute_occ(single point) -> dict
+    {success, dist_pos, range_pred, occ} (bind_lidar_gp_2d.cpp:97-108)."""
+    from erl_gaussian_process_tpu.geometry.lidar_frame_2d import (
+        LidarFrame2DSetting,
+    )
+    from erl_gaussian_process_tpu.models.lidar_gp_2d import (
+        LidarGaussianProcess2D,
+        LidarGP2DSetting,
+    )
+    from erl_gaussian_process_tpu.models.mapping import (
+        MappingSetting,
+        MappingType,
+    )
+
+    s = LidarGP2DSetting(
+        sensor_frame=LidarFrame2DSetting(num_rays=120, angle_min=-2.0,
+                                         angle_max=2.0),
+        mapping=MappingSetting(type=MappingType.IDENTITY))
+    gp = LidarGaussianProcess2D(s, dtype=np.float64)
+    ang = gp.sensor_frame.angles_in_frame
+    ranges = 2.0 + 0.2 * np.sin(2 * ang)
+    assert gp.train(np.eye(2), np.zeros(2), ranges)
+    out = gp.compute_occ(np.array([1.0, 0.0]))  # well inside the scan
+    assert set(out) == {"success", "dist_pos", "range_pred", "occ"}
+    assert out["success"] and out["occ"] < -0.9  # free space at half range
+    assert abs(out["dist_pos"] - 1.0) < 1e-12
+    # batch form unchanged
+    v, d, rp, occ = gp.compute_occ(np.array([[1.0, 0.0], [0.0, 1.0]]))
+    assert v.shape == (2,)
