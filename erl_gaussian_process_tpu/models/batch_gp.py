@@ -132,7 +132,9 @@ def bank_predict(state: BankState, xq, scale, *, kernel: str,
         # else L (triangular solve)
         at = W @ kt if state.L_inv is not None else whiten(W, kt)
         s = jnp.sum(at * at, axis=0)
-        return mean, (s if reduced_rank else 1.0 - s)
+        # clamp: X3-class whitening can overshoot ||at||^2 past 1 by ~1e-5
+        # near training points; a negative variance NaNs downstream sqrts
+        return mean, (s if reduced_rank else jnp.maximum(0.0, 1.0 - s))
 
     W = state.L_inv if state.L_inv is not None else state.L
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
@@ -159,7 +161,7 @@ def _predict_segmented(state: BankState, mids, qs, scale, *, kernel: str,
         mean = kt.T @ alpha                                    # (C, q)
         at = W @ kt if fused else whiten(W, kt)
         s = jnp.sum(at * at, axis=0)
-        return mean, (s if reduced_rank else 1.0 - s)
+        return mean, (s if reduced_rank else jnp.maximum(0.0, 1.0 - s))
 
     return jax.vmap(one)(xs, ms, Ws, als, qs)
 

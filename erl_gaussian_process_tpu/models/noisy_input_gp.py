@@ -180,9 +180,13 @@ def _varcov_from_whitened(at, ktest, scale, d: int, reduced_rank: bool):
     m = ktest.shape[1] // (1 + d)
     cols = at.T.reshape(1 + d, m, -1)              # (1+d, m, N)
     sq = jnp.sum(cols * cols, axis=-1)             # (1+d, m)
-    mean_var = sq[0] if reduced_rank else 1.0 - sq[0]
+    # clamped at 0 like gp_core.variance_from_whitened: X3-class whitening
+    # can overshoot the prior by ~1e-5 near training points, and a negative
+    # variance NaNs any downstream sqrt
+    mean_var = sq[0] if reduced_rank else jnp.maximum(0.0, 1.0 - sq[0])
     gvar_prior = gradient_prior_variance(scale)
-    grad_var = sq[1:].T if reduced_rank else gvar_prior - sq[1:].T
+    grad_var = (sq[1:].T if reduced_rank
+                else jnp.maximum(0.0, gvar_prior - sq[1:].T))
     sign = 1.0 if reduced_rank else -1.0
     covs = []
     for j in range(d):

@@ -202,7 +202,10 @@ def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
         # amortized over every query (pseudo points are fixed)
         beta = state.L_inv @ kmean
         gamma = solve_triangular(L_qm, kmean, lower=True)
-        var = 1.0 - jnp.sum(beta * beta, axis=0) + jnp.sum(gamma * gamma, axis=0)
+        # clamp like gp_core.variance_from_whitened: X3-class whitening can
+        # push 1 - ||beta||^2 slightly negative near pseudo points
+        var = jnp.maximum(0.0, 1.0 - jnp.sum(beta * beta, axis=0)
+                          + jnp.sum(gamma * gamma, axis=0))
     return mean, grad, var
 
 

@@ -88,7 +88,26 @@ def pallas_chol_enabled(dtype, n: int) -> bool:
 
 def _elim2d(aug_ref, sb: int):
     """Augmented elimination [D | I] -> [L^T | L^{-1}] on an (sb, 2*sb)
-    VMEM ref — the 2D single-matrix form of pallas_bank._elimination."""
+    VMEM ref — the 2D single-matrix form of pallas_bank._elimination.
+
+    Rejected variants (both measured on v5e, benchmarks/profile_chol.py;
+    kept here so they are not re-tried):
+
+    - Quarter-limited updates: restricting the rank-1 update to the
+      quarter-panel containing rows > j via four `pl.when` regions of
+      different static shapes. Mosaic compiles the predicated multi-shape
+      stores inside the serial while_loop into a ~1000x slowdown (n=2048
+      chol: <1 ms -> 550 ms device time) — predication does not skip
+      work here, it serializes the store pipeline. The full-panel update
+      with lcol masked to rows > j is the fast form.
+    - Symmetric-pivot-column transpose: the trailing D block stays
+      bitwise symmetric under the rank-1 update, so the pivot column is
+      the pivot row transposed — but the per-iteration (1, sb) ->
+      (sb, 1) relayout (lane -> sublane movement) costs MORE than the
+      (sb, sb) masked reduce it replaces: chol n=8192 7.39 -> 9.01 ms,
+      n=6144 4.05 -> 5.28 ms (device slope). Cross-lane reduces are
+      cheap on the VPU; cross-dimension relayouts are not.
+    """
     W = 2 * sb
 
     def body(j):

@@ -319,12 +319,21 @@ def test_pallas_chol_parity_tpu():
 
 def test_blocked_solve_matches_trsm():
     """The GEMM-only block forward substitution (wide-RHS whitening path)
-    must match scipy's triangular solve. Runs on CPU at exact f32."""
+    must match scipy's triangular solve. On CPU the GEMMs run at exact f32
+    ('highest'), so the bound checks the ALGORITHM at 1e-5. On TPU
+    (`ERL_GP_TEST_TPU=1`) the f32_matmul dispatch uses the 3-pass bf16
+    algorithm: each product drops the lo*lo term (~eps_bf16^2 ~ 6e-5
+    relative), which accumulates over the dot length and amplifies
+    through the substitution chain — measured max rel error 4.1e-3 at
+    n=256 (v5e). The on-chip bound pins that accuracy CLASS with ~5x
+    headroom; posterior-grade acceptance of the X3 tradeoff is pinned
+    end-to-end by the f32-vs-f64 posterior regression test instead."""
     import scipy.linalg as sla
     from erl_gaussian_process_tpu.ops.blocked_solve import (
         blocked_solve_lower,
     )
 
+    tol = 1e-5 if jax.default_backend() != "tpu" else 2e-2
     rng = np.random.default_rng(7)
     for n in (256, 640):   # exercises block picks 256 and 128
         X = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
@@ -334,7 +343,8 @@ def test_blocked_solve_matches_trsm():
         got = np.asarray(blocked_solve_lower(jnp.asarray(L),
                                              jnp.asarray(B)))
         ref = sla.solve_triangular(L.astype(np.float64), B, lower=True)
-        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < tol, rel
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
@@ -378,3 +388,34 @@ def test_pallas_chol_gram_parity_tpu():
         mu, mu_ref = kt.T @ a, kt.T @ a_ref
         mae = np.abs(mu - mu_ref).mean()
         assert mae < 2e-3, (fam, mae)
+
+
+def test_elim2d_interpret_parity():
+    """The streaming-Cholesky elimination base case ([D|I] -> [L^T|L^-1])
+    against numpy, in interpret mode — pins ops/pallas_chol._elim2d on a
+    backend where the TPU-only kernel parity tests skip."""
+    from jax.experimental import pallas as pl
+
+    from erl_gaussian_process_tpu.ops.pallas_chol import _SB, _elim2d
+
+    def kern(aug_in, aug_out, aug_scratch):
+        aug_scratch[:, :] = aug_in[:, :]
+        _elim2d(aug_scratch, _SB)
+        aug_out[:, :] = aug_scratch[:, :]
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((_SB, _SB)).astype(np.float32)
+    D = (X @ X.T + _SB * np.eye(_SB)).astype(np.float32)
+    aug = np.concatenate([D, np.eye(_SB, dtype=np.float32)], axis=1)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((_SB, 2 * _SB), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_SB, 2 * _SB), jnp.float32)],
+        interpret=True,
+    )(jnp.asarray(aug))
+    out = np.asarray(out, np.float64)
+    L = np.tril(out[:, :_SB].T)
+    L_inv = out[:, _SB:]
+    L_ref = np.linalg.cholesky(D.astype(np.float64))
+    assert np.abs(L - L_ref).max() / np.abs(L_ref).max() < 1e-5
+    assert np.abs(L_inv @ L - np.eye(_SB)).max() < 1e-4
