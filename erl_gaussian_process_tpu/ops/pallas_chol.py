@@ -175,12 +175,29 @@ def _factor_tile(acc_ref, aug_ref, l_buf, i_buf):
 
 
 def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
-               zbuf, sems):
-    """Shared per-tile work after ``acc`` holds A[i, j]: subtract the
-    prefix products, then factor (diag) or solve (off-diag) and write."""
+               zbuf, sems, wait_input):
+    """Shared per-tile work: ``wait_input()`` must finish materializing
+    A[i, j] into ``acc`` (DMA wait or in-kernel gram build); it is called
+    AFTER the first prefix-pair DMA is in flight so that transfer hides
+    behind the input. Then subtract the prefix products, factor (diag) or
+    solve (off-diag), and write.
+
+    Per-offdiag-tile fixed cost is the kernel's bound (measured v5e,
+    benchmarks/profile_chol.py: 49.8 us/tile against ~6 us of solve MXU
+    work + ~2.5 us of tile DMA at n=8192 — 80% of total kernel time), so
+    this step avoids every avoidable serial DMA: Dinv[j] for the solve is
+    read directly from ``i_buf``, which STILL HOLDS the factorization
+    output of this column's diagonal step (column-major order; offdiag
+    steps never write i_buf) instead of round-tripping through HBM."""
     T = acc.shape[0]
 
-    # prefetched p-loop: Acc -= L[i,p] @ L[j,p]^T, next pair in flight
+    # prefetched p-loop: Acc -= L[i,p] @ L[j,p]^T, with a FOUR-pair-deep
+    # prefetch window. Depth matters more than anything else here: one
+    # DMA stream sustains only ~120 GB/s on v5e (measured, strided OR
+    # contiguous — benchmarks/profile_chol.py history), so the 2 MB/pair
+    # prefix stream at depth 2 ran at ~240 GB/s aggregate = 8.3 us/pair,
+    # 5x the ~2 us bf16x3 dot it feeds. Six-plus concurrent copies
+    # saturate the ~819 GB/s HBM interface.
     def start_pair(p, slot):
         pltpu.make_async_copy(
             l_any.at[pl.ds(i * T, T), pl.ds(p * T, T)],
@@ -197,16 +214,26 @@ def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
             l_any.at[pl.ds(j * T, T), pl.ds(p * T, T)],
             bj.at[slot], sems.at[2 * slot + 1]).wait()
 
+    # pairs 0..2 pre-started. The static range must stay inside the
+    # array: prefix index p < j <= nb-1, so p <= nb-2 — a concrete p
+    # beyond that fails trace-time bounds validation even under pl.when.
+    nb = l_any.shape[0] // T
+    for q in range(min(3, max(nb - 1, 0))):
+        @pl.when(np.int32(q) < j)
+        def _(q=np.int32(q)):
+            start_pair(q, q)
+
+    wait_input()
+
     @pl.when(j > 0)
     def _():
-        start_pair(_Z, _Z)
-
         def body(p):
-            slot = jax.lax.rem(p, np.int32(2))
+            slot = jax.lax.rem(p, np.int32(4))
 
-            @pl.when(p + 1 < j)
+            @pl.when(p + 3 < j)
             def _():
-                start_pair(p + np.int32(1), np.int32(1) - slot)
+                start_pair(p + np.int32(3),
+                           jax.lax.rem(p + np.int32(3), np.int32(4)))
 
             wait_pair(p, slot)
             acc[:, :] = acc[:, :] - _dot3x(bi[slot], bj[slot],
@@ -218,32 +245,50 @@ def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
     @pl.when(i == j)
     def _():
         _factor_tile(acc, aug, l_buf, i_buf)
-        out_l = pltpu.make_async_copy(
-            l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], sems.at[_Z])
-        out_i = pltpu.make_async_copy(
-            i_buf, dinv_any.at[pl.ds(j * T, T), :], sems.at[_ONE])
-        out_l.start()
-        out_i.start()
-        out_l.wait()
-        out_i.wait()
 
     @pl.when(i != j)
     def _():
-        # Dinv[j] was written by this column's diagonal step
-        ld = pltpu.make_async_copy(dinv_any.at[pl.ds(j * T, T), :],
-                                   bi.at[_Z], sems.at[_Z])
-        ld.start()
-        ld.wait()
-        l_buf[:, :] = _dot3x(acc[:, :], bi[_Z], dims=_NN_DIMS)
-        out_l = pltpu.make_async_copy(
-            l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], sems.at[_Z])
-        # zero the mirrored strict-upper tile so L comes back clean
-        out_z = pltpu.make_async_copy(
-            zbuf, l_any.at[pl.ds(j * T, T), pl.ds(i * T, T)], sems.at[_ONE])
-        out_l.start()
-        out_z.start()
-        out_l.wait()
-        out_z.wait()
+        # Dinv[j] still lives in i_buf from this column's diagonal step
+        l_buf[:, :] = _dot3x(acc[:, :], i_buf[:, :], dims=_NN_DIMS)
+
+    # start both output writes WITHOUT waiting — the next grid step waits
+    # them first thing (_wait_writes), so the ~2 MB of HBM stores overlap
+    # the next step's input wait + prefix instead of stalling this one.
+    # The descriptors are reconstructible from (i, j) alone, which is how
+    # the next step (reading ti/tj at t-1) can wait them.
+    pltpu.make_async_copy(
+        l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)],
+        sems.at[np.int32(8)]).start()
+    _start_or_wait_aux(i, j, l_any, dinv_any, i_buf, zbuf, sems, T,
+                       wait=False)
+
+
+def _start_or_wait_aux(i, j, l_any, dinv_any, i_buf, zbuf, sems, T, *,
+                       wait: bool):
+    """Second output DMA (sem 6): Dinv[j] for diag steps, the zero
+    mirror tile for offdiag steps. Descriptor depends on the branch, so
+    select with pl.when on the reconstructed (i, j)."""
+
+    @pl.when(i == j)
+    def _():
+        c = pltpu.make_async_copy(
+            i_buf, dinv_any.at[pl.ds(j * T, T), :], sems.at[np.int32(9)])
+        c.wait() if wait else c.start()
+
+    @pl.when(i != j)
+    def _():
+        c = pltpu.make_async_copy(
+            zbuf, l_any.at[pl.ds(j * T, T), pl.ds(i * T, T)],
+            sems.at[np.int32(9)])
+        c.wait() if wait else c.start()
+
+
+def _wait_writes(i, j, l_any, dinv_any, l_buf, i_buf, zbuf, sems, T):
+    pltpu.make_async_copy(
+        l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)],
+        sems.at[np.int32(8)]).wait()
+    _start_or_wait_aux(i, j, l_any, dinv_any, i_buf, zbuf, sems, T,
+                       wait=True)
 
 
 def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
@@ -251,19 +296,44 @@ def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
     t = pl.program_id(0)
     i = ti_ref[t]
     j = tj_ref[t]
-    T = acc.shape[0]
+    T = acc.shape[1]
+    nt = np.int32(ti_ref.shape[0])
+    slot = jax.lax.rem(t, np.int32(2))
+
+    def a_load(ii, jj, sl):
+        return pltpu.make_async_copy(
+            a_any.at[pl.ds(ii * T, T), pl.ds(jj * T, T)], acc.at[sl],
+            sems.at[np.int32(10) + sl])
 
     @pl.when(t == 0)
     def _():
         # scratch VMEM is NOT zero-initialized; zbuf persists across steps
         zbuf[:, :] = jnp.zeros_like(zbuf)
+        a_load(i, j, _Z).start()
 
-    load = pltpu.make_async_copy(
-        a_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], acc, sems.at[_Z])
-    load.start()
-    load.wait()
-    _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
-               zbuf, sems)
+    # wait the PREVIOUS step's deferred output writes before anything
+    # reads or rewrites l_buf / l_any (1-step deferral: the tightest
+    # write->read gap in column-major order is exactly one step — the
+    # last diag step reads L[nb-1, nb-2] written one step earlier)
+    @pl.when(t > 0)
+    def _():
+        _wait_writes(ti_ref[t - 1], tj_ref[t - 1], l_any, dinv_any,
+                     l_buf, i_buf, zbuf, sems, T)
+
+    # prefetch the NEXT step's A tile into the other acc slot
+    @pl.when(t + 1 < nt)
+    def _():
+        a_load(ti_ref[t + 1], tj_ref[t + 1],
+               np.int32(1) - slot).start()
+
+    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj, l_buf, i_buf,
+               aug, zbuf, sems,
+               wait_input=a_load(i, j, slot).wait)
+
+    # final drain: nothing follows to absorb the last step's writes
+    @pl.when(t == nt - 1)
+    def _():
+        _wait_writes(i, j, l_any, dinv_any, l_buf, i_buf, zbuf, sems, T)
 
 
 def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
@@ -277,44 +347,72 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
     t = pl.program_id(0)
     i = ti_ref[t]
     j = tj_ref[t]
-    T = acc.shape[0]
+    T = acc.shape[1]
+    nt = np.int32(ti_ref.shape[0])
+    slot = jax.lax.rem(t, np.int32(2))
+
+    # coordinate-slice DMAs: double-buffered slots with dedicated sems
+    # 10..15 (3 per slot); sems 0..7 = prefix pairs, 8/9 = deferred writes
+    def slice_copies(ii, jj, sl):
+        base = np.int32(10) + sl * np.int32(3)
+        return (
+            pltpu.make_async_copy(xc_any.at[pl.ds(ii * T, T), :],
+                                  xi_s.at[sl], sems.at[base]),
+            pltpu.make_async_copy(xr_any.at[:, pl.ds(jj * T, T)],
+                                  xj_s.at[sl], sems.at[base + 1]),
+            pltpu.make_async_copy(var_any.at[:, pl.ds(jj * T, T)],
+                                  vj_s.at[sl], sems.at[base + 2]),
+        )
 
     @pl.when(t == 0)
     def _():
         zbuf[:, :] = jnp.zeros_like(zbuf)
+        for c in slice_copies(i, j, slot):   # slot == 0 at t == 0
+            c.start()
 
-    c_xi = pltpu.make_async_copy(xc_any.at[pl.ds(i * T, T), :], xi_s,
-                                 sems.at[_Z])
-    c_xj = pltpu.make_async_copy(xr_any.at[:, pl.ds(j * T, T)], xj_s,
-                                 sems.at[_ONE])
-    c_vj = pltpu.make_async_copy(var_any.at[:, pl.ds(j * T, T)], vj_s,
-                                 sems.at[np.int32(2)])
-    c_xi.start()
-    c_xj.start()
-    c_vj.start()
-    c_xi.wait()
-    c_xj.wait()
-    c_vj.wait()
-    r2 = jnp.zeros((T, T), acc.dtype)
-    for k in range(d):
-        diff = xi_s[:, k:k + 1] - xj_s[k:k + 1, :]
-        r2 = r2 + diff * diff
-    # Far-point rows sit at (i+2)*1e15; once two masked rows are >~18400
-    # apart diff^2 overflows f32 to inf, and matern32's (1+cr)*exp(-cr)
-    # would evaluate inf*0 = NaN. Clamp to a finite huge r2 (exp(-sqrt(
-    # 1e30)/s) underflows to exactly 0 for every family, which is the
-    # intended masked-off-diagonal value).
-    r2 = jnp.minimum(r2, acc.dtype.type(1e30))
-    acc[:, :] = _apply_family(fam, r2, scale_ref[0, 0])
-
-    @pl.when(i == j)
+    @pl.when(t > 0)
     def _():
-        sub = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        acc[:, :] = acc[:, :] + jnp.where(sub == lane, vj_s[:1, :], 0.0)
+        _wait_writes(ti_ref[t - 1], tj_ref[t - 1], l_any, dinv_any,
+                     l_buf, i_buf, zbuf, sems, T)
 
-    _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
-               zbuf, sems)
+    @pl.when(t + 1 < nt)
+    def _():
+        for c in slice_copies(ti_ref[t + 1], tj_ref[t + 1],
+                              np.int32(1) - slot):
+            c.start()
+
+    def build_gram():
+        for c in slice_copies(i, j, slot):
+            c.wait()
+        xi = xi_s[slot]                      # (T, 128)
+        xj = xj_s[slot]                      # (8, T)
+        vj = vj_s[slot]                      # (8, T)
+        r2 = jnp.zeros((T, T), jnp.float32)
+        for k in range(d):
+            diff = xi[:, k:k + 1] - xj[k:k + 1, :]
+            r2 = r2 + diff * diff
+        # Far-point rows sit at (i+2)*1e15; once two masked rows are
+        # >~18400 apart diff^2 overflows f32 to inf, and matern32's
+        # (1+cr)*exp(-cr) would evaluate inf*0 = NaN. Clamp to a finite
+        # huge r2 (exp(-sqrt(1e30)/s) underflows to exactly 0 for every
+        # family, which is the intended masked-off-diagonal value).
+        r2 = jnp.minimum(r2, jnp.float32(1e30))
+        accs = acc.at[slot]
+        accs[:, :] = _apply_family(fam, r2, scale_ref[0, 0])
+
+        @pl.when(i == j)
+        def _():
+            sub = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+            accs[:, :] = accs[:, :] + jnp.where(sub == lane, vj[:1, :],
+                                                0.0)
+
+    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj, l_buf, i_buf,
+               aug, zbuf, sems, wait_input=build_gram)
+
+    @pl.when(t == nt - 1)
+    def _():
+        _wait_writes(i, j, l_any, dinv_any, l_buf, i_buf, zbuf, sems, T)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -338,26 +436,31 @@ def _chol_padded(A, ti, tj, *, tile: int):
             pl.BlockSpec((nt,), lambda t: (_Z,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n, n), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((n, n), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
             pl.BlockSpec((n, tile), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, tile), jnp.float32),       # acc
-            pltpu.VMEM((2, tile, tile), jnp.float32),    # bi (2 slots)
-            pltpu.VMEM((2, tile, tile), jnp.float32),    # bj
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # acc (2 slots)
+            pltpu.VMEM((4, tile, tile), jnp.float32),    # bi (4 slots)
+            pltpu.VMEM((4, tile, tile), jnp.float32),    # bj
             pltpu.VMEM((tile, tile), jnp.float32),       # l_buf
             pltpu.VMEM((tile, tile), jnp.float32),       # i_buf
             pltpu.VMEM((_SB, 2 * _SB), jnp.float32),     # aug
             pltpu.VMEM((tile, tile), jnp.float32),       # zbuf (zeros)
-            pltpu.SemaphoreType.DMA((4,)),
+            # 0..7 prefix pairs, 8 out_l, 9 out_aux, 10..11 input slots
+            pltpu.SemaphoreType.DMA((12,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # scratch (~15.6 MB at tile=512 with the 4-slot prefix
+            # window + double-buffered inputs) exceeds the default 16 MB
+            # scoped-vmem budget once the compiler adds its own overhead
+            vmem_limit_bytes=48 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=n * n * n // 3,
             bytes_accessed=(n * n * n // (3 * tile)) * 4 * 2,
@@ -437,33 +540,37 @@ def _chol_gram_padded(scale, xc, xr, vr, ti, tj, *, fam: str, d: int,
             pl.BlockSpec((1, 1), lambda t: (_Z, _Z),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n, 128), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
             pl.BlockSpec((8, n), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
             pl.BlockSpec((8, n), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((n, n), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
             pl.BlockSpec((n, tile), lambda t: (_Z, _Z),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, tile), jnp.float32),       # acc
-            pltpu.VMEM((2, tile, tile), jnp.float32),    # bi (2 slots)
-            pltpu.VMEM((2, tile, tile), jnp.float32),    # bj
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # acc (2 slots)
+            pltpu.VMEM((4, tile, tile), jnp.float32),    # bi (4 slots)
+            pltpu.VMEM((4, tile, tile), jnp.float32),    # bj
             pltpu.VMEM((tile, tile), jnp.float32),       # l_buf
             pltpu.VMEM((tile, tile), jnp.float32),       # i_buf
             pltpu.VMEM((_SB, 2 * _SB), jnp.float32),     # aug
             pltpu.VMEM((tile, tile), jnp.float32),       # zbuf (zeros)
-            pltpu.VMEM((tile, 128), jnp.float32),        # xi slice
-            pltpu.VMEM((8, tile), jnp.float32),          # xj slice
-            pltpu.VMEM((8, tile), jnp.float32),          # var slice
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, tile, 128), jnp.float32),     # xi slices
+            pltpu.VMEM((2, 8, tile), jnp.float32),       # xj slices
+            pltpu.VMEM((2, 8, tile), jnp.float32),       # var slices
+            # 0..7 prefix pairs, 8 out_l, 9 out_aux, 10..15 slice slots
+            pltpu.SemaphoreType.DMA((16,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # see _chol_padded: 4-slot prefix window + double-buffered
+            # acc/coordinate slices exceed the default 16 MB scoped vmem
+            vmem_limit_bytes=48 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=n * n * n // 3,
             bytes_accessed=(n * n * n // (3 * tile)) * 4 * 2,
