@@ -174,21 +174,45 @@ def _factor_tile(acc_ref, aug_ref, l_buf, i_buf):
     return
 
 
-def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
-               zbuf, sems, wait_input):
-    """Shared per-tile work: ``wait_input()`` must finish materializing
-    A[i, j] into ``acc`` (DMA wait or in-kernel gram build); it is called
-    AFTER the first prefix-pair DMA is in flight so that transfer hides
-    behind the input. Then subtract the prefix products, factor (diag) or
-    solve (off-diag), and write.
+def _prestart_pairs(i, j, l_any, bi, bj, sems, T):
+    """Start prefix pairs 0..2 (the head of the 4-deep window). The
+    static range must stay inside the array: prefix index p < j <= nb-1,
+    so p <= nb-2 — a concrete p beyond that fails trace-time bounds
+    validation even under pl.when."""
+    nb = l_any.shape[0] // T
+    for q in range(min(3, max(nb - 1, 0))):
+        @pl.when(np.int32(q) < j)
+        def _(q=np.int32(q)):
+            pltpu.make_async_copy(
+                l_any.at[pl.ds(i * T, T), pl.ds(q * T, T)],
+                bi.at[q], sems.at[np.int32(2 * q)]).start()
+            pltpu.make_async_copy(
+                l_any.at[pl.ds(j * T, T), pl.ds(q * T, T)],
+                bj.at[q], sems.at[np.int32(2 * q + 1)]).start()
+
+
+def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, lb, i_buf, aug,
+               zbuf, sems, wait_input, wl, wa):
+    """Shared per-tile work. The caller must have ALREADY called
+    ``_prestart_pairs`` (ordering differs between diag and offdiag steps
+    — see the kernel's hazard table) and ``wait_input()`` must finish
+    materializing A[i, j] into ``acc`` (DMA wait or in-kernel gram
+    build). Then subtract the prefix products, factor (diag) or solve
+    (off-diag), and start the output writes on sems ``wl``/``wa``
+    (this step's parity) WITHOUT waiting — see the kernel for the
+    two-step deferral that gives each ~2 MB store a full grid step to
+    drain. ``lb`` is this parity's l_buf slot.
 
     Per-offdiag-tile fixed cost is the kernel's bound (measured v5e,
-    benchmarks/profile_chol.py: 49.8 us/tile against ~6 us of solve MXU
-    work + ~2.5 us of tile DMA at n=8192 — 80% of total kernel time), so
-    this step avoids every avoidable serial DMA: Dinv[j] for the solve is
-    read directly from ``i_buf``, which STILL HOLDS the factorization
-    output of this column's diagonal step (column-major order; offdiag
-    steps never write i_buf) instead of round-tripping through HBM."""
+    benchmarks/profile_chol.py: 49.8 us/tile before pipelining, 37.6
+    after one-step write deferral, against ~6 us of solve MXU work +
+    ~2.5 us of tile DMA at n=8192), so this step avoids every avoidable
+    serial DMA: Dinv[j] for the solve is read directly from ``i_buf``,
+    which STILL HOLDS the factorization output of this column's diagonal
+    step (column-major order; offdiag steps never write i_buf) instead
+    of round-tripping through HBM. Tile=1024 was measured and rejected
+    (8.10 vs 7.32 ms at n=8192: bigger tiles lengthen the serial
+    factor/solve critical path more than they save in step overhead)."""
     T = acc.shape[0]
 
     # prefetched p-loop: Acc -= L[i,p] @ L[j,p]^T, with a FOUR-pair-deep
@@ -214,15 +238,6 @@ def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
             l_any.at[pl.ds(j * T, T), pl.ds(p * T, T)],
             bj.at[slot], sems.at[2 * slot + 1]).wait()
 
-    # pairs 0..2 pre-started. The static range must stay inside the
-    # array: prefix index p < j <= nb-1, so p <= nb-2 — a concrete p
-    # beyond that fails trace-time bounds validation even under pl.when.
-    nb = l_any.shape[0] // T
-    for q in range(min(3, max(nb - 1, 0))):
-        @pl.when(np.int32(q) < j)
-        def _(q=np.int32(q)):
-            start_pair(q, q)
-
     wait_input()
 
     @pl.when(j > 0)
@@ -244,51 +259,93 @@ def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, l_buf, i_buf, aug,
 
     @pl.when(i == j)
     def _():
-        _factor_tile(acc, aug, l_buf, i_buf)
+        _factor_tile(acc, aug, lb, i_buf)
 
     @pl.when(i != j)
     def _():
         # Dinv[j] still lives in i_buf from this column's diagonal step
-        l_buf[:, :] = _dot3x(acc[:, :], i_buf[:, :], dims=_NN_DIMS)
+        lb[:, :] = _dot3x(acc[:, :], i_buf[:, :], dims=_NN_DIMS)
 
-    # start both output writes WITHOUT waiting — the next grid step waits
-    # them first thing (_wait_writes), so the ~2 MB of HBM stores overlap
-    # the next step's input wait + prefix instead of stalling this one.
-    # The descriptors are reconstructible from (i, j) alone, which is how
-    # the next step (reading ti/tj at t-1) can wait them.
-    pltpu.make_async_copy(
-        l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)],
-        sems.at[np.int32(8)]).start()
-    _start_or_wait_aux(i, j, l_any, dinv_any, i_buf, zbuf, sems, T,
-                       wait=False)
+    _start_or_wait_writes(i, j, l_any, dinv_any, lb, i_buf, zbuf, sems,
+                          T, wl, wa, wait=False)
 
 
-def _start_or_wait_aux(i, j, l_any, dinv_any, i_buf, zbuf, sems, T, *,
-                       wait: bool):
-    """Second output DMA (sem 6): Dinv[j] for diag steps, the zero
-    mirror tile for offdiag steps. Descriptor depends on the branch, so
-    select with pl.when on the reconstructed (i, j)."""
+def _start_or_wait_writes(i, j, l_any, dinv_any, lb, i_buf, zbuf, sems,
+                          T, wl, wa, *, wait: bool):
+    """Start (or wait) one step's two output DMAs: the L tile from this
+    parity's l_buf slot on sem ``wl``, plus on sem ``wa`` either Dinv[j]
+    (diag steps) or the zero mirror tile (offdiag steps). Descriptors are
+    reconstructible from (i, j, parity) alone, which is how a LATER grid
+    step (reading the tile tables at t-1 / t-2) can wait them."""
+    c = pltpu.make_async_copy(
+        lb, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)], sems.at[wl])
+    c.wait() if wait else c.start()
 
     @pl.when(i == j)
     def _():
         c = pltpu.make_async_copy(
-            i_buf, dinv_any.at[pl.ds(j * T, T), :], sems.at[np.int32(9)])
+            i_buf, dinv_any.at[pl.ds(j * T, T), :], sems.at[wa])
         c.wait() if wait else c.start()
 
     @pl.when(i != j)
     def _():
         c = pltpu.make_async_copy(
             zbuf, l_any.at[pl.ds(j * T, T), pl.ds(i * T, T)],
-            sems.at[np.int32(9)])
+            sems.at[wa])
         c.wait() if wait else c.start()
 
 
-def _wait_writes(i, j, l_any, dinv_any, l_buf, i_buf, zbuf, sems, T):
-    pltpu.make_async_copy(
-        l_buf, l_any.at[pl.ds(i * T, T), pl.ds(j * T, T)],
-        sems.at[np.int32(8)]).wait()
-    _start_or_wait_aux(i, j, l_any, dinv_any, i_buf, zbuf, sems, T,
-                       wait=True)
+def _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
+                    i_buf, zbuf, sems, T, slot, wl, wa, pwl, pwa,
+                    prestart):
+    """Two-step write-deferral schedule, shared by both kernels.
+
+    Each step starts its ~2 MB of output stores without waiting; the
+    wait happens up to TWO steps later so the store has a full grid step
+    to drain (the one-step scheme exposed the store's ~17 us latency on
+    every step: the wait was the very next thing executed). l_buf is
+    double-buffered by step parity to keep the DMA source alive.
+
+    Exactly-once wait schedule (write at step w is waited at):
+      - w+1, iff step w+1 is a diagonal step        (cond_b here)
+      - w+2, iff step w+1 is an off-diagonal step   (cond_a here)
+    Both precede the next same-parity store start (end of step w+2).
+
+    Hazard table for starting the prefix pairs BEFORE the waits
+    (offdiag steps only — this overlaps pair-0 DMA latency with the
+    write waits): an offdiag step (i, j) prefix-reads rows {i, j} of
+    columns p < j. Writes still in flight at that moment are from t-1
+    and t-2, which both target column j (first offdiag of a column:
+    t-1 = (j, j) and t-2 was already drained by the diag's cond_b;
+    later offdiags: both in column j) or the never-read strict-upper
+    mirror — never a read tile. Diagonal steps DO read column j-1
+    (tile (j, j-1), written at t-1 when j = nb-1, at t-2 when
+    j = nb-2) and overwrite i_buf whose Dinv DMA may be in flight, so
+    they drain BOTH parities before prestarting."""
+    is_diag = i == j
+
+    @pl.when(jnp.logical_not(is_diag))
+    def _():
+        prestart()
+
+    # cond_a: wait t-2 (same parity) — unless t-1 was a diagonal step,
+    # whose cond_b already drained it
+    @pl.when((t > 1) & (ti_ref[t - 1] != tj_ref[t - 1]))
+    def _():
+        _start_or_wait_writes(ti_ref[t - 2], tj_ref[t - 2], l_any,
+                              dinv_any, l_buf.at[slot], i_buf, zbuf,
+                              sems, T, wl, wa, wait=True)
+
+    # cond_b: diagonal steps drain t-1 (other parity)
+    @pl.when(is_diag & (t > 0))
+    def _():
+        _start_or_wait_writes(ti_ref[t - 1], tj_ref[t - 1], l_any,
+                              dinv_any, l_buf.at[np.int32(1) - slot],
+                              i_buf, zbuf, sems, T, pwl, pwa, wait=True)
+
+    @pl.when(is_diag)
+    def _():
+        prestart()
 
 
 def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
@@ -299,6 +356,11 @@ def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
     T = acc.shape[1]
     nt = np.int32(ti_ref.shape[0])
     slot = jax.lax.rem(t, np.int32(2))
+    # write sems by parity: 8/9 (even t), 12/13 (odd t)
+    wl = np.int32(8) + np.int32(4) * slot
+    wa = np.int32(9) + np.int32(4) * slot
+    pwl = np.int32(12) - np.int32(4) * slot
+    pwa = np.int32(13) - np.int32(4) * slot
 
     def a_load(ii, jj, sl):
         return pltpu.make_async_copy(
@@ -311,29 +373,26 @@ def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
         zbuf[:, :] = jnp.zeros_like(zbuf)
         a_load(i, j, _Z).start()
 
-    # wait the PREVIOUS step's deferred output writes before anything
-    # reads or rewrites l_buf / l_any (1-step deferral: the tightest
-    # write->read gap in column-major order is exactly one step — the
-    # last diag step reads L[nb-1, nb-2] written one step earlier)
-    @pl.when(t > 0)
-    def _():
-        _wait_writes(ti_ref[t - 1], tj_ref[t - 1], l_any, dinv_any,
-                     l_buf, i_buf, zbuf, sems, T)
-
     # prefetch the NEXT step's A tile into the other acc slot
     @pl.when(t + 1 < nt)
     def _():
         a_load(ti_ref[t + 1], tj_ref[t + 1],
                np.int32(1) - slot).start()
 
-    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj, l_buf, i_buf,
-               aug, zbuf, sems,
-               wait_input=a_load(i, j, slot).wait)
+    _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
+                    i_buf, zbuf, sems, T, slot, wl, wa, pwl, pwa,
+                    prestart=lambda: _prestart_pairs(i, j, l_any, bi, bj,
+                                                     sems, T))
+
+    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj,
+               l_buf.at[slot], i_buf, aug, zbuf, sems,
+               wait_input=a_load(i, j, slot).wait, wl=wl, wa=wa)
 
     # final drain: nothing follows to absorb the last step's writes
     @pl.when(t == nt - 1)
     def _():
-        _wait_writes(i, j, l_any, dinv_any, l_buf, i_buf, zbuf, sems, T)
+        _start_or_wait_writes(i, j, l_any, dinv_any, l_buf.at[slot],
+                              i_buf, zbuf, sems, T, wl, wa, wait=True)
 
 
 def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
@@ -350,9 +409,15 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
     T = acc.shape[1]
     nt = np.int32(ti_ref.shape[0])
     slot = jax.lax.rem(t, np.int32(2))
+    # write sems by parity: 8/9 (even t), 16/17 (odd t)
+    wl = np.int32(8) + np.int32(8) * slot
+    wa = np.int32(9) + np.int32(8) * slot
+    pwl = np.int32(16) - np.int32(8) * slot
+    pwa = np.int32(17) - np.int32(8) * slot
 
     # coordinate-slice DMAs: double-buffered slots with dedicated sems
-    # 10..15 (3 per slot); sems 0..7 = prefix pairs, 8/9 = deferred writes
+    # 10..15 (3 per slot); sems 0..7 = prefix pairs, 8/9 + 16/17 =
+    # deferred writes by parity
     def slice_copies(ii, jj, sl):
         base = np.int32(10) + sl * np.int32(3)
         return (
@@ -370,16 +435,16 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
         for c in slice_copies(i, j, slot):   # slot == 0 at t == 0
             c.start()
 
-    @pl.when(t > 0)
-    def _():
-        _wait_writes(ti_ref[t - 1], tj_ref[t - 1], l_any, dinv_any,
-                     l_buf, i_buf, zbuf, sems, T)
-
     @pl.when(t + 1 < nt)
     def _():
         for c in slice_copies(ti_ref[t + 1], tj_ref[t + 1],
                               np.int32(1) - slot):
             c.start()
+
+    _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
+                    i_buf, zbuf, sems, T, slot, wl, wa, pwl, pwa,
+                    prestart=lambda: _prestart_pairs(i, j, l_any, bi, bj,
+                                                     sems, T))
 
     def build_gram():
         for c in slice_copies(i, j, slot):
@@ -407,12 +472,14 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
             accs[:, :] = accs[:, :] + jnp.where(sub == lane, vj[:1, :],
                                                 0.0)
 
-    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj, l_buf, i_buf,
-               aug, zbuf, sems, wait_input=build_gram)
+    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj,
+               l_buf.at[slot], i_buf, aug, zbuf, sems,
+               wait_input=build_gram, wl=wl, wa=wa)
 
     @pl.when(t == nt - 1)
     def _():
-        _wait_writes(i, j, l_any, dinv_any, l_buf, i_buf, zbuf, sems, T)
+        _start_or_wait_writes(i, j, l_any, dinv_any, l_buf.at[slot],
+                              i_buf, zbuf, sems, T, wl, wa, wait=True)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -448,19 +515,20 @@ def _chol_padded(A, ti, tj, *, tile: int):
             pltpu.VMEM((2, tile, tile), jnp.float32),    # acc (2 slots)
             pltpu.VMEM((4, tile, tile), jnp.float32),    # bi (4 slots)
             pltpu.VMEM((4, tile, tile), jnp.float32),    # bj
-            pltpu.VMEM((tile, tile), jnp.float32),       # l_buf
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # l_buf (by parity)
             pltpu.VMEM((tile, tile), jnp.float32),       # i_buf
             pltpu.VMEM((_SB, 2 * _SB), jnp.float32),     # aug
             pltpu.VMEM((tile, tile), jnp.float32),       # zbuf (zeros)
-            # 0..7 prefix pairs, 8 out_l, 9 out_aux, 10..11 input slots
-            pltpu.SemaphoreType.DMA((12,)),
+            # 0..7 prefix pairs, 8/9 + 12/13 deferred writes by parity,
+            # 10..11 input slots
+            pltpu.SemaphoreType.DMA((14,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # scratch (~15.6 MB at tile=512 with the 4-slot prefix
-            # window + double-buffered inputs) exceeds the default 16 MB
-            # scoped-vmem budget once the compiler adds its own overhead
-            vmem_limit_bytes=48 * 1024 * 1024),
+            # window + double-buffered inputs, ~52 MB at tile=1024)
+            # exceeds the default 16 MB scoped-vmem budget
+            vmem_limit_bytes=(48 if tile <= 512 else 100) * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=n * n * n // 3,
             bytes_accessed=(n * n * n // (3 * tile)) * 4 * 2,
@@ -556,15 +624,16 @@ def _chol_gram_padded(scale, xc, xr, vr, ti, tj, *, fam: str, d: int,
             pltpu.VMEM((2, tile, tile), jnp.float32),    # acc (2 slots)
             pltpu.VMEM((4, tile, tile), jnp.float32),    # bi (4 slots)
             pltpu.VMEM((4, tile, tile), jnp.float32),    # bj
-            pltpu.VMEM((tile, tile), jnp.float32),       # l_buf
+            pltpu.VMEM((2, tile, tile), jnp.float32),    # l_buf (by parity)
             pltpu.VMEM((tile, tile), jnp.float32),       # i_buf
             pltpu.VMEM((_SB, 2 * _SB), jnp.float32),     # aug
             pltpu.VMEM((tile, tile), jnp.float32),       # zbuf (zeros)
             pltpu.VMEM((2, tile, 128), jnp.float32),     # xi slices
             pltpu.VMEM((2, 8, tile), jnp.float32),       # xj slices
             pltpu.VMEM((2, 8, tile), jnp.float32),       # var slices
-            # 0..7 prefix pairs, 8 out_l, 9 out_aux, 10..15 slice slots
-            pltpu.SemaphoreType.DMA((16,)),
+            # 0..7 prefix pairs, 8/9 + 16/17 deferred writes by parity,
+            # 10..15 slice slots
+            pltpu.SemaphoreType.DMA((18,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
