@@ -7,9 +7,11 @@ components —
         + O * nb*(nb-1)/2   (off-diagonal tiles: solve + DMA)
         + M * nb*(nb^2-1)/6 (prefix MXU products, one per (i,j,p))
 
-with nb = n/512. The n=512 point (one tile) pins D directly; the fit
-tells us which component must shrink for the kernel to approach its
-~4.3 ms HBM/MXU floor estimate at n=8192, and by how much.
+with nb = n/512. The fit tells us which component must shrink for the
+kernel to approach its ~4.3 ms HBM/MXU floor estimate at n=8192, and by
+how much. (Sizes start at n=2560: nb >= 5 is the kernel's structural
+minimum since the slab/panel redesign — the (T, 4T) DMA slices are
+static shapes.)
 
 Wall-clock-per-call timing is useless here: the remote-TPU tunnel adds
 ~30 ms of dispatch+fetch per call that SWAMPS the kernel (measured: the
@@ -39,7 +41,7 @@ def main():
     assert jax.default_backend() == "tpu", jax.devices()
     rng = np.random.default_rng(0)
     rows = []
-    for n in (512, 1024, 2048, 4096, 6144, 8192):
+    for n in (2560, 3072, 4096, 6144, 8192):
         d = 2
         x = rng.uniform(-3, 3, (n, d)).astype(np.float32)
         r2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)

@@ -207,8 +207,10 @@ def sharded_spgp_predict(mesh: Mesh, state: SpGpState, L_qm, alpha_solved,
         mean = kt.T @ a
         beta = L_inv @ kt
         gamma = solve_triangular(L_qm, kt, lower=True)
-        var = (1.0 - jnp.sum(beta * beta, axis=0)
-               + jnp.sum(gamma * gamma, axis=0))
+        # clamp at 0 like the single-chip spgp_predict: X3-class whitening
+        # can push 1 - ||beta||^2 slightly negative near pseudo points
+        var = jnp.maximum(0.0, 1.0 - jnp.sum(beta * beta, axis=0)
+                          + jnp.sum(gamma * gamma, axis=0))
         return mean, var
 
     rep = P()

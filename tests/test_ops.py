@@ -291,8 +291,10 @@ def test_pallas_kernels_trace_i64_free_under_x64():
     # the streaming blocked Cholesky (slot/semaphore indices must be i32:
     # tpu.memref_slice rejects i64 operands, observed on-device)
     from erl_gaussian_process_tpu.ops import pallas_chol
-    A = jnp.eye(1024, dtype=jnp.float32)
-    ti, tj = pallas_chol._tile_tables(2)
+    # nb >= 5 is the kernel's structural minimum (the (T, 4T) slab DMAs
+    # and the bj panel's 4-tile chunk slices are static shapes)
+    A = jnp.eye(2560, dtype=jnp.float32)
+    ti, tj = pallas_chol._tile_tables(5)
     s = str(jax.make_jaxpr(
         lambda A, ti, tj: pallas_chol._chol_padded(A, ti, tj, tile=512))(
             A, jnp.asarray(ti), jnp.asarray(tj)))
@@ -303,11 +305,13 @@ def test_pallas_kernels_trace_i64_free_under_x64():
                     reason="pallas chol compiles only on TPU")
 def test_pallas_chol_parity_tpu():
     """Streaming blocked Cholesky vs XLA's factorization, including the
-    pad-to-512 path (n=1600) and posterior-grade accuracy vs float64."""
+    pad-to-512 path (n=2600) and posterior-grade accuracy vs float64.
+    n >= 2560 (nb >= 5): the slab/panel static slices set the kernel's
+    structural minimum (enable gates keep real traffic at n >= 6000)."""
     from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked
 
     rng = np.random.default_rng(3)
-    for n in (1536, 1600):
+    for n in (2560, 2600):
         X = rng.standard_normal((n, n + 8)).astype(np.float32)
         A = (X @ X.T / n + 2 * np.eye(n, dtype=np.float32))
         L = np.asarray(chol_blocked(jnp.asarray(A)))
@@ -362,7 +366,7 @@ def test_pallas_chol_gram_parity_tpu():
     from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked_gram
 
     rng = np.random.default_rng(11)
-    n, d = 1600, 2
+    n, d = 2600, 2   # pads to 3072 (nb=6, above the nb>=5 structural min)
     x = jnp.asarray(rng.uniform(-2, 2, (n, d)).astype(np.float32))
     # noise in the f32-feasible regime (below ~1e-3 the gram's own
     # f32 storage rounding makes the system indefinite at this n)
@@ -419,3 +423,67 @@ def test_elim2d_interpret_parity():
     L_ref = np.linalg.cholesky(D.astype(np.float64))
     assert np.abs(L - L_ref).max() / np.abs(L_ref).max() < 1e-5
     assert np.abs(L_inv @ L - np.eye(_SB)).max() < 1e-4
+
+
+def test_chol_blocked_interpret_parity(monkeypatch):
+    """FULL streaming-Cholesky kernel (grid schedule, slab/panel prefix
+    decomposition, deferred writes, mirror zero-fill) against numpy in
+    interpret mode at a shrunk tile — pins the index arithmetic of every
+    DMA descriptor on a backend where the TPU parity tests skip.
+    Interpret mode emulates DMAs sequentially, so this cannot catch
+    semaphore-ordering races (the on-chip tests own those), but any
+    wrong slice/offset/predicate corrupts the factor and fails here.
+    nb in {5, 6, 9} covers: the structural minimum, an even chunk split,
+    and full-chunk + remainder panels on both sides of a 4-boundary."""
+    from erl_gaussian_process_tpu.ops import pallas_chol as pc
+
+    monkeypatch.setattr(pc, "_SB", 8)   # 128 serial elim rounds -> 8
+    tile = 16
+    rng = np.random.default_rng(0)
+    for nb in (5, 6, 9):
+        n = nb * tile
+        X = rng.standard_normal((n, n)).astype(np.float32)
+        A = X @ X.T / n + np.eye(n, dtype=np.float32) * 2.0
+        with pltpu.force_tpu_interpret_mode():
+            L = np.asarray(pc.chol_blocked(jnp.asarray(A), tile=tile))
+        ref = np.linalg.cholesky(A.astype(np.float64))
+        assert np.abs(L - ref).max() < 5e-5, nb
+        assert np.abs(np.triu(L, 1)).max() == 0.0, nb
+
+
+def test_chol_blocked_gram_interpret_parity(monkeypatch):
+    """Gram-fused variant of the above: in-kernel gram build from
+    coordinate slices + masked rows via far-point coords + pad rows,
+    against a dense numpy gram, in interpret mode at a shrunk tile."""
+    from erl_gaussian_process_tpu.ops import pallas_chol as pc
+
+    monkeypatch.setattr(pc, "_SB", 8)
+    tile = 16
+    rng = np.random.default_rng(1)
+    for nb, fam in ((5, "rbf"), (6, "matern32"), (9, "ou")):
+        n0 = nb * tile - 3          # exercises the pad-identity rows
+        d = 2
+        x = rng.uniform(-3, 3, (n0, d)).astype(np.float32)
+        var = (0.05 + 0.01 * rng.random(n0)).astype(np.float32)
+        mask = np.ones(n0, bool)
+        mask[-4:] = False
+        scale = np.float32(1.7)
+        with pltpu.force_tpu_interpret_mode():
+            L = np.asarray(pc.chol_blocked_gram(
+                fam, jnp.asarray(x), jnp.asarray(var), jnp.asarray(mask),
+                scale, tile=tile))
+        r = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+        if fam == "rbf":
+            K = np.exp(-0.5 * (r / scale) ** 2)
+        elif fam == "ou":
+            K = np.exp(-r / scale)
+        else:
+            c = np.sqrt(3) / scale
+            K = (1 + c * r) * np.exp(-c * r)
+        K = K + np.diag(var)
+        K[~mask, :] = 0.0
+        K[:, ~mask] = 0.0
+        K[np.ix_(~mask, ~mask)] = np.eye(int((~mask).sum()))
+        ref = np.linalg.cholesky(K.astype(np.float64))
+        assert np.abs(L - ref).max() < 3e-4, (nb, fam)
+        assert np.abs(np.triu(L, 1)).max() == 0.0, (nb, fam)
