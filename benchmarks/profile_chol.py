@@ -53,9 +53,12 @@ def main():
             return chol_blocked(A + eps)
         fn.consts = (Aj,)
         t = _time(fn, iters=8)
-        # correctness guard while we're here
+        # correctness guard while we're here — a hard assert, not a print:
+        # a DMA-ordering regression would otherwise yield a clean-looking
+        # timing table over a garbage factor (bench rule: assert finite)
         L = np.asarray(chol_blocked(Aj), np.float64)
         err = np.abs(np.tril(L) @ np.tril(L).T - A).max()
+        assert np.isfinite(err) and err < 5e-3, (n, err)
         nb = n // 512
         rows.append((n, nb, t * 1e3, err))
         print(f"n={n:5d} nb={nb:2d}  t={t*1e3:7.3f} ms  "

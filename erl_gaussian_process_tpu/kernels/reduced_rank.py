@@ -227,8 +227,13 @@ def rr_features_with_grad(x, freq, sqrt_s, origin, half, inv_sqrt_vol):
     Unmasked — callers apply sample/grad masks."""
     d = x.shape[1]
     z = x - origin[None, :] + half[None, :]
-    z = jnp.clip(z, 0.0, 2.0 * half[None, :])
-    angles = z[:, None, :] * freq[None, :, :]          # (n, m, d)
+    zc = jnp.clip(z, 0.0, 2.0 * half[None, :])
+    # chain rule through the clamp: the implemented feature is constant in
+    # x_k wherever the coordinate is clipped, so its true derivative there
+    # is 0 — without this, an out-of-box point pairs ~zero phi rows with
+    # full-magnitude boundary-cosine dphi rows (inconsistent posteriors)
+    inside = (z > 0.0) & (z < 2.0 * half[None, :])     # (n, d)
+    angles = zc[:, None, :] * freq[None, :, :]         # (n, m, d)
     sin = jnp.sin(angles)
     cos = jnp.cos(angles)
     w = inv_sqrt_vol * sqrt_s                          # (m,)
@@ -239,7 +244,8 @@ def rr_features_with_grad(x, freq, sqrt_s, origin, half, inv_sqrt_vol):
     for k in range(d):
         others = jnp.prod(
             jnp.where(dims[None, None, :] == k, 1.0, sin), axis=-1)
-        dphis.append(others * cos[:, :, k] * freq[None, :, k])
+        dphis.append(others * cos[:, :, k] * freq[None, :, k]
+                     * inside[:, k:k + 1])
     dphi = jnp.stack(dphis, axis=1) * w[None, None, :]  # (n, d, m)
     return phi, dphi
 

@@ -30,7 +30,7 @@ from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul, wh
 from erl_gaussian_process_tpu.ops.pallas_bank import (
     bank_cholesky_solve_fused,
     bank_fit_fused,
-    pallas_bank_enabled,
+    pallas_bank_applies,
 )
 
 
@@ -74,7 +74,7 @@ def bank_fit(x, y, var, mask, scale, *, kernel: str) -> BankState:
     carries ``L_inv``; otherwise the vmapped jnp path (small n stays there:
     below ~n=96 the kernel's pad-to-128 waste exceeds XLA's latency)."""
     n, d = x.shape[1], x.shape[2]
-    if n > 96 and pallas_bank_enabled(x.dtype, -(-n // 128) * 128, d):
+    if pallas_bank_applies(x.dtype, n, d):
         L, L_inv, alpha = bank_fit_fused(kernel, x, y, var, mask, scale)
         return BankState(x=x, mask=mask, L=L, alpha=alpha,
                          trained=jnp.any(mask, axis=1), L_inv=L_inv)
@@ -300,7 +300,7 @@ class BatchGPBank:
         self._alpha[i, :size, :a.shape[1]] = a[:size]
 
     def solve(self):
-        if pallas_bank_enabled(self.dtype, -(-self.n // 128) * 128):
+        if pallas_bank_applies(self.dtype, self.n):
             L, _, alpha = bank_cholesky_solve_fused(
                 jnp.asarray(self._K), jnp.asarray(self._alpha))
         else:

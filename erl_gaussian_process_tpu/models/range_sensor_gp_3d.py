@@ -195,15 +195,21 @@ class RangeSensorGaussianProcess3D:
                 self.setting.gp.kernel = ks
             if rr_base:
                 ks.base_kernel = rr_base
+            # per-field defaulting: only fields the user left at the
+            # dataclass default (or the wrong length for 2D frame coords)
+            # get the frame-derived box — an explicit boundary/coord_origin
+            # must survive a shorthand num_basis=[24]
             if len(ks.num_basis) != 2:
+                nb = ks.num_basis[0] if ks.num_basis else 16
+                ks.num_basis = [nb, nb]
+            if len(ks.boundary) != 2 or list(ks.boundary) == [1.0]:
                 # default basis box: (az, el) frame-coord domain + ~3*scale
                 # margin per dim (Hilbert box truncation bias otherwise)
                 fc = self.sensor_frame.frame_coords()
-                spans = [float(np.abs(fc[..., k]).max() + 3.0 * ks.scale)
-                         for k in range(2)]
-                nb = ks.num_basis[0] if ks.num_basis else 16
-                ks.num_basis = [nb, nb]
-                ks.boundary = spans
+                ks.boundary = [
+                    float(np.abs(fc[..., k]).max() + 3.0 * ks.scale)
+                    for k in range(2)]
+            if len(ks.coord_origin) != 2 or list(ks.coord_origin) == [0.0]:
                 ks.coord_origin = [0.0, 0.0]
             self._basis = ReducedRankBasis(ks, dtype=self.dtype)
             self._kernel = ks.base_kernel

@@ -134,8 +134,24 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
                          L_inv=state.L_inv, qm=state.qm + dq,
                          alpha=state.alpha + da)
 
-    kmn = cross_gram(kernel, state.pseudo, x, scale)          # (M, n)
-    beta = solve_triangular(state.L_km, kmn, lower=True)       # (M, n)
+    dq, da = fitc_delta(state.pseudo, state.L_km, x, y, var, mask, scale,
+                        kernel=kernel, diagonal_qm=diagonal_qm)
+    return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
+                     L_inv=state.L_inv, qm=state.qm + dq,
+                     alpha=state.alpha + da)
+
+
+def fitc_delta(pseudo, L_km, x, y, var, mask, scale, *, kernel: str,
+               diagonal_qm: bool = False, reduce=lambda t: t):
+    """The per-column FITC increment (dQ_M (M, M|1), dalpha (M, q)) —
+    the ONE implementation of UpdateDense's column math
+    (src/sparse_pseudo_input_gp.cpp:758-780), shared by the single-chip
+    update above and the mesh-sharded paths (parallel/mesh.py), so a
+    numerical fix here (e.g. the lambda clamp) can never drift between
+    them. ``reduce`` wraps each accumulated product; the sharded callers
+    pass a psum so the cross-shard sum rides ICI."""
+    kmn = cross_gram(kernel, pseudo, x, scale)                 # (M, n)
+    beta = solve_triangular(L_km, kmn, lower=True)             # (M, n)
     # lambda >= 0 mathematically (FITC residual variance); float roundoff can
     # push ||beta||^2 past 1 near pseudo points, and an unclamped lambda can
     # cancel var exactly -> w = inf -> NaN state. Clamp to the math.
@@ -143,13 +159,12 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
     inv = jnp.where(mask, 1.0 / (lam + var), 0.0)              # (n,)
     ksc = kmn * inv[None, :]
     if diagonal_qm:
-        qm = state.qm + jnp.sum(ksc * kmn, axis=1, keepdims=True)
+        dqm = reduce(jnp.sum(ksc * kmn, axis=1, keepdims=True))
     else:
-        qm = state.qm + ksc @ kmn.T
+        dqm = reduce(ksc @ kmn.T)
     yv = jnp.where(mask[:, None], y, 0.0)
-    alpha = state.alpha + ksc @ yv
-    return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
-                     L_inv=state.L_inv, qm=qm, alpha=alpha)
+    dalpha = reduce(ksc @ yv)
+    return dqm, dalpha
 
 
 @partial(jax.jit, static_argnames=("diagonal_qm",))
@@ -196,17 +211,23 @@ def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
         grad = g.reshape(d, mq, -1).transpose(1, 0, 2)  # (mq, d, q)
     var = None
     if with_var:
-        kmean = kt[:, :mq]
-        # beta via the precomputed L_km^{-1}: a GEMM instead of a triangular
-        # solve — TPUs run trsm well below matmul throughput and L_inv is
-        # amortized over every query (pseudo points are fixed)
-        beta = state.L_inv @ kmean
-        gamma = solve_triangular(L_qm, kmean, lower=True)
-        # clamp like gp_core.variance_from_whitened: X3-class whitening can
-        # push 1 - ||beta||^2 slightly negative near pseudo points
-        var = jnp.maximum(0.0, 1.0 - jnp.sum(beta * beta, axis=0)
-                          + jnp.sum(gamma * gamma, axis=0))
+        var = fitc_variance(state.L_inv, L_qm, kt[:, :mq])
     return mean, grad, var
+
+
+def fitc_variance(L_inv, L_qm, kmean):
+    """FITC predictive variance 1 - ||L_km^{-1}k*||^2 + ||L_qm^{-1}k*||^2
+    (src/sparse_pseudo_input_gp.cpp:280-300) — shared by the single-chip
+    predict above and parallel/mesh.sharded_spgp_predict. beta via the
+    precomputed L_km^{-1}: a GEMM instead of a triangular solve (TPUs run
+    trsm well below matmul throughput and L_inv is amortized over every
+    query — pseudo points are fixed). Clamped at 0 like
+    gp_core.variance_from_whitened: X3-class whitening can push
+    1 - ||beta||^2 slightly negative near pseudo points."""
+    beta = L_inv @ kmean
+    gamma = solve_triangular(L_qm, kmean, lower=True)
+    return jnp.maximum(0.0, 1.0 - jnp.sum(beta * beta, axis=0)
+                       + jnp.sum(gamma * gamma, axis=0))
 
 
 @dataclasses.dataclass

@@ -79,6 +79,17 @@ _G_BY_N = {128: 16, 256: 4, 384: 2, 512: 1}
 _G_BY_N_GRAM_IN = {128: 8, 256: 2, 384: 1, 512: 1}
 
 
+def pallas_bank_applies(dtype, n: int, d: int = 1) -> bool:
+    """Single source of truth for "should this bank take the fused kernel",
+    given the caller's UNPADDED member size ``n``: the measured v5e
+    crossover (below ~n=96 the pad-to-128 waste exceeds XLA's batched-chain
+    latency, so callers keep their jnp path) plus the kernel's own enable
+    gate at the padded size. Used by models/batch_gp.bank_fit,
+    BatchGPBank.solve and parallel/mesh.sharded_bank_fit so the dispatch
+    can never drift between the single-chip and sharded paths."""
+    return n > 96 and pallas_bank_enabled(dtype, -(-n // 128) * 128, d)
+
+
 def pallas_bank_enabled(dtype, n: int, d: int = 1) -> bool:
     """True when the fused bank kernel applies. ``n`` is the PADDED member
     size (multiple of 128). Below unpadded n~96 the 128-padding waste makes

@@ -20,7 +20,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from erl_gaussian_process_tpu.kernels import cross_gram, train_gram
 from erl_gaussian_process_tpu.models.batch_gp import BankState
 from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul
-from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import SpGpState
+from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+    SpGpState,
+    fitc_delta,
+    fitc_variance,
+)
 
 BANK_AXIS = "b"
 
@@ -32,18 +36,17 @@ def make_mesh(n_devices: int | None = None, axis_name: str = BANK_AXIS) -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
-def _pad_axis(arrs, axis: int, mult: int, pad_values=None):
-    """Pad every array's ``axis`` up to a multiple of ``mult``."""
+def _pad_axis(arrs, axis: int, mult: int):
+    """Zero/False-pad every array's ``axis`` up to a multiple of ``mult``."""
     n = arrs[0].shape[axis]
     npad = -(-n // mult) * mult
     if npad == n:
         return arrs, n
     out = []
-    for i, a in enumerate(arrs):
+    for a in arrs:
         widths = [(0, 0)] * a.ndim
         widths[axis] = (0, npad - n)
-        cval = 0 if pad_values is None else pad_values[i]
-        out.append(jnp.pad(a, widths, constant_values=cval))
+        out.append(jnp.pad(a, widths))
     return out, n
 
 
@@ -60,13 +63,13 @@ def sharded_bank_fit(mesh: Mesh, x, y, var, mask, scale, *, kernel: str
     vmapped XLA chain."""
     from erl_gaussian_process_tpu.ops.pallas_bank import (
         bank_fit_fused,
-        pallas_bank_enabled,
+        pallas_bank_applies,
     )
 
     nd = mesh.devices.size
     (x, y, var, mask), B0 = _pad_axis([x, y, var, mask], 0, nd)
     n, d = x.shape[1], x.shape[2]
-    use_pallas = n > 96 and pallas_bank_enabled(x.dtype, -(-n // 128) * 128, d)
+    use_pallas = pallas_bank_applies(x.dtype, n, d)
 
     @f32_matmul
     def local(xl, yl, vl, ml):
@@ -105,16 +108,11 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
 
     @f32_matmul
     def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
-        kmn = cross_gram(kernel, pseudo, xl, scale)
-        beta = solve_triangular(L_km, kmn, lower=True)
-        # clamp as in the single-chip spgp_update: roundoff can push
-        # ||beta||^2 past 1 near pseudo points -> lam < 0 can cancel var
-        lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
-        inv = jnp.where(ml, 1.0 / (lam + vl), 0.0)
-        ksc = kmn * inv[None, :]
-        dqm = jax.lax.psum(ksc @ kmn.T, BANK_AXIS)
-        yv = jnp.where(ml[:, None], yl, 0.0)
-        dalpha = jax.lax.psum(ksc @ yv, BANK_AXIS)
+        # the column math is the single-chip fitc_delta (incl. the lambda
+        # clamp); only the accumulation differs — a psum pair over ICI
+        dqm, dalpha = fitc_delta(
+            pseudo, L_km, xl, yl, vl, ml, scale, kernel=kernel,
+            reduce=lambda t: jax.lax.psum(t, BANK_AXIS))
         return qm + dqm, alpha + dalpha
 
     rep = P()
@@ -169,19 +167,10 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
 
     @f32_matmul
     def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
-        kmn = cross_gram(kernel, pseudo, xl, scale)
-        beta = solve_triangular(L_km, kmn, lower=True)
-        # same clamp as the single-chip spgp_update (lam >= 0 is the math)
-        lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
-        inv = jnp.where(ml, 1.0 / (lam + vl), 0.0)
-        ksc = kmn * inv[None, :]
-        if diagonal_qm:
-            dqm = jax.lax.psum(
-                jnp.sum(ksc * kmn, axis=1, keepdims=True), BANK_AXIS)
-        else:
-            dqm = jax.lax.psum(ksc @ kmn.T, BANK_AXIS)
-        yv = jnp.where(ml[:, None], yl, 0.0)
-        dalpha = jax.lax.psum(ksc @ yv, BANK_AXIS)
+        dqm, dalpha = fitc_delta(
+            pseudo, L_km, xl, yl, vl, ml, scale, kernel=kernel,
+            diagonal_qm=diagonal_qm,
+            reduce=lambda t: jax.lax.psum(t, BANK_AXIS))
         return qm + dqm, alpha + dalpha
 
     rep, shard = P(), P(BANK_AXIS)
@@ -195,28 +184,29 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
 
 
 def sharded_spgp_predict(mesh: Mesh, state: SpGpState, L_qm, alpha_solved,
-                         xq, scale, *, kernel: str):
+                         xq, scale, *, kernel: str, with_var: bool = True):
     """Query-sharded SPGP predict: queries are embarrassingly parallel, so
     the m_q axis shards over the mesh with the (small) pseudo-point state
-    replicated; no collectives. Returns (mean (m_q, q), var (m_q,)).
-    m_q must be divisible by the mesh size."""
+    replicated; no collectives. Returns (mean (m_q, q), var (m_q,) | None).
+    m_q must be divisible by the mesh size. ``with_var=False`` skips the
+    (M, m_q) whitening GEMM + triangular solve entirely (the single-chip
+    class path does the same for mean-only queries, which are the common
+    occupancy-serving case)."""
 
     @f32_matmul
     def local(pseudo, L_km, L_inv, L_qm, a, xl):
         kt = cross_gram(kernel, pseudo, xl, scale)
         mean = kt.T @ a
-        beta = L_inv @ kt
-        gamma = solve_triangular(L_qm, kt, lower=True)
-        # clamp at 0 like the single-chip spgp_predict: X3-class whitening
-        # can push 1 - ||beta||^2 slightly negative near pseudo points
-        var = jnp.maximum(0.0, 1.0 - jnp.sum(beta * beta, axis=0)
-                          + jnp.sum(gamma * gamma, axis=0))
-        return mean, var
+        if not with_var:
+            return (mean,)
+        return mean, fitc_variance(L_inv, L_qm, kt)
 
     rep = P()
     shard = P(BANK_AXIS)
-    return jax.jit(jax.shard_map(
+    out_specs = (shard, shard) if with_var else (shard,)
+    out = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, shard),
-        out_specs=(shard, shard)))(
+        out_specs=out_specs))(
         state.pseudo, state.L_km, state.L_inv, L_qm, alpha_solved, xq)
+    return out if with_var else (out[0], None)

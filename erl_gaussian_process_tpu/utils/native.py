@@ -311,6 +311,10 @@ def raycast_mesh(triangles: np.ndarray, origins: np.ndarray,
                              out.ctypes.data)
         return out
     # numpy fallback, chunked over rays to bound the (chunk, T) temporaries
+    if len(tris) == 0:
+        # all-miss, matching the native path (the reduction below would
+        # raise on a zero-size axis)
+        return np.full(len(dirs), np.inf)
     v0 = tris[:, 0:3]
     e1 = tris[:, 3:6] - v0
     e2 = tris[:, 6:9] - v0

@@ -256,3 +256,48 @@ def test_rr_2d_matern():
     mae = np.mean(np.abs(gp.test(xq).get_mean()
                          - np.sin(2 * gx.ravel()) * np.cos(2 * gy.ravel())))
     assert mae < 2e-2, mae
+
+
+def test_rr_grad_features_consistent_with_clamp():
+    """dphi must be the derivative of the IMPLEMENTED (clipped) feature:
+    zero outside the Hilbert box (the clamp makes phi constant there), and
+    equal to jax.jacfwd of rr_features inside. Out-of-box gradient rows
+    previously carried full-magnitude boundary cosines against ~zero phi
+    rows — mutually inconsistent mean/gradient posteriors."""
+    import jax
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.kernels.reduced_rank import (
+        ReducedRankBasis,
+        ReducedRankSetting,
+        rr_features,
+        rr_features_with_grad,
+    )
+
+    basis = ReducedRankBasis(ReducedRankSetting(
+        x_dim=2, scale=0.5, num_basis=[6, 5], boundary=[1.0, 1.5],
+        coord_origin=[0.2, -0.1]))
+    b = basis
+    x = jnp.asarray(np.array([
+        [0.0, 0.0],       # interior
+        [0.9, 1.2],       # near the upper corner (inside)
+        [1.4, 0.0],       # outside dim 0, inside dim 1
+        [0.0, -1.8],      # outside dim 1
+        [2.0, 3.0],       # far outside both
+    ]))
+    phi, dphi = rr_features_with_grad(x, b._freq, b._sqrt_s, b._origin,
+                                      b._half, b._inv_sqrt_vol)
+
+    def feat(xi):
+        return rr_features(xi[None, :], jnp.ones(1, bool), b._freq,
+                           b._sqrt_s, b._origin, b._half,
+                           b._inv_sqrt_vol)[0]
+
+    jac = jax.vmap(jax.jacfwd(feat))(x)          # (n, m, d)
+    np.testing.assert_allclose(np.asarray(dphi),
+                               np.asarray(jac).transpose(0, 2, 1),
+                               atol=1e-12)
+    # the clipped-coordinate dims carry exactly zero gradient features
+    assert np.all(np.asarray(dphi)[2, 0, :] == 0.0)
+    assert np.all(np.asarray(dphi)[3, 1, :] == 0.0)
+    assert np.all(np.asarray(dphi)[4] == 0.0)
