@@ -20,9 +20,6 @@ import os
 import sys
 import time
 
-import os
-import sys
-
 # run from a checkout without installing the package
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
