@@ -487,3 +487,35 @@ def test_chol_blocked_gram_interpret_parity(monkeypatch):
         ref = np.linalg.cholesky(K.astype(np.float64))
         assert np.abs(L - ref).max() < 3e-4, (nb, fam)
         assert np.abs(np.triu(L, 1)).max() == 0.0, (nb, fam)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="verifies the Mosaic bank kernel composes with "
+                           "shard_map on real hardware")
+def test_pallas_bank_composes_with_shard_map_tpu():
+    """sharded_bank_fit on a 1-device mesh must take the fused Pallas
+    kernel (pallas_bank_applies holds for this shape) and agree with the
+    plain bank_fit dispatch — the 'Mosaic kernels compose with shard_map'
+    contract claimed by parallel/mesh.sharded_bank_fit, checked on-chip
+    where the CPU-mesh suite cannot (the kernel compiles only for real
+    hardware, and tests/test_parallel.py needs 8 devices)."""
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit
+    from erl_gaussian_process_tpu.ops.pallas_bank import pallas_bank_applies
+    from erl_gaussian_process_tpu.parallel import make_mesh, sharded_bank_fit
+
+    rng = np.random.default_rng(7)
+    B, n, d = 8, 200, 2
+    x = jnp.asarray(rng.uniform(-2, 2, (B, n, d)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (B, n, 1)).astype(np.float32))
+    var = jnp.full((B, n), np.float32(1e-2))
+    mask = jnp.asarray(rng.uniform(size=(B, n)) < 0.9)
+    assert pallas_bank_applies(x.dtype, n, d)
+    mesh = make_mesh(1)
+    sharded = sharded_bank_fit(mesh, x, y, var, mask, np.float32(0.5),
+                               kernel="rbf")
+    local = bank_fit(x, y, var, mask, np.float32(0.5), kernel="rbf")
+    assert sharded.L_inv is not None and local.L_inv is not None
+    np.testing.assert_allclose(np.asarray(sharded.L), np.asarray(local.L),
+                               atol=0.0)
+    np.testing.assert_allclose(np.asarray(sharded.alpha),
+                               np.asarray(local.alpha), atol=0.0)
