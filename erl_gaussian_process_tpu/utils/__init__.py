@@ -27,10 +27,15 @@ from erl_gaussian_process_tpu.utils.timing import (
     report_time,
     trace,
 )
+from erl_gaussian_process_tpu.utils.model_selection import (
+    nlml_sweep,
+    select_scale,
+)
 
 __all__ = [
     "eq_state", "load_pytree", "save_pytree", "BlockTimer", "report_time", "memory_usage", "trace",
     "native_available", "save_tokens", "load_tokens", "raycast_2d",
     "as_yaml_file", "as_yaml_str", "create_setting", "from_yaml_file",
     "from_yaml_str", "register_setting", "setting_names",
+    "nlml_sweep", "select_scale",
 ]
