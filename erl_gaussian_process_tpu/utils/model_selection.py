@@ -55,6 +55,45 @@ def nlml_sweep(x, y, var, mask, scales, *, kernel: str):
     return jax.vmap(one)(scales)
 
 
+@partial(jax.jit, static_argnames=("kernel",))
+@f32_matmul
+def nlml_sweep_nigp(x, y, grad, var_x, var_y, var_grad, sample_mask,
+                    grad_mask, scales, *, kernel: str):
+    """Exact NLML of the NIGP joint value/gradient system at each
+    candidate scale — the automated version of the sweeps the reference
+    recorded for exactly this model (test_noisy_input_gp.cpp:174-178,
+    552-555). x (n, d); y (n, q); grad (n, d, q); var_* (n,); masks (n,)
+    bool; scales (S,). Returns (S,). The joint observation vector is the
+    same [y; dim-major grads] packing nigp_fit solves against; masked
+    joint rows are identity rows with zeroed observations, so they drop
+    out of both terms exactly."""
+    from erl_gaussian_process_tpu.kernels.gradient import (
+        joint_mask,
+        train_gram_with_gradient,
+    )
+    from erl_gaussian_process_tpu.models.noisy_input_gp import pack_alpha
+
+    d = x.shape[1]
+    obs = pack_alpha(y, grad, sample_mask, grad_mask)
+    act = joint_mask(sample_mask, grad_mask, d)
+    n_valid = jnp.sum(act)
+    q = y.shape[1]
+
+    def one(s):
+        K = train_gram_with_gradient(
+            kernel, x, jnp.where(sample_mask, var_x, 0.0),
+            jnp.where(sample_mask, var_y, 0.0),
+            jnp.where(grad_mask, var_grad, 0.0),
+            sample_mask, grad_mask, s)
+        L = jnp.linalg.cholesky(K)
+        a = jax.scipy.linalg.cho_solve((L, True), obs)
+        quad = 0.5 * jnp.sum(obs * a)
+        logdet = q * jnp.sum(jnp.log(jnp.diagonal(L)))
+        return quad + logdet + 0.5 * n_valid * q * _LOG_2PI
+
+    return jax.vmap(one)(scales)
+
+
 def select_scale(x, y, var, mask=None, *, kernel: str,
                  scales=None, refine: int = 1):
     """Pick the kernel scale by exact marginal likelihood.

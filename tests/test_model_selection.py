@@ -93,3 +93,49 @@ def test_select_scale_improves_fit_quality():
 
     assert mae_at(best) < mae_at(best * 5.0)
     assert mae_at(best) < 5e-3
+
+
+def test_nlml_nigp_matches_direct_computation():
+    """Joint value/gradient NLML against a dense f64 computation over the
+    active joint rows (values + flagged gradient rows)."""
+    from erl_gaussian_process_tpu.kernels.gradient import (
+        joint_mask,
+        train_gram_with_gradient,
+    )
+    from erl_gaussian_process_tpu.models.noisy_input_gp import pack_alpha
+    from erl_gaussian_process_tpu.utils import nlml_sweep_nigp
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 2
+    x = rng.uniform(-1, 1, (n, d))
+    y = np.sin(2 * x[:, :1]) * np.cos(x[:, 1:2])
+    grad = np.stack([2 * np.cos(2 * x[:, :1]) * np.cos(x[:, 1:2]),
+                     -np.sin(2 * x[:, :1]) * np.sin(x[:, 1:2])], axis=1)
+    var_x = np.full(n, 1e-4)
+    var_y = np.full(n, 1e-3)
+    var_grad = np.full(n, 1e-2)
+    sample_mask = rng.random(n) < 0.9
+    grad_mask = sample_mask & (rng.random(n) < 0.6)
+    scales = np.array([0.4, 0.8])
+    vals = np.asarray(nlml_sweep_nigp(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(grad),
+        jnp.asarray(var_x), jnp.asarray(var_y), jnp.asarray(var_grad),
+        jnp.asarray(sample_mask), jnp.asarray(grad_mask),
+        jnp.asarray(scales), kernel="rbf"))
+    for s, v in zip(scales, vals):
+        K = np.asarray(train_gram_with_gradient(
+            "rbf", jnp.asarray(x), jnp.asarray(np.where(sample_mask, var_x, 0)),
+            jnp.asarray(np.where(sample_mask, var_y, 0)),
+            jnp.asarray(np.where(grad_mask, var_grad, 0)),
+            jnp.asarray(sample_mask), jnp.asarray(grad_mask), s), np.float64)
+        obs = np.asarray(pack_alpha(jnp.asarray(y), jnp.asarray(grad),
+                                    jnp.asarray(sample_mask),
+                                    jnp.asarray(grad_mask)), np.float64)
+        act = np.asarray(joint_mask(jnp.asarray(sample_mask),
+                                    jnp.asarray(grad_mask), d))
+        Ka, oa = K[np.ix_(act, act)], obs[act]
+        L = np.linalg.cholesky(Ka)
+        a = sla.cho_solve((L, True), oa)
+        ref = (0.5 * np.sum(oa * a) + np.sum(np.log(np.diag(L)))
+               + 0.5 * act.sum() * np.log(2 * np.pi))
+        np.testing.assert_allclose(v, ref, rtol=1e-9)
