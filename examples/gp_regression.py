@@ -77,6 +77,18 @@ def main():
     rrr = rr.test(xq)
     print("RR-GP (64 bf) MAE %.2e" % np.abs(rrr.get_mean() - truth).mean())
 
+    # 5. marginal-likelihood scale selection (one vmapped NLML sweep —
+    # the automated version of the manual sweeps the reference records
+    # in its test comments)
+    from erl_gaussian_process_tpu.utils import select_scale
+
+    best, _, _ = select_scale(x.T, y, var, kernel="rbf", refine=1)
+    tuned = VanillaGaussianProcessD(VanillaGPSetting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=best)))
+    tuned.train(x, y, var)
+    print("NLML scale    %.3f -> MAE %.2e"
+          % (best, np.abs(tuned.test(xq).get_mean() - truth).mean()))
+
 
 if __name__ == "__main__":
     main()
