@@ -1,0 +1,27 @@
+#!/bin/bash
+# The per-round on-chip validation ritual (VERDICT r1 item 9): run the
+# TPU-only kernel parity tests, the full suite against the real chip, the
+# kernel profile, and the headline bench — in dependency order, stopping
+# at the first failure so a broken kernel never produces a "clean" bench.
+# Results are tee'd to benchmarks/onchip_<date>.log; summarize the numbers
+# in BENCHMARKS.md + CHANGELOG.md each round.
+#
+# Requires the axon TPU tunnel to be up (jax.devices() shows the chip).
+# Only ONE process may use the TPU at a time — do not run anything else
+# against the chip while this is running.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
+{
+  echo "== devices =="
+  python -c "import jax; print(jax.devices())"
+  echo "== TPU-only kernel parity (test_ops) =="
+  ERL_GP_TEST_TPU=1 python -m pytest tests/test_ops.py -q
+  echo "== full suite on-chip =="
+  ERL_GP_TEST_TPU=1 python -m pytest tests/ -q
+  echo "== streaming-chol profile =="
+  python benchmarks/profile_chol.py
+  echo "== headline bench =="
+  python bench.py
+} 2>&1 | tee "$log"
+echo "ritual complete -> $log"
