@@ -44,6 +44,55 @@ from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
 
 TARGET_HZ = 10.0  # BASELINE.json north-star
 
+# Backend-init watchdog. When the remote-TPU (axon) tunnel is down, the
+# first jax.devices() call blocks forever inside PJRT client creation —
+# round 2 lost its hardware number to a 30-line traceback after the driver
+# killed the process (BENCH_r02.json rc=1). Probe in a daemon thread with a
+# deadline so infra-down degrades to a fast, machine-readable one-line JSON
+# instead of a hang/traceback the driver can't classify.
+BACKEND_INIT_TIMEOUT_S = float(os.environ.get("ERL_GP_BENCH_INIT_TIMEOUT",
+                                              "55"))
+
+
+def _probe_backend(timeout_s: float):
+    """Initialize the default jax backend under a deadline.
+
+    Returns (ok, platform_or_reason). On timeout the prober thread is left
+    hung inside PJRT init (unkillable) — callers must exit via os._exit.
+    """
+    import threading
+    out = {}
+
+    def probe():
+        try:
+            devs = jax.devices()
+            out["platform"] = devs[0].platform
+        except Exception as e:  # backend registered but unreachable
+            out["err"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return False, f"backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+    if "err" in out:
+        return False, out["err"]
+    return True, out["platform"]
+
+
+def _fail_fast(reason: str):
+    print(json.dumps({
+        "metric": "spgp_occupancy_map_updates_per_sec",
+        "value": 0.0,
+        "unit": "Hz",
+        "vs_baseline": 0.0,
+        "error": "tpu-backend-unavailable",
+        "detail": reason,
+    }), flush=True)
+    # the prober thread may be hung inside PJRT init; skip interpreter
+    # teardown so the process actually exits
+    os._exit(0)
+
 
 def production_setting() -> SpGpOccupancyMapSetting:
     return SpGpOccupancyMapSetting(
@@ -76,6 +125,10 @@ def make_scans(n_poses=50, num_lines=135):
 
 
 def main():
+    ok, info = _probe_backend(BACKEND_INIT_TIMEOUT_S)
+    if not ok:
+        _fail_fast(info)
+
     boundary = Aabb.from_min_max([-3.0, -3.0], [3.0, 3.0])
     c = np.linspace(-3, 3, 31)
     pv, qv = np.meshgrid(c, c, indexing="ij")
