@@ -80,6 +80,20 @@ class Mapping:
         else:
             raise ValueError(f"mapping type {t} is not supported")
 
+    def inv_masked(self, y, valid):
+        """``inv()`` over valid lanes only. Invalid lanes (masked garbage —
+        unresolved partitions, variance-gated predictions) never reach the
+        inverse, so a zero mean cannot raise a divide-by-zero RuntimeWarning
+        (e.g. ``1/(y*y)`` for inverse_sqrt); they yield ``+inf``, the same
+        unusable sentinel the raw inverse produced for a zero input. The
+        placeholder 0.5 is in every mapping type's invertible domain."""
+        import numpy as np
+        y = np.asarray(y)
+        valid = np.asarray(valid, bool)
+        safe = np.where(valid, y, y.dtype.type(0.5))
+        out = np.asarray(self.inv(safe))
+        return np.where(valid, out, out.dtype.type(np.inf))
+
     @classmethod
     def create(cls, setting=None):
         return cls(setting)

@@ -31,6 +31,7 @@ from erl_gaussian_process_tpu.utils.model_selection import (
     nlml_sweep,
     nlml_sweep_nigp,
     select_scale,
+    select_scale_nigp,
 )
 
 __all__ = [
@@ -38,5 +39,5 @@ __all__ = [
     "native_available", "save_tokens", "load_tokens", "raycast_2d",
     "as_yaml_file", "as_yaml_str", "create_setting", "from_yaml_file",
     "from_yaml_str", "register_setting", "setting_names",
-    "nlml_sweep", "nlml_sweep_nigp", "select_scale",
+    "nlml_sweep", "nlml_sweep_nigp", "select_scale", "select_scale_nigp",
 ]

@@ -94,39 +94,41 @@ def nlml_sweep_nigp(x, y, grad, var_x, var_y, var_grad, sample_mask,
     return jax.vmap(one)(scales)
 
 
-def select_scale(x, y, var, mask=None, *, kernel: str,
-                 scales=None, refine: int = 1):
-    """Pick the kernel scale by exact marginal likelihood.
+def _auto_grid(x, mask, num: int = 24):
+    """Default candidate grid: log-spaced from twice the median
+    nearest-neighbor spacing (finest resolvable structure) to the domain
+    extent. Guarded against degenerate inputs: needs >= 2 distinct valid
+    points; coincident points (nn == 0) fall back to span-based bounds."""
+    xv = np.asarray(x)[np.asarray(mask)]
+    if xv.shape[0] < 2:
+        raise ValueError(
+            "select_scale auto grid needs >= 2 valid training points "
+            f"(got {xv.shape[0]}); pass an explicit `scales` grid instead")
+    span = float(np.linalg.norm(xv.max(0) - xv.min(0)))
+    if not np.isfinite(span) or span <= 0.0:
+        raise ValueError(
+            "select_scale auto grid needs >= 2 distinct valid points "
+            "(all inputs identical); pass an explicit `scales` grid")
+    sub = xv[:: max(1, len(xv) // 512)]
+    d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nn = float(np.median(np.sqrt(d2.min(1))))
+    if not np.isfinite(nn) or nn <= 0.0:
+        # duplicated points (e.g. repeated measurements): median-nn is 0 or
+        # the subsample missed all distinct pairs — span-based lower bound
+        nn = 5e-4 * span
+    return np.geomspace(max(2.0 * nn, 1e-6 * span), span, num)
 
-    x (n, d); y (n, q) (a 1-D y is promoted); var (n,) observation noise;
-    ``scales`` an initial candidate grid (default: 24 log-spaced points
-    spanning the data's resolvable range, from twice the median
-    nearest-neighbor spacing to the domain extent). Each ``refine`` round
-    re-grids (same size) around the best candidate between its grid
-    neighbors. Returns (best_scale, scales (S,), nlml (S,)) of the final
-    round. NaN NLML (non-SPD at that scale for this noise floor) ranks
-    last."""
-    x = jnp.atleast_2d(jnp.asarray(x))
-    y = jnp.asarray(y)
-    if y.ndim == 1:
-        y = y[:, None]
-    var = jnp.asarray(var)
-    if mask is None:
-        mask = jnp.ones(x.shape[0], bool)
-    mask = jnp.asarray(mask)
-    if scales is None:
-        xv = np.asarray(x)[np.asarray(mask)]
-        span = float(np.linalg.norm(xv.max(0) - xv.min(0))) or 1.0
-        sub = xv[:: max(1, len(xv) // 512)]
-        d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
-        np.fill_diagonal(d2, np.inf)
-        nn = float(np.median(np.sqrt(d2.min(1))))
-        scales = np.geomspace(max(2.0 * nn, 1e-6 * span), span, 24)
-    scales = np.asarray(scales, np.asarray(x).dtype)
+
+def _refine_loop(sweep, scales, dtype, refine):
+    """Shared grid-refinement driver: evaluate the sweep, re-grid (same
+    size) between the best candidate's grid neighbors each round. NaN NLML
+    (non-SPD at that scale for this noise floor) ranks last. Returns
+    (best_scale, final scales, final nlml values)."""
+    scales = np.asarray(scales, dtype)
     rounds = max(0, int(refine)) + 1
     for r in range(rounds):
-        vals = np.asarray(
-            nlml_sweep(x, y, var, mask, jnp.asarray(scales), kernel=kernel))
+        vals = np.asarray(sweep(jnp.asarray(scales)))
         ranked = np.where(np.isfinite(vals), vals, np.inf)
         b = int(ranked.argmin())
         best = float(scales[b])
@@ -136,3 +138,64 @@ def select_scale(x, y, var, mask=None, *, kernel: str,
             break
         scales = np.geomspace(lo, hi, len(scales)).astype(scales.dtype)
     return best, scales, vals
+
+
+def select_scale(x, y, var, mask=None, *, kernel: str,
+                 scales=None, refine: int = 1):
+    """Pick the kernel scale by exact marginal likelihood.
+
+    x (n, d); y (n, q) (a 1-D y is promoted); var (n,) observation noise;
+    ``scales`` an initial candidate grid (default: `_auto_grid`). Each
+    ``refine`` round re-grids (same size) around the best candidate between
+    its grid neighbors. Returns (best_scale, scales (S,), nlml (S,)) of the
+    final round."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    var = jnp.asarray(var)
+    if mask is None:
+        mask = jnp.ones(x.shape[0], bool)
+    mask = jnp.asarray(mask)
+    if scales is None:
+        scales = _auto_grid(x, mask)
+    return _refine_loop(
+        lambda s: nlml_sweep(x, y, var, mask, s, kernel=kernel),
+        scales, np.asarray(x).dtype, refine)
+
+
+def select_scale_nigp(x, y, grad, var_x, var_y, var_grad,
+                      sample_mask=None, grad_mask=None, *, kernel: str,
+                      scales=None, refine: int = 1):
+    """Pick the kernel scale for the NIGP joint value/gradient system by
+    exact marginal likelihood — the automated end of the manual sweeps the
+    reference recorded for exactly this model
+    (test_noisy_input_gp.cpp:174-178, 552-555). Same grid + refinement
+    driver as :func:`select_scale`, with :func:`nlml_sweep_nigp` as the
+    criterion (the NLML over the active joint value/gradient rows).
+
+    x (n, d); y (n, q) (1-D promoted); grad (n, d, q) (a (n, d) grad is
+    promoted for q=1); var_* (n,) noise terms; masks (n,) bool. Returns
+    (best_scale, scales (S,), nlml (S,))."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    grad = jnp.asarray(grad)
+    if grad.ndim == 2:
+        grad = grad[:, :, None]
+    var_x = jnp.asarray(var_x)
+    var_y = jnp.asarray(var_y)
+    var_grad = jnp.asarray(var_grad)
+    if sample_mask is None:
+        sample_mask = jnp.ones(x.shape[0], bool)
+    sample_mask = jnp.asarray(sample_mask)
+    if grad_mask is None:
+        grad_mask = jnp.ones(x.shape[0], bool)
+    grad_mask = jnp.asarray(grad_mask) & sample_mask
+    if scales is None:
+        scales = _auto_grid(x, sample_mask)
+    return _refine_loop(
+        lambda s: nlml_sweep_nigp(x, y, grad, var_x, var_y, var_grad,
+                                  sample_mask, grad_mask, s, kernel=kernel),
+        scales, np.asarray(x).dtype, refine)

@@ -139,3 +139,107 @@ def test_nlml_nigp_matches_direct_computation():
         ref = (0.5 * np.sum(oa * a) + np.sum(np.log(np.diag(L)))
                + 0.5 * act.sum() * np.log(2 * np.pi))
         np.testing.assert_allclose(v, ref, rtol=1e-9)
+
+
+def test_select_scale_nigp_drives_the_reference_sweep():
+    """The automated end of the reference's manual NIGP sweeps
+    (test_noisy_input_gp.cpp:174-178: 1D, scales 0.5..0.1). NLML is a
+    different criterion from the reference's held-out MAE — its optimum on
+    this smooth problem is larger (~1.1) than the MAE-picked 0.2 — but the
+    two agree on rejecting the short end (scale=0.1 is worst under BOTH,
+    matching the reference's recorded 1.76e-5 blow-up there), the driver
+    finds the interior NLML optimum with grid+refine, and the selected
+    scale still meets the reference's own accuracy-bound family."""
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models import NoisyInputGaussianProcess
+    from erl_gaussian_process_tpu.utils import (
+        nlml_sweep_nigp,
+        select_scale_nigp,
+    )
+
+    n = 100
+    x = np.linspace(0, 2 * np.pi, n)[:, None]
+    y = np.sin(2 * x)
+    grad = 2 * np.cos(2 * x)  # (n, 1) -> promoted to (n, 1, 1)
+    var = np.full(n, 1e-4)
+
+    # NLML over the reference's recorded candidate grid: the short end the
+    # reference also rejected must rank last
+    ref_grid = np.array([0.1, 0.2, 0.3, 0.4, 0.5])
+    vals = np.asarray(nlml_sweep_nigp(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(grad[:, :, None]),
+        jnp.asarray(var), jnp.asarray(var), jnp.asarray(var),
+        jnp.ones(n, bool), jnp.ones(n, bool),
+        jnp.asarray(ref_grid), kernel="rbf"))
+    assert np.isfinite(vals).all()
+    assert vals.argmax() == 0, vals.tolist()  # scale=0.1 worst, as recorded
+
+    # the full automated driver (auto grid + refine): interior optimum
+    best, scales, nlml = select_scale_nigp(
+        x, y, grad, var, var, var, kernel="rbf", refine=1)
+    assert np.isfinite(best) and 0.5 < best < 2.0, best  # interior, not edge
+    assert np.isfinite(nlml).any()
+
+    # the selected scale delivers reference-grade accuracy (the reference's
+    # no-gradient-case bound, 1e-4 — the hand-picked MAE optimum 0.2 gets
+    # 4.2e-6; NLML trades a little MAE for calibrated smoothness)
+    def mae_at(s):
+        st = NoisyInputGaussianProcess.Setting(
+            kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=float(s)),
+            max_num_samples=n, no_gradient_observation=False)
+        gp = NoisyInputGaussianProcess(st)
+        assert gp.train(x.T, y[:, 0], grad.T, var_x=1e-4, var_y=1e-4,
+                        var_grad=1e-4)
+        xt = np.linspace(0, 2 * np.pi, 200)
+        r = gp.test(xt[None], predict_gradient=False)
+        return float(np.abs(r.get_mean(0) - np.sin(2 * xt)).mean())
+
+    assert mae_at(best) < 1.0e-4, (best, mae_at(best))
+
+
+def test_select_scale_nigp_2d_rejects_catastrophic_scale():
+    """Reference 2D sweep (test_noisy_input_gp.cpp:552-555): scale=0.05 is
+    catastrophically bad (MAE 8.4e-4 vs ~1e-5 elsewhere). On a subsampled
+    version of the same problem, NLML must also rank 0.05 last and pick an
+    interior candidate from the recorded grid."""
+    from erl_gaussian_process_tpu.utils import select_scale_nigp
+
+    m = 16
+    xs = np.linspace(-2, 2, m)
+    ys = np.linspace(-1, 1, m)
+    xv, yv = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([xv.ravel(), yv.ravel()], axis=-1)
+    z = 2 * np.sin(10 * pts[:, 0]) * np.cos(5 * pts[:, 1])
+    gx = 20 * np.cos(10 * pts[:, 0]) * np.cos(5 * pts[:, 1])
+    gy = -10 * np.sin(10 * pts[:, 0]) * np.sin(5 * pts[:, 1])
+    grad = np.stack([gx, gy], axis=1)[:, :, None]
+    var = np.full(m * m, 1e-4)
+    ref_grid = np.array([0.05, 0.1, 0.15, 0.2])
+    best, scales, vals = select_scale_nigp(
+        pts, z[:, None], grad, var, var, var, kernel="rbf",
+        scales=ref_grid, refine=0)
+    ranked = np.where(np.isfinite(vals), vals, np.inf)
+    assert ranked.argmax() == 0, vals.tolist()  # 0.05 worst, as recorded
+    assert best in (0.1, 0.15, 0.2), best
+
+
+def test_select_scale_rejects_degenerate_inputs():
+    import pytest
+
+    from erl_gaussian_process_tpu.utils import select_scale
+
+    y = np.zeros((1, 1))
+    with pytest.raises(ValueError, match=">= 2 valid"):
+        select_scale(np.zeros((1, 1)), y, np.full(1, 1e-4), kernel="rbf")
+    # all points identical: finite grid impossible -> clear error, not
+    # an inf/invalid geomspace
+    x = np.ones((8, 1))
+    with pytest.raises(ValueError, match="distinct"):
+        select_scale(x, np.zeros((8, 1)), np.full(8, 1e-4), kernel="rbf")
+    # duplicated-but-not-all-identical points: median-nn may be 0; must
+    # fall back to a finite span-based grid instead of producing inf
+    x = np.repeat(np.linspace(0, 1, 4), 4)[:, None]
+    y = np.sin(x)
+    best, scales, vals = select_scale(x, y, np.full(16, 1e-2),
+                                      kernel="rbf", refine=0)
+    assert np.isfinite(scales).all() and np.isfinite(best)

@@ -4,12 +4,21 @@ assert the rebuild exposes an equivalent (or carries a documented
 deviation). This is the completeness gate for the pybind API parity claim
 (SURVEY.md §2.1 C10/C11)."""
 
+import os
 import re
 
 import numpy as np
 import pytest
 
-PYI = "/root/reference/python/erl_gaussian_process/pyerl_gaussian_process.pyi"
+PYI = os.path.join(
+    os.environ.get("ERL_GP_REFERENCE_DIR", "/root/reference"),
+    "python/erl_gaussian_process/pyerl_gaussian_process.pyi")
+
+if not os.path.exists(PYI):
+    pytest.skip(
+        "reference .pyi not found (set ERL_GP_REFERENCE_DIR to the "
+        "reference checkout to run the binding-surface sweep)",
+        allow_module_level=True)
 
 # Documented deviations: reference member -> why the rebuild differs.
 # Every entry must correspond to a member actually present in the pyi
