@@ -12,9 +12,12 @@ lives inside ``ComputeKtrain`` (src/vanilla_gp.cpp:487).
 from erl_gaussian_process_tpu.kernels.base import (
     KernelSetting,
     get_kernel,
+    is_mixture_setting,
     kernel_names,
+    mixture_params,
     register_kernel,
     resolve_kernel_name,
+    resolve_kernel_setting,
     validate_kernel_setting,
 )
 from erl_gaussian_process_tpu.kernels.stationary import (
@@ -22,6 +25,7 @@ from erl_gaussian_process_tpu.kernels.stationary import (
     kernel_fn,
     pairwise_dist,
     pairwise_sqdist,
+    register_scale_mixture,
     train_gram,
 )
 from erl_gaussian_process_tpu.kernels.gradient import (
@@ -39,9 +43,13 @@ from erl_gaussian_process_tpu.kernels.reduced_rank import (
 __all__ = [
     "KernelSetting",
     "get_kernel",
+    "is_mixture_setting",
     "kernel_names",
+    "mixture_params",
     "register_kernel",
+    "register_scale_mixture",
     "resolve_kernel_name",
+    "resolve_kernel_setting",
     "validate_kernel_setting",
     "cross_gram",
     "kernel_fn",

@@ -55,24 +55,88 @@ class KernelSetting:
         return cls(**{k: v for k, v in (d or {}).items() if k in known})
 
 
-def validate_kernel_setting(ks, context: str = "") -> None:
-    """Config honesty: ``scale_mix``/``weights`` select scale-mixture
-    kernels in the reference's erl_covariance — there is no compute path
-    for them here, so a config that sets them non-neutral would silently
-    produce different posteriors than the reference. Reject loudly
-    (reference-neutral values are scale_mix=1, weights=[], the values in
-    every reference config: /root/reference/config/*.yaml:7-8)."""
-    mix = getattr(ks, "scale_mix", 1.0)
+# Scale-mixture kernel table: registered name -> (base family, component
+# scale ratios (tuple), normalized weights (tuple)). Populated by
+# ``stationary.register_scale_mixture``.
+_MIXTURES: Dict[str, tuple] = {}
+
+
+def mixture_params(name: str):
+    """(base, ratios, weights) of a registered mixture kernel, else None."""
+    return _MIXTURES.get(name)
+
+
+def _mixture_terms(ks):
+    """Normalize a KernelSetting's mixture fields to (scale_mix, weights)."""
+    mix = float(getattr(ks, "scale_mix", 1.0))
     w = getattr(ks, "weights", None)
     w = [] if w is None else list(np.asarray(w).ravel()) if not isinstance(
         w, (list, tuple)) else list(w)
-    if float(mix) != 1.0 or len(w) > 0:
+    return mix, [float(v) for v in w]
+
+
+def is_mixture_setting(ks) -> bool:
+    """True when the setting requests a scale-mixture kernel (non-neutral
+    ``weights``; reference-neutral values are scale_mix=1, weights=[] —
+    every reference config: /root/reference/config/*.yaml:7-8)."""
+    _, w = _mixture_terms(ks)
+    return len(w) > 0
+
+
+def validate_kernel_setting(ks, context: str = "") -> None:
+    """Config honesty for code paths that cannot consume a scale mixture
+    (the reduced-rank basis is single-scale: a Hilbert RR expansion of a
+    mixture needs summed spectral densities, not implemented). Plain
+    kernels resolve mixtures via :func:`resolve_kernel_setting` instead.
+    Also rejects the half-specified case — ``scale_mix != 1`` with no
+    ``weights`` names zero mixture components, so the intent is unknowable
+    (erl_covariance's Setting pairs them; /root/reference/config/*.yaml:7-8)."""
+    mix, w = _mixture_terms(ks)
+    if mix != 1.0 and len(w) == 0:
+        raise ValueError(
+            f"{context or 'kernel'}: scale_mix={mix!r} with empty weights "
+            "specifies no mixture components — set weights (one per "
+            "component) or leave scale_mix at 1")
+    if len(w) > 0:
         raise NotImplementedError(
-            f"{context or 'kernel'}: scale_mix={mix!r} / weights={list(w)!r} "
-            "request a scale-mixture kernel, which this rebuild does not "
-            "implement — use scale_mix: 1 and weights: [] (the values in "
-            "all reference configs), or open the deviation list in "
-            "docs/parity.md")
+            f"{context or 'kernel'}: scale_mix={mix!r} / weights={w!r} "
+            "request a scale-mixture kernel, which this code path cannot "
+            "consume (reduced-rank bases are single-scale) — use "
+            "scale_mix: 1 and weights: [] here; plain (non-reduced-rank) "
+            "kernel types support mixtures")
+
+
+def resolve_kernel_setting(kernel_type: str, ks, context: str = "") -> str:
+    """Resolve a kernel-type string + Setting into a registry name,
+    materializing a scale-mixture kernel when the setting's
+    ``scale_mix``/``weights`` are non-neutral (erl_covariance builds its
+    kernel from the full Setting, reference call site:
+    src/vanilla_gp.cpp:820). Mixture contract (erl_covariance's source is
+    not vendored in the snapshot; contract documented in docs/parity.md):
+    component i has scale ``scale * scale_mix**i`` and weight
+    ``weights[i]``; weights are normalized to sum 1 so the unit-variance
+    invariant k(x,x)=1 — which every variance formula relies on — holds
+    for mixtures too."""
+    mix, w = _mixture_terms(ks)
+    if mix != 1.0 and len(w) == 0:
+        raise ValueError(
+            f"{context or 'kernel'}: scale_mix={mix!r} with empty weights "
+            "specifies no mixture components — set weights (one per "
+            "component) or leave scale_mix at 1")
+    base = resolve_kernel_name(kernel_type)
+    if len(w) == 0:
+        return base
+    if any(v < 0 for v in w) or sum(w) <= 0:
+        raise ValueError(
+            f"{context or 'kernel'}: mixture weights must be non-negative "
+            f"with a positive sum, got {w!r}")
+    if mix <= 0:
+        raise ValueError(
+            f"{context or 'kernel'}: scale_mix must be positive, got {mix!r}")
+    from erl_gaussian_process_tpu.kernels.stationary import (
+        register_scale_mixture,
+    )
+    return register_scale_mixture(base, mix, tuple(w))
 
 
 def resolve_kernel_name(name: str) -> str:

@@ -78,7 +78,26 @@ _GRAD_BLOCKS = {
 
 
 def _blocks(name, x1, x2, scale):
+    from erl_gaussian_process_tpu.kernels.base import mixture_params
+
     key = resolve_kernel_name(name)
+    mix = mixture_params(key)
+    if mix is not None:
+        # differentiation is linear: the mixture's (k, dk, d2k) are the
+        # weighted sums of the component blocks at each component scale
+        base, ratios, weights = mix
+        try:
+            fn = _GRAD_BLOCKS[base]
+        except KeyError:
+            raise NotImplementedError(
+                f"kernel {base!r} has no gradient gram "
+                "(OU is not differentiable at 0)") from None
+        k, dk, d2k = fn(x1, x2, scale * ratios[0])
+        k, dk, d2k = weights[0] * k, weights[0] * dk, weights[0] * d2k
+        for w, m in zip(weights[1:], ratios[1:]):
+            kc, dkc, d2kc = fn(x1, x2, scale * m)
+            k, dk, d2k = k + w * kc, dk + w * dkc, d2k + w * d2kc
+        return k, dk, d2k
     try:
         return _GRAD_BLOCKS[key](x1, x2, scale)
     except KeyError:

@@ -73,6 +73,53 @@ register_kernel("rbf", cross=_rbf)
 register_kernel("ou", cross=_ou)
 register_kernel("matern32", cross=_matern32)
 
+_FROM_DIST = {
+    "rbf": _rbf_from_sqdist,   # consumes SQUARED distance
+    "ou": _ou_from_dist,
+    "matern32": _matern32_from_dist,
+}
+
+
+def register_scale_mixture(base: str, scale_mix: float, weights: tuple) -> str:
+    """Register (idempotently) a scale-mixture kernel over one base family
+    and return its registry name.
+
+    Semantics (erl_covariance's ``Setting{scale, scale_mix, weights}``; its
+    source is not vendored in the reference snapshot, so the contract is
+    ours, documented in docs/parity.md): ``k_mix(r; s) =
+    sum_i w_i k(r; s * scale_mix**i) / sum_i w_i`` — a geometric ladder of
+    component scales with normalized weights, preserving the unit-variance
+    invariant k(x,x)=1 that every variance formula relies on
+    (1 - ||.||^2, reference: src/vanilla_gp.cpp:121).
+
+    TPU shape: the component count is static config, so the mixture is a
+    single registered closure — the pairwise distance matrix is computed
+    ONCE and each component applies only its scalar map; XLA fuses the W
+    elementwise maps + weighted sum into one pass over the (n, m) tile.
+    """
+    total = float(sum(weights))
+    wn = tuple(float(w) / total for w in weights)
+    ratios = tuple(float(scale_mix) ** i for i in range(len(wn)))
+    name = "mix(%s;%g;%s)" % (base, float(scale_mix),
+                              ",".join("%g" % w for w in weights))
+    from erl_gaussian_process_tpu.kernels import base as _base
+    if name in _base._MIXTURES:
+        return name
+
+    fdist = _FROM_DIST[base]
+    squared = base == "rbf"
+
+    def cross(x1, x2, scale):
+        r = pairwise_sqdist(x1, x2) if squared else pairwise_dist(x1, x2)
+        out = wn[0] * fdist(r, scale * ratios[0])
+        for w, m in zip(wn[1:], ratios[1:]):
+            out = out + w * fdist(r, scale * m)
+        return out
+
+    register_kernel(name, cross=cross)
+    _base._MIXTURES[name] = (base, ratios, wn)
+    return name
+
 
 def kernel_fn(name: str):
     """Return k(x1, x2, scale) -> (n, m) for a kernel family name."""

@@ -168,7 +168,7 @@ class LidarGP2DTestResult:
         del parallel
         f = self._mean
         if self._un_map:
-            f = np.asarray(Mapping(self._gp.setting.mapping).inv(f))
+            f = Mapping(self._gp.setting.mapping).inv_masked(f, self._valid)
         return f, self._valid.copy()
 
     def get_variance(self, parallel: bool = True):
@@ -214,25 +214,35 @@ class LidarGaussianProcess2D:
         fit, routed predict, and the variance sign contract (the
         reference's m_reduced_rank_kernel_ on the TestResult,
         src/lidar_gp_2d.cpp:58,148-151)."""
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        from erl_gaussian_process_tpu.kernels import (
+            resolve_kernel_setting,
+            validate_kernel_setting,
+        )
         from erl_gaussian_process_tpu.kernels.reduced_rank import (
             ReducedRankBasis,
             ReducedRankSetting,
             parse_reduced_rank_name,
         )
-        validate_kernel_setting(self.setting.gp.kernel,
-                                "LidarGaussianProcess2D.gp")
         self._scale = float(self.setting.gp.kernel.scale)
         self._basis = None
         rr_base = parse_reduced_rank_name(self.setting.gp.kernel_type)
         if rr_base is not None:
+            validate_kernel_setting(self.setting.gp.kernel,
+                                    "LidarGaussianProcess2D.gp")
             ks = self.setting.gp.kernel
             if not isinstance(ks, ReducedRankSetting):
                 ks = ReducedRankSetting.from_dict(ks.to_dict())
                 self.setting.gp.kernel = ks
             if rr_base:
                 ks.base_kernel = rr_base
-            if list(ks.num_basis) == [32] and list(ks.boundary) == [1.0]:
+            # per-field defaulting (mirrors RangeSensorGaussianProcess3D):
+            # the boundary gets the frame-derived box whenever it is still
+            # the dataclass default [1.0] (or the wrong length), regardless
+            # of num_basis — a shorthand config setting only num_basis must
+            # not keep a 1-rad Hilbert box on a ±2.36-rad scan, where rays
+            # past the box edge clip to phi≈0/var≈0 and silently pass the
+            # validity gate.
+            if len(ks.boundary) != 1 or list(ks.boundary) == [1.0]:
                 # default basis box: angular domain + ~3*scale margin
                 # (the Hilbert box must extend past the data by a few
                 # length scales or the truncation biases the posterior)
@@ -242,7 +252,9 @@ class LidarGaussianProcess2D:
             self._basis = ReducedRankBasis(ks, dtype=self.dtype)
             self._kernel = ks.base_kernel
         else:
-            self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
+            self._kernel = resolve_kernel_setting(
+                self.setting.gp.kernel_type, self.setting.gp.kernel,
+                "LidarGaussianProcess2D.gp")
         self.reduced_rank_kernel = self._basis is not None
 
     def using_reduced_rank_kernel(self) -> bool:
@@ -464,7 +476,7 @@ class LidarGaussianProcess2D:
         mapped = np.asarray(self.mapping.map(dist))
         # 2/(1+e^z)-1 == -tanh(z/2): saturates instead of overflowing exp
         occ = -np.tanh(0.5 * a * (mean - mapped))
-        range_pred = np.asarray(self.mapping.inv(mean))
+        range_pred = self.mapping.inv_masked(mean, valid)
         if single:
             return {"success": bool(valid[0]), "dist_pos": float(dist[0]),
                     "range_pred": float(range_pred[0]),

@@ -436,13 +436,16 @@ class NoisyInputGaussianProcess:
         """Resolve the kernel family; reduced-rank kernel types build the
         stateful basis (the reference's BuildSpectralDensities-after-
         create/load contract, src/noisy_input_gp.cpp:1183-1184 + 1110-1112)."""
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
-        validate_kernel_setting(self.setting.kernel,
-                                "NoisyInputGaussianProcess")
+        from erl_gaussian_process_tpu.kernels import (
+            resolve_kernel_setting,
+            validate_kernel_setting,
+        )
         self._scale = float(self.setting.kernel.scale)
         self._basis: Optional[ReducedRankBasis] = None
         rr_base = parse_reduced_rank_name(self.setting.kernel_type)
         if rr_base is not None:
+            validate_kernel_setting(self.setting.kernel,
+                                    "NoisyInputGaussianProcess")
             ks = self.setting.kernel
             if not isinstance(ks, ReducedRankSetting):
                 ks = ReducedRankSetting.from_dict(ks.to_dict())
@@ -452,7 +455,9 @@ class NoisyInputGaussianProcess:
             self._basis = ReducedRankBasis(ks, dtype=self.dtype)
             self._kernel = ks.base_kernel
         else:
-            self._kernel = resolve_kernel_name(self.setting.kernel_type)
+            self._kernel = resolve_kernel_setting(
+                self.setting.kernel_type, self.setting.kernel,
+                "NoisyInputGaussianProcess")
         self.reduced_rank_kernel = self._basis is not None
 
     # -- reduced-rank kernel surface (reference:

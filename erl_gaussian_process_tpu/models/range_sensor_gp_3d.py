@@ -128,7 +128,7 @@ class RangeSensorGP3DTestResult:
         del parallel
         f = self._mean
         if self._un_map:
-            f = np.asarray(Mapping(self._gp.setting.mapping).inv(f))
+            f = Mapping(self._gp.setting.mapping).inv_masked(f, self._valid)
         return f, self._valid.copy()
 
     def get_variance(self, parallel: bool = True):
@@ -177,18 +177,21 @@ class RangeSensorGaussianProcess3D:
         thread the RR flag through bank fit / routed predict / variance
         sign, mirroring the reference's m_reduced_rank_kernel_ on this
         class's TestResult (src/range_sensor_gp_3d.cpp:71,160)."""
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
+        from erl_gaussian_process_tpu.kernels import (
+            resolve_kernel_setting,
+            validate_kernel_setting,
+        )
         from erl_gaussian_process_tpu.kernels.reduced_rank import (
             ReducedRankBasis,
             ReducedRankSetting,
             parse_reduced_rank_name,
         )
-        validate_kernel_setting(self.setting.gp.kernel,
-                                "RangeSensorGaussianProcess3D.gp")
         self._scale = float(self.setting.gp.kernel.scale)
         self._basis = None
         rr_base = parse_reduced_rank_name(self.setting.gp.kernel_type)
         if rr_base is not None:
+            validate_kernel_setting(self.setting.gp.kernel,
+                                    "RangeSensorGaussianProcess3D.gp")
             ks = self.setting.gp.kernel
             if not isinstance(ks, ReducedRankSetting):
                 ks = ReducedRankSetting.from_dict(ks.to_dict())
@@ -214,7 +217,9 @@ class RangeSensorGaussianProcess3D:
             self._basis = ReducedRankBasis(ks, dtype=self.dtype)
             self._kernel = ks.base_kernel
         else:
-            self._kernel = resolve_kernel_name(self.setting.gp.kernel_type)
+            self._kernel = resolve_kernel_setting(
+                self.setting.gp.kernel_type, self.setting.gp.kernel,
+                "RangeSensorGaussianProcess3D.gp")
         self.reduced_rank_kernel = self._basis is not None
 
     def using_reduced_rank_kernel(self) -> bool:

@@ -297,9 +297,7 @@ class SparsePseudoInputGaussianProcess:
             warn_if_x64_disabled,
         )
         warn_if_x64_disabled(self.dtype)
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
-        validate_kernel_setting(self.setting.kernel,
-                                "SparsePseudoInputGaussianProcess")
+        from erl_gaussian_process_tpu.kernels import resolve_kernel_setting
         if self.setting.use_sparse:
             # config honesty (the dense path covers use_sparse's math
             # exactly — the sparse variant is a CPU cache optimization, see
@@ -311,7 +309,9 @@ class SparsePseudoInputGaussianProcess:
                 "variant is a CPU-side optimization, "
                 "src/sparse_pseudo_input_gp.cpp:793-832). See docs/"
                 "parity.md deviations.")
-        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._kernel = resolve_kernel_setting(
+            self.setting.kernel_type, self.setting.kernel,
+            "SparsePseudoInputGaussianProcess")
         self._scale = float(self.setting.kernel.scale)
         p = np.asarray(pseudo_points, self.dtype)
         if p.ndim == 1:
@@ -433,8 +433,11 @@ class SparsePseudoInputGaussianProcess:
         }
 
     def load_state_dict(self, d):
+        from erl_gaussian_process_tpu.kernels import resolve_kernel_setting
         self.setting = SpGpSetting.from_dict(d["setting"])
-        self._kernel = resolve_kernel_name(self.setting.kernel_type)
+        self._kernel = resolve_kernel_setting(
+            self.setting.kernel_type, self.setting.kernel,
+            "SparsePseudoInputGaussianProcess")
         self._scale = float(self.setting.kernel.scale)
         self._trained = bool(d["trained"])
         self._y_dim = int(d["y_dim"])

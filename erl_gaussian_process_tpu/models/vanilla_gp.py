@@ -302,12 +302,16 @@ class VanillaGaussianProcess:
         """Resolve the kernel family; for reduced-rank kernel types build the
         stateful basis, like the reference's BuildSpectralDensities after
         create/load (src/vanilla_gp.cpp:828, :757)."""
-        from erl_gaussian_process_tpu.kernels import validate_kernel_setting
-        validate_kernel_setting(self.setting.kernel, "VanillaGaussianProcess")
+        from erl_gaussian_process_tpu.kernels import (
+            resolve_kernel_setting,
+            validate_kernel_setting,
+        )
         self._scale = float(self.setting.kernel.scale)
         self._basis: Optional[ReducedRankBasis] = None
         rr_base = parse_reduced_rank_name(self.setting.kernel_type)
         if rr_base is not None:
+            validate_kernel_setting(self.setting.kernel,
+                                    "VanillaGaussianProcess")
             ks = self.setting.kernel
             if not isinstance(ks, ReducedRankSetting):
                 ks = ReducedRankSetting.from_dict(ks.to_dict())
@@ -317,7 +321,9 @@ class VanillaGaussianProcess:
             self._basis = ReducedRankBasis(ks, dtype=self.dtype)
             self._kernel = ks.base_kernel
         else:
-            self._kernel = resolve_kernel_name(self.setting.kernel_type)
+            self._kernel = resolve_kernel_setting(
+                self.setting.kernel_type, self.setting.kernel,
+                "VanillaGaussianProcess")
         self.reduced_rank_kernel = self._basis is not None
 
     # -- reduced-rank coord origin (reference: vanilla_gp.cpp:358-374) -----

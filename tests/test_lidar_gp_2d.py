@@ -222,3 +222,42 @@ def test_real_scan_float32(frame0):
     assert pred.dtype == np.float32 and valid.any()
     mae = np.abs(pred[valid] - frame0.ranges[valid].astype(np.float32)).mean()
     assert mae < 0.04, mae
+
+
+def test_reduced_rank_boundary_defaults_independently_of_num_basis():
+    """A shorthand RR config that sets only num_basis (boundary left at the
+    dataclass default [1.0]) must still get the frame-derived Hilbert box:
+    on a ±2.2 rad scan, a 1-rad box would clip every ray past ±1 rad to the
+    box edge (phi~0, var~0) and produce silently wrong predictions that
+    pass the variance gate (ADVICE r2). Mirrors the 3D class's per-field
+    defaulting."""
+    from erl_gaussian_process_tpu.kernels import ReducedRankSetting
+
+    n = 270
+    angles = np.linspace(-2.2, 2.2, n)
+    ranges = 3.0 + 0.8 * np.sin(2.0 * angles)
+    s = LidarGP2DSetting(
+        group_size=GROUP + OVERLAP, overlap_size=OVERLAP, margin=MARGIN,
+        sensor_range_var=1e-4, max_valid_range_var=0.5,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=float(angles[0]), angle_max=float(angles[-1]),
+            num_rays=n, discontinuity_detection=False),
+        gp=VanillaGPSetting(
+            kernel_type="reduced_rank_rbf",
+            kernel=ReducedRankSetting(x_dim=1, scale=0.25,
+                                      num_basis=[96])),  # boundary omitted
+        mapping=MappingSetting(type=MappingType.IDENTITY),
+    )
+    gp = LidarGaussianProcess2D(s)
+    # boundary was defaulted from the frame: angular halfspan + 3*scale
+    assert gp.setting.gp.kernel.boundary[0] >= 2.2 + 3 * 0.25 - 1e-9
+    assert gp.train(np.eye(2), np.zeros(2), ranges)
+    res = gp.test(angles, angles_are_local=True, un_map=True)
+    pred, valid = res.get_mean()
+    assert valid.sum() > 0.9 * n
+    # rays beyond ±1 rad must predict correctly, not clip to the box edge
+    outer = valid & (np.abs(angles) > 1.2)
+    assert outer.sum() > 0
+    mae_outer = np.abs(pred[outer] - ranges[outer]).mean()
+    assert mae_outer < 0.02, mae_outer

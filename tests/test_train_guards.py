@@ -166,10 +166,14 @@ def test_use_sparse_warns(caplog):
     assert any("use_sparse" in r.message for r in caplog.records)
 
 
-def test_scale_mixture_settings_rejected():
-    with pytest.raises(NotImplementedError, match="scale_mix"):
+def test_scale_mixture_settings_resolve_or_reject():
+    # half-specified: scale_mix with no weights names zero components ->
+    # loud error (intent unknowable), not a silently different kernel
+    with pytest.raises(ValueError, match="no mixture components"):
         VanillaGaussianProcess(VanillaGaussianProcess.Setting(
             kernel=KernelSetting(scale_mix=2.0)))
-    with pytest.raises(NotImplementedError, match="weights"):
-        NoisyInputGaussianProcess(NoisyInputGaussianProcess.Setting(
-            kernel=KernelSetting(weights=[0.5, 0.5])))
+    # fully-specified mixtures are implemented (tests/test_scale_mixture.py)
+    gp = NoisyInputGaussianProcess(NoisyInputGaussianProcess.Setting(
+        kernel=KernelSetting(x_dim=1, scale=0.3, weights=[0.5, 0.5]),
+        max_num_samples=8))
+    assert gp._kernel.startswith("mix(")
