@@ -113,6 +113,55 @@ def emit(**kv):
     print(json.dumps(kv))
 
 
+# --- roofline anchors --------------------------------------------------------
+# Every metric carries its FLOP count and %-of-peak so regressions and
+# floor-distance are visible without re-measurement context (VERDICT r2 #6).
+# Peaks are for ONE v5e chip:
+# - MXU at the compute path's precision: the f32 path runs
+#   BF16_BF16_F32_X3 (see models/gp_core._MATMUL_PRECISION) — 62 TFLOP/s
+#   MEASURED on this chip (gp_core.py:24-31 records the sweep; theoretical
+#   = 197 TFLOP/s bf16 nameplate / 3 passes = 65.7).
+# - HBM: 819 GB/s nameplate.
+# FLOP conventions (1 FMA = 2 flops): chol(n) = n^3/3; trsm(n,q) = n^2*q;
+# GEMM (a,b)x(b,c) = 2abc; distance gram (n,m,d) = 3*d*n*m (sub/mul/acc;
+# the transcendental map is VPU-side and uncounted).
+PEAK_MXU_X3 = 62e12
+PEAK_HBM = 819e9
+
+
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def roof(t_seconds, flops=None, hbm_bytes=None):
+    """Roofline fields for one measurement: achieved flops + % of the
+    measured X3 MXU peak, and/or achieved bandwidth + % of HBM peak.
+    Percentages only on real TPU hardware (meaningless on the CPU mesh)."""
+    out = {}
+    if flops is not None:
+        out["gflops"] = round(flops / t_seconds / 1e9, 1)
+        out["flops"] = int(flops)
+        if _on_tpu():
+            out["pct_peak"] = round(100.0 * flops / t_seconds / PEAK_MXU_X3,
+                                    1)
+    if hbm_bytes is not None:
+        out["gbps"] = round(hbm_bytes / t_seconds / 1e9, 1)
+        if _on_tpu():
+            out["pct_hbm"] = round(
+                100.0 * hbm_bytes / t_seconds / PEAK_HBM, 1)
+    return out
+
+
+def fit_flops(n, d, q=1):
+    """vanilla_fit: gram + noise diag, chol, two trsm solves of q cols."""
+    return n**3 / 3 + 3 * d * n * n + 2 * n * n * q
+
+
+def predict_flops(n, m, d, q=1):
+    """cross gram + one trsm whiten + mean dot + variance reduce."""
+    return n * n * m + 3 * d * n * m + 2 * n * m * q + 2 * n * m
+
+
 _FIT_ITERS = {2048: 20, 4096: 8, 8192: 3}
 
 
@@ -143,10 +192,14 @@ def bench_vanilla(n, m_test=4096, d=2):
     pred_fn.consts = (st, xq)
     t_pred = _time(pred_fn, iters=20 if n >= 8192 else 50)
     emit(metric=f"vanilla_gp_fit_n{n}", value=round(n / t_fit), unit="pts/s",
-         ms=round(t_fit * 1e3, 3))
+         ms=round(t_fit * 1e3, 3), **roof(t_fit, flops=fit_flops(n, d)))
+    # predict is HBM-bound at thin q: factor read once + ktest in/out
+    pred_bytes = 4 * (n * n + 3 * n * m_test)
     emit(metric=f"vanilla_gp_predict_n{n}_m{m_test}",
          value=round(m_test / t_pred), unit="queries/s",
-         ms=round(t_pred * 1e3, 3))
+         ms=round(t_pred * 1e3, 3),
+         **roof(t_pred, flops=predict_flops(n, m_test, d),
+                hbm_bytes=pred_bytes))
 
 
 def bench_bank(B=128, n=32, d=1):
@@ -160,7 +213,7 @@ def bench_bank(B=128, n=32, d=1):
     fn.consts = (x, y, var, mask)
     t = _time(fn)
     emit(metric=f"bank_fit_B{B}_n{n}", value=round(B / t), unit="gps/s",
-         ms=round(t * 1e3, 3))
+         ms=round(t * 1e3, 3), **roof(t, flops=B * fit_flops(n, d)))
 
 
 def bench_bank_sweep():
@@ -179,7 +232,8 @@ def bench_bank_sweep():
         fn.consts = (x, y, var, mask)
         t = _time(fn, iters=max(3, min(50, 2000 // B)))
         emit(metric=f"bank_sweep_B{B}_n100", value=round(B / t),
-             unit="gps/s", ms=round(t * 1e3, 3))
+             unit="gps/s", ms=round(t * 1e3, 3),
+             **roof(t, flops=B * fit_flops(n, d)))
 
 
 def bench_nigp(n=2500, d=2, m_test=1024):
@@ -207,8 +261,10 @@ def bench_nigp(n=2500, d=2, m_test=1024):
         x + e, y, g, vx, vy, vg, m, gm, scale, kernel="rbf")
     fit_fn.consts = (x, y, grad, var_x, var_y, var_grad, mask, gmask)
     t_fit = _time(fit_fn, iters=3)
+    N = n * (1 + d)   # joint value/gradient system size
     emit(metric=f"nigp_fit_n{n}_d{d}", value=round(n / t_fit),
-         unit="pts/s", ms=round(t_fit * 1e3, 3))
+         unit="pts/s", ms=round(t_fit * 1e3, 3),
+         **roof(t_fit, flops=N**3 / 3 + 3 * d * N * N))
 
     st = nigp_fit(x, y, grad, var_x, var_y, var_grad, mask, gmask, scale,
                   kernel="rbf")
@@ -224,9 +280,12 @@ def bench_nigp(n=2500, d=2, m_test=1024):
 
     pred.consts = (st, xq)
     t_pred = _time(pred, iters=10)
+    M = m_test * (1 + d)  # joint query columns (means + dim-major grads)
     emit(metric=f"nigp_predict_n{n}_d{d}_m{m_test}",
          value=round(m_test / t_pred), unit="queries/s",
-         ms=round(t_pred * 1e3, 3))
+         ms=round(t_pred * 1e3, 3),
+         **roof(t_pred, flops=N * N * M + 3 * d * N * M,
+                hbm_bytes=4 * (N * N + 3 * N * M)))
 
     # serving path: small repeated query batches whiten with the amortized
     # explicit L^{-1} GEMM (models/noisy_input_gp.nigp_l_inv) — the class
@@ -344,9 +403,13 @@ def bench_routed_predict(B=60, n=144, d=2, m=16384, rounds=8):
         t0 = time.perf_counter()
         once(r + 1)
         best = min(best, time.perf_counter() - t0)
+    # segmented design reads each member's factor once; per-query whiten
+    # is one trsm column against its member's (n, n) factor
     emit(metric=f"routed_predict_B{B}_n{n}_m{m}",
          value=round(m / best), unit="queries/s",
-         ms=round(best * 1e3, 3))
+         ms=round(best * 1e3, 3),
+         **roof(best, flops=m * n * n + 3 * d * n * m,
+                hbm_bytes=4 * (B * n * n + 3 * n * m)))
 
 
 def bench_spgp(n=2000, grid=31):
@@ -398,8 +461,11 @@ def bench_spgp(n=2000, grid=31):
     t1 = min(run(l1) for _ in range(2))
     t2 = min(run(l2) for _ in range(2))
     t = max(t2 - t1, 1e-9) / iters
-    emit(metric=f"spgp_update_M{len(P)}_N{n}", value=round(1.0 / t, 1),
-         unit="updates/s", ms=round(t * 1e3, 3))
+    M = len(P)
+    # K_MN gram + N forward-solve cols against L_KM + Q_M += GEMM
+    emit(metric=f"spgp_update_M{M}_N{n}", value=round(1.0 / t, 1),
+         unit="updates/s", ms=round(t * 1e3, 3),
+         **roof(t, flops=3 * M * M * n + 3 * 2 * M * n))
 
 
 def bench_spgp_3d(n=2000, grid=(11, 11, 9)):
@@ -447,8 +513,10 @@ def bench_spgp_3d(n=2000, grid=(11, 11, 9)):
     t1 = min(run(l1) for _ in range(2))
     t2 = min(run(l2) for _ in range(2))
     t = max(t2 - t1, 1e-9) / iters
-    emit(metric=f"spgp3d_update_M{len(P)}_N{n}", value=round(1.0 / t, 1),
-         unit="updates/s", ms=round(t * 1e3, 3))
+    M = len(P)
+    emit(metric=f"spgp3d_update_M{M}_N{n}", value=round(1.0 / t, 1),
+         unit="updates/s", ms=round(t * 1e3, 3),
+         **roof(t, flops=3 * M * M * n + 3 * 3 * M * n))
 
 
 def main():
