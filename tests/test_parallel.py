@@ -240,3 +240,52 @@ def test_lidar_gp_2d_class_mesh_matches_single_chip():
     np.testing.assert_array_equal(v_sh, v_ref)
     np.testing.assert_allclose(m_sh[v_sh], m_ref[v_ref],
                                rtol=1e-12, atol=1e-12)
+
+
+def test_spgp_update_weak_scaling_shape():
+    """Weak-scaling shape check (VERDICT r2 #7): at FIXED per-device sample
+    count, the per-device compiled program must not grow with the mesh —
+    XLA's cost analysis of the SPMD module (the per-device program) must
+    report identical flops at D = 2, 4, 8, and every mesh size must agree
+    with the sequential single-chip accumulation. This pins the structure
+    the analytic ICI budget in docs/architecture.md relies on: local
+    compute stays N/D while only the (M, M) psum is fixed-cost."""
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        spgp_init,
+        spgp_update,
+    )
+    from erl_gaussian_process_tpu.parallel import sharded_spgp_update
+
+    def build(D, n_per=192):
+        mesh = make_mesh(D)
+        c = np.linspace(-1, 1, 8)
+        pv, qv = np.meshgrid(c, c, indexing="ij")
+        pseudo = jnp.asarray(
+            np.stack([pv.ravel(), qv.ravel()], -1).astype(np.float32))
+        st = spgp_init(pseudo, np.float32(0.3), kernel="matern32")
+        n = n_per * D
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32))
+        var = jnp.full((n,), 1e-3, np.float32)
+        mask = jnp.ones((n,), bool)
+        return mesh, st, x, y, var, mask
+
+    flops = {}
+    for D in (2, 4, 8):
+        mesh, st, x, y, var, mask = build(D)
+        out = sharded_spgp_update(mesh, st, x, y, var, mask,
+                                  np.float32(0.3), kernel="matern32")
+        ref = spgp_update(st, x, y, var, mask, np.float32(0.3),
+                          kernel="matern32")
+        drift = float(jnp.linalg.norm(out.qm - ref.qm)
+                      / jnp.linalg.norm(ref.qm))
+        assert drift < 5e-6, (D, drift)  # psum reassociation only
+
+        f = jax.jit(lambda st, x, y, var, mask: sharded_spgp_update(
+            mesh, st, x, y, var, mask, np.float32(0.3), kernel="matern32"))
+        ca = f.lower(st, x, y, var, mask).compile().cost_analysis()
+        flops[D] = ca.get("flops")
+
+    if all(v is not None for v in flops.values()):
+        assert flops[2] == flops[4] == flops[8], flops
