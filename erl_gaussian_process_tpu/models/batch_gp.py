@@ -170,6 +170,10 @@ def _next_pow2(v: int) -> int:
     return 1 << max(0, int(v - 1).bit_length())
 
 
+def _next_mult8(v: int) -> int:
+    return max(8, -(-int(v) // 8) * 8)
+
+
 def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
                           reduced_rank: bool = False, basis=None):
     """Per-query routed prediction: query j is answered by bank member
@@ -185,8 +189,10 @@ def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
     whole query group in one GEMM. The earlier per-query design gathered
     an (m, n, n) stack of factors — ~830 MB of HBM traffic for 10^4
     queries against 144-sample 3D partitions; this reads each factor
-    once. Capacity/active-count buckets are powers of two so recompiles
-    are logarithmic in load shape.
+    once. Per-member query capacity buckets are powers of two (recompiles
+    logarithmic in load); the active-member axis buckets by 8s (padded
+    member rows run full discarded GEMMs, so fine buckets cap that waste
+    at 7 rows).
 
     ``basis`` (a ReducedRankBasis): reduced-rank mode — the per-member
     "gram" is the basis information matrix, queries are answered with
@@ -215,7 +221,13 @@ def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
     active = np.unique(sorted_members)
     counts = np.bincount(sorted_members, minlength=B)[active]
     C = _next_pow2(int(counts.max()))
-    Bp = _next_pow2(int(active.size))
+    # member-axis buckets are multiples of 8, not powers of two: padded
+    # rows run COMPLETE cross-gram + whitening GEMMs against member 0
+    # whose results are discarded, so pow2 bucketing wasted up to ~2x
+    # device compute just past a boundary (33 active -> 64 rows); 8-row
+    # buckets cap the waste at 7 rows while keeping recompiles bounded
+    # (active counts are stable across scans for a fixed partition map)
+    Bp = _next_mult8(int(active.size))
     starts = np.searchsorted(sorted_members, active)
     row = np.searchsorted(active, sorted_members)
     pos = np.arange(order.size) - starts[row]
