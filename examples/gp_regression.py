@@ -11,6 +11,14 @@ import sys
 # run from a checkout without installing the package
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
+# honor JAX_PLATFORMS=cpu even when a TPU plugin overrides it
+# programmatically at interpreter start (this image's remote-TPU
+# environment does): force the platform via jax.config before any
+# backend initializes.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from erl_gaussian_process_tpu.api import (
@@ -88,6 +96,32 @@ def main():
     tuned.train(x, y, var)
     print("NLML scale    %.3f -> MAE %.2e"
           % (best, np.abs(tuned.test(xq).get_mean() - truth).mean()))
+
+    # 6. NIGP variant: the joint value/gradient NLML (the reference's own
+    # recorded sweeps, test_noisy_input_gp.cpp:174-178, were for this model)
+    from erl_gaussian_process_tpu.utils import select_scale_nigp
+
+    best_n, _, _ = select_scale_nigp(
+        x.T, y, grad.T[:, :, None], np.full(n, 1e-6), var,
+        np.full(n, 1e-4), kernel="rbf", refine=1)
+    tuned_n = NoisyInputGaussianProcessD(NoisyInputGPSetting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=best_n)))
+    tuned_n.train(x, y, mat_grad=grad, var_x=np.full(n, 1e-6), var_y=var,
+                  var_grad=np.full(n, 1e-4), grad_flag=np.ones(n, bool))
+    rt = tuned_n.test(xq, predict_gradient=True)
+    print("NIGP NLML     %.3f -> MAE %.2e   grad MAE %.2e"
+          % (best_n, np.abs(rt.get_mean() - truth).mean(),
+             np.abs(rt.get_gradient()[0] - 3 * np.cos(3 * xq[0])).mean()))
+
+    # 7. scale-mixture kernel: two RBF components at scale and scale/2
+    # (erl_covariance's Setting{scale_mix, weights}; docs/parity.md #2)
+    mixgp = VanillaGaussianProcessD(VanillaGPSetting(
+        kernel_type="rbf",
+        kernel=KernelSetting(x_dim=1, scale=best, scale_mix=0.5,
+                             weights=[0.7, 0.3])))
+    mixgp.train(x, y, var)
+    print("mixture GP    MAE %.2e"
+          % np.abs(mixgp.test(xq).get_mean() - truth).mean())
 
 
 if __name__ == "__main__":

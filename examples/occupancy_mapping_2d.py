@@ -16,6 +16,14 @@ import sys
 # run from a checkout without installing the package
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
+# honor JAX_PLATFORMS=cpu even when a TPU plugin overrides it
+# programmatically at interpreter start (this image's remote-TPU
+# environment does): force the platform via jax.config before any
+# backend initializes.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from erl_gaussian_process_tpu.geometry import Aabb, GridMapInfo2D
