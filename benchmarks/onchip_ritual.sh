@@ -14,7 +14,9 @@ cd "$(dirname "$0")/.."
 log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
 {
   echo "== devices =="
-  python -c "import jax; print(jax.devices())"
+  # fail the ritual fast (not hang) when the tunnel is down: backend init
+  # blocks indefinitely inside PJRT client creation in that state
+  timeout 90 python -c "import jax; print(jax.devices())"
   echo "== TPU-only kernel parity (test_ops) =="
   ERL_GP_TEST_TPU=1 python -m pytest tests/test_ops.py -q
   echo "== full suite on-chip =="

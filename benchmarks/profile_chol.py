@@ -59,9 +59,21 @@ def main():
         L = np.asarray(chol_blocked(Aj), np.float64)
         err = np.abs(np.tril(L) @ np.tril(L).T - A).max()
         assert np.isfinite(err) and err < 5e-3, (n, err)
+
+        # XLA baseline at the same precision context — the enable-gate
+        # tuning datum: the kernel should stay on only where it beats this
+        from erl_gaussian_process_tpu.models.gp_core import f32_matmul
+
+        @f32_matmul
+        def xla_fn(eps, A):
+            return jnp.linalg.cholesky(A + eps)
+        xla_fn.consts = (Aj,)
+        t_xla = _time(xla_fn, iters=8)
+
         nb = n // 512
         rows.append((n, nb, t * 1e3, err))
         print(f"n={n:5d} nb={nb:2d}  t={t*1e3:7.3f} ms  "
+              f"xla={t_xla*1e3:7.3f} ms  ({t_xla/t:.2f}x)  "
               f"recon_err={err:.3e}", flush=True)
 
     # least-squares fit of the three structural components

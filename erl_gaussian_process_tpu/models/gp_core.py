@@ -181,9 +181,13 @@ def host_jitter_retry(fit_once, check_arrays, jitters=(0.0, 1e-10, 1e-8,
             if j > 0:
                 logging.getLogger("erl_gaussian_process_tpu").warning(
                     "fit required jitter %g on the noise diagonal — the "
-                    "requested noise is below the float32 feasibility "
-                    "floor for this problem size (see gp_core."
-                    "host_jitter_retry)", j)
+                    "requested noise leaves the gram numerically "
+                    "indefinite at this dtype/problem size (at float32 "
+                    "the storage-rounding floor is ~1e-4 for n >= 4k; at "
+                    "float64 this usually means a genuinely "
+                    "ill-conditioned kernel matrix, e.g. dense smooth-RBF "
+                    "grams). Effective observation noise changed; see "
+                    "gp_core.host_jitter_retry", j)
             return result
     return result
 
