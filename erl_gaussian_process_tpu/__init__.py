@@ -23,4 +23,4 @@ from erl_gaussian_process_tpu.init import init
 init()  # register setting/kernel types (reference: src/init.cpp Init())
 
 __all__ = ["kernels", "models", "geometry", "utils", "init"]
-__version__ = "0.1.0"
+__version__ = "0.4.0"

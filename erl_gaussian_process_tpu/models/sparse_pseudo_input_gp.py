@@ -17,8 +17,13 @@ TPU design: the whole update is three dense ops — one (M, N) cross gram, one
 batched triangular solve against L_KM, and one M×M×N GEMM on the MXU — as a
 single jitted step with donated (Q_M, alpha) buffers, replacing the
 reference's per-column OpenMP loop (src/sparse_pseudo_input_gp.cpp:768-774).
-The reference's sparse-matrix variant (``use_sparse``) is a CPU optimization
-with no TPU benefit (it would force dynamic shapes); dense mode covers it.
+The reference's sparse-matrix variant (``use_sparse``) drops K entries
+below ``sparse_zero_threshold`` before every solve/GEMM
+(UpdateSparse/ComputeKtestSparse, src/sparse_pseudo_input_gp.cpp:793-832,
+:55-77). Its MATH is reproduced here exactly as a masked dense
+computation — scatter/gather sparsity would force dynamic shapes and is
+hostile to the MXU, while zeros flow through dense GEMMs at full
+throughput, so the CPU cache win it buys Eigen does not exist on TPU.
 
 Note: the reference's vector-valued ``TestResult::GetGradient`` dots the RAW
 accumulated alpha instead of Q_M^{-1} alpha (src/sparse_pseudo_input_gp.cpp:
@@ -101,12 +106,14 @@ def spgp_init(pseudo, scale, *, kernel: str, diagonal_qm: bool = False,
                      alpha=alpha)
 
 
-@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "use_pallas"),
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "use_pallas",
+                                   "zero_threshold"),
          donate_argnames=("state",))
 @f32_matmul
 def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
                 diagonal_qm: bool = False,
-                use_pallas: Optional[bool] = None) -> SpGpState:
+                use_pallas: Optional[bool] = None,
+                zero_threshold: float = 0.0) -> SpGpState:
     """Rank-N FITC update (UpdateDense, src/sparse_pseudo_input_gp.cpp:751-791)
     with fixed-shape masking: masked-out columns contribute nothing.
 
@@ -117,7 +124,13 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
     chain XLA fuses well but whose triangular solve it cannot avoid.
     ``use_pallas`` is a static arg (not an ambient env check) so toggling it
     can never be defeated by the jit cache.
-    """
+
+    ``zero_threshold`` > 0 reproduces UpdateSparse
+    (src/sparse_pseudo_input_gp.cpp:793-832): K_MN entries below the
+    threshold are zeroed BEFORE the beta solve, exactly as the reference's
+    sparse kernel computation drops them — as a masked dense chain, since
+    scatter/gather sparsity is hostile to the MXU while zeros flow through
+    GEMMs at full throughput (docs/parity.md deviation #1)."""
     from erl_gaussian_process_tpu.ops.pallas_fitc import (
         pallas_fitc_enabled,
         pallas_fitc_update,
@@ -125,8 +138,9 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
 
     m = state.pseudo.shape[0]
     if use_pallas is None:
-        use_pallas = not diagonal_qm and pallas_fitc_enabled(
-            state.pseudo.dtype, m, state.pseudo.shape[1])
+        use_pallas = (not diagonal_qm and zero_threshold == 0.0
+                      and pallas_fitc_enabled(
+                          state.pseudo.dtype, m, state.pseudo.shape[1]))
     if use_pallas:
         dq, da = pallas_fitc_update(kernel, state.pseudo, state.L_inv, x, y,
                                     var, mask, scale)
@@ -135,22 +149,29 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
                          alpha=state.alpha + da)
 
     dq, da = fitc_delta(state.pseudo, state.L_km, x, y, var, mask, scale,
-                        kernel=kernel, diagonal_qm=diagonal_qm)
+                        kernel=kernel, diagonal_qm=diagonal_qm,
+                        zero_threshold=zero_threshold)
     return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
                      L_inv=state.L_inv, qm=state.qm + dq,
                      alpha=state.alpha + da)
 
 
 def fitc_delta(pseudo, L_km, x, y, var, mask, scale, *, kernel: str,
-               diagonal_qm: bool = False, reduce=lambda t: t):
+               diagonal_qm: bool = False, reduce=lambda t: t,
+               zero_threshold: float = 0.0):
     """The per-column FITC increment (dQ_M (M, M|1), dalpha (M, q)) —
     the ONE implementation of UpdateDense's column math
     (src/sparse_pseudo_input_gp.cpp:758-780), shared by the single-chip
     update above and the mesh-sharded paths (parallel/mesh.py), so a
     numerical fix here (e.g. the lambda clamp) can never drift between
     them. ``reduce`` wraps each accumulated product; the sharded callers
-    pass a psum so the cross-shard sum rides ICI."""
+    pass a psum so the cross-shard sum rides ICI.
+
+    ``zero_threshold`` > 0: UpdateSparse semantics — sub-threshold K_MN
+    entries zeroed before the solve (masked dense; see spgp_update)."""
     kmn = cross_gram(kernel, pseudo, x, scale)                 # (M, n)
+    if zero_threshold:
+        kmn = jnp.where(jnp.abs(kmn) >= zero_threshold, kmn, 0.0)
     beta = solve_triangular(L_km, kmn, lower=True)             # (M, n)
     # lambda >= 0 mathematically (FITC residual variance); float roundoff can
     # push ||beta||^2 past 1 near pseudo points, and an unclamped lambda can
@@ -190,11 +211,17 @@ def spgp_prepare(state: SpGpState, jitter=0.0, *,
     return L_qm, a
 
 
-@partial(jax.jit, static_argnames=("kernel", "with_grad", "with_var"))
+@partial(jax.jit, static_argnames=("kernel", "with_grad", "with_var",
+                                   "zero_threshold"))
 @f32_matmul
 def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
-                 kernel: str, with_grad: bool = False, with_var: bool = True):
-    """mean (m_q, q), grad (m_q, d, q) | None, var (m_q,) | None."""
+                 kernel: str, with_grad: bool = False, with_var: bool = True,
+                 zero_threshold: float = 0.0):
+    """mean (m_q, q), grad (m_q, d, q) | None, var (m_q,) | None.
+
+    ``zero_threshold`` > 0: the reference's sparse TestResult semantics
+    (ComputeKtest[WithGradient]Sparse, src/sparse_pseudo_input_gp.cpp:
+    55-77) — sub-threshold k* entries zeroed, as masked dense."""
     mq, d = xq.shape[0], xq.shape[1]
     zeros = jnp.zeros(state.pseudo.shape[0], bool)
     if with_grad:
@@ -204,6 +231,8 @@ def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
             grad_mask=zeros, with_test_grad=True, with_train_grad=False)
     else:
         kt = cross_gram(kernel, state.pseudo, xq, scale)
+    if zero_threshold:
+        kt = jnp.where(jnp.abs(kt) >= zero_threshold, kt, 0.0)
     mean = kt[:, :mq].T @ alpha_solved
     grad = None
     if with_grad:
@@ -233,9 +262,10 @@ def fitc_variance(L_inv, L_qm, kmean):
 @dataclasses.dataclass
 class SpGpSetting:
     """Mirror of SparsePseudoInputGaussianProcess::Setting
-    (sparse_pseudo_input_gp.hpp:45-66). ``use_sparse`` and
-    ``sparse_zero_threshold`` are accepted for config compatibility; the TPU
-    path is always dense (see module docstring)."""
+    (sparse_pseudo_input_gp.hpp:45-66). ``use_sparse: true`` runs the
+    reference's thresholded (UpdateSparse/ComputeKtestSparse) math —
+    K entries below ``sparse_zero_threshold`` zeroed before every solve —
+    implemented as a masked dense computation (see module docstring)."""
 
     kernel_type: str = "rbf"
     kernel: KernelSetting = dataclasses.field(default_factory=KernelSetting)
@@ -264,7 +294,8 @@ class SpGpTestResult:
         L_qm, a = gp._prepared()
         self._mean, self._grad, self._var = spgp_predict(
             gp.state, L_qm, a, xq, gp._scale, kernel=gp._kernel,
-            with_grad=will_predict_gradient, with_var=True)
+            with_grad=will_predict_gradient, with_var=True,
+            zero_threshold=gp._zero_threshold)
         self.num_test = xq.shape[0]
 
     def get_mean(self, y_index: int = 0, parallel: bool = True):
@@ -298,17 +329,22 @@ class SparsePseudoInputGaussianProcess:
         )
         warn_if_x64_disabled(self.dtype)
         from erl_gaussian_process_tpu.kernels import resolve_kernel_setting
+        # use_sparse semantics (UpdateSparse/ComputeKtestSparse,
+        # src/sparse_pseudo_input_gp.cpp:793-832, :55-77): K entries below
+        # sparse_zero_threshold are dropped before every solve/GEMM. That
+        # is exactly reproducible as a masked DENSE computation (zeros flow
+        # through the MXU at full throughput, while scatter/gather sparsity
+        # would force dynamic shapes) — so the posterior matches the
+        # reference's sparse variant, on dense hardware paths.
+        self._zero_threshold = (float(self.setting.sparse_zero_threshold)
+                                if self.setting.use_sparse else 0.0)
         if self.setting.use_sparse:
-            # config honesty (the dense path covers use_sparse's math
-            # exactly — the sparse variant is a CPU cache optimization, see
-            # module docstring — but the knob must not be silently ignored)
             import logging
-            logging.getLogger("erl_gaussian_process_tpu").warning(
-                "use_sparse: true requested — the TPU rebuild always runs "
-                "the DENSE update path (identical posterior; the sparse "
-                "variant is a CPU-side optimization, "
-                "src/sparse_pseudo_input_gp.cpp:793-832). See docs/"
-                "parity.md deviations.")
+            logging.getLogger("erl_gaussian_process_tpu").info(
+                "use_sparse: true — running the reference's thresholded "
+                "(UpdateSparse) math as a masked dense computation, "
+                "zero_threshold=%g (docs/parity.md deviations #1)",
+                self._zero_threshold)
         self._kernel = resolve_kernel_setting(
             self.setting.kernel_type, self.setting.kernel,
             "SparsePseudoInputGaussianProcess")
@@ -403,7 +439,8 @@ class SparsePseudoInputGaussianProcess:
         self.state = spgp_update(
             self.state, jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(vp),
             jnp.asarray(mask), self.dtype.type(self._scale),
-            kernel=self._kernel, diagonal_qm=self.setting.diagonal_qm)
+            kernel=self._kernel, diagonal_qm=self.setting.diagonal_qm,
+            zero_threshold=self._zero_threshold)
         self._trained = True
         self._cache = None
         return True
@@ -439,6 +476,8 @@ class SparsePseudoInputGaussianProcess:
             self.setting.kernel_type, self.setting.kernel,
             "SparsePseudoInputGaussianProcess")
         self._scale = float(self.setting.kernel.scale)
+        self._zero_threshold = (float(self.setting.sparse_zero_threshold)
+                                if self.setting.use_sparse else 0.0)
         self._trained = bool(d["trained"])
         self._y_dim = int(d["y_dim"])
         self._m_valid = int(d.get("m_valid", len(d["state"]["pseudo"])))

@@ -80,14 +80,14 @@ class SpGpOccupancyMapSetting:
 
 
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "free_slots",
-                                   "max_samples"),
+                                   "max_samples", "zero_threshold"),
          donate_argnames=("state",))
 def update_step(state: SpGpState, key, step, sensor_position, points,
                 point_mask, aabb_min, aabb_max, scale, *, kernel, diagonal_qm,
                 free_slots, max_samples,
                 min_distance, max_distance, free_sampling_margin,
                 free_points_per_meter, logodd_occupied, logodd_free,
-                logodd_variance):
+                logodd_variance, zero_threshold: float = 0.0):
     """One fused map update: sample dataset -> label -> FITC update.
 
     ``key`` is the map's base PRNG key and ``step`` the update counter; the
@@ -111,19 +111,20 @@ def update_step(state: SpGpState, key, step, sensor_position, points,
     y = jnp.where(lbl > 0, logodd_occupied, logodd_free)[:, None]
     var = jnp.full(pts.shape[0], logodd_variance, pts.dtype)
     new_state = spgp_update(state, pts, y, var, mask, scale,
-                            kernel=kernel, diagonal_qm=diagonal_qm)
+                            kernel=kernel, diagonal_qm=diagonal_qm,
+                            zero_threshold=zero_threshold)
     return new_state, jnp.sum(mask)
 
 
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "free_slots",
-                                   "max_samples"),
+                                   "max_samples", "zero_threshold"),
          donate_argnames=("state",))
 def update_batch_steps(state: SpGpState, key, step0, sensor_positions,
                        points, point_masks, aabb_min, aabb_max, scale, *,
                        kernel, diagonal_qm, free_slots, max_samples,
                        min_distance, max_distance, free_sampling_margin,
                        free_points_per_meter, logodd_occupied, logodd_free,
-                       logodd_variance):
+                       logodd_variance, zero_threshold: float = 0.0):
     """B map updates in ONE dispatch via ``lax.scan`` — same math and same
     sequential FITC accumulation order as B ``update_step`` calls (same
     per-step PRNG fold-in; results agree to the last f32 ulp, differing only
@@ -144,7 +145,7 @@ def update_batch_steps(state: SpGpState, key, step0, sensor_positions,
             free_sampling_margin=free_sampling_margin,
             free_points_per_meter=free_points_per_meter,
             logodd_occupied=logodd_occupied, logodd_free=logodd_free,
-            logodd_variance=logodd_variance)
+            logodd_variance=logodd_variance, zero_threshold=zero_threshold)
         return st, n_used
 
     b = sensor_positions.shape[0]
@@ -154,9 +155,10 @@ def update_batch_steps(state: SpGpState, key, step0, sensor_positions,
     return state, n_used
 
 
-@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "with_grad"))
+@partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "with_grad",
+                                   "zero_threshold"))
 def predict_step(state: SpGpState, xq, scale, *, kernel, diagonal_qm,
-                 with_grad):
+                 with_grad, zero_threshold: float = 0.0):
     """Fused prepare+predict for one-shot queries. For repeated queries on
     an unchanged map, the class predict() path reuses the cached
     (L_qm, alpha_solved) instead (the reference's lazy PrepareLqm pattern,
@@ -164,16 +166,18 @@ def predict_step(state: SpGpState, xq, scale, *, kernel, diagonal_qm,
     batch costs ~M^3/3 for nothing."""
     L_qm, a = spgp_prepare(state, diagonal_qm=diagonal_qm)
     mean, grad, _ = spgp_predict(state, L_qm, a, xq, scale, kernel=kernel,
-                                 with_grad=with_grad, with_var=False)
+                                 with_grad=with_grad, with_var=False,
+                                 zero_threshold=zero_threshold)
     return mean, grad
 
 
-@partial(jax.jit, static_argnames=("kernel", "with_grad"))
+@partial(jax.jit, static_argnames=("kernel", "with_grad",
+                                   "zero_threshold"))
 def predict_prepared_step(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
-                          kernel, with_grad):
+                          kernel, with_grad, zero_threshold: float = 0.0):
     mean, grad, _ = spgp_predict(state, L_qm, alpha_solved, xq, scale,
                                  kernel=kernel, with_grad=with_grad,
-                                 with_var=False)
+                                 with_var=False, zero_threshold=zero_threshold)
     return mean, grad
 
 
@@ -237,7 +241,8 @@ class SpGpOccupancyMap:
             free_sampling_margin=s.free_sampling_margin,
             free_points_per_meter=s.free_points_per_meter,
             logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
-            logodd_variance=s.logodd_variance)
+            logodd_variance=s.logodd_variance,
+            zero_threshold=self.sp_gp._zero_threshold)
         args = (self.sp_gp.state, self.key, self.step,
                 jnp.asarray(np.asarray(sensor_position, self.dtype)),
                 jnp.asarray(np.where(point_mask[:, None], p, 0.0)),
@@ -283,7 +288,8 @@ class SpGpOccupancyMap:
             free_sampling_margin=s.free_sampling_margin,
             free_points_per_meter=s.free_points_per_meter,
             logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
-            logodd_variance=s.logodd_variance)
+            logodd_variance=s.logodd_variance,
+            zero_threshold=self.sp_gp._zero_threshold)
         self.step += b
         self.sp_gp.state = new_state
         self.sp_gp._trained = True
@@ -319,7 +325,8 @@ class SpGpOccupancyMap:
         mean, grad = predict_prepared_step(
             self.sp_gp.state, L_qm, a, jnp.asarray(p),
             self.dtype.type(self.sp_gp._scale), kernel=self.sp_gp._kernel,
-            with_grad=compute_gradient)
+            with_grad=compute_gradient,
+            zero_threshold=self.sp_gp._zero_threshold)
         logodd = np.asarray(mean[:, 0])
         g = None if grad is None else np.asarray(grad[:, :, 0])
         return logodd, g

@@ -128,14 +128,15 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
 
 @partial(jax.jit,
          static_argnames=("mesh", "kernel", "diagonal_qm", "free_slots",
-                          "max_samples"),
+                          "max_samples", "zero_threshold"),
          donate_argnames=("state",))
 def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
                         sensor_position, points, point_mask, aabb_min,
                         aabb_max, scale, *, kernel, diagonal_qm, free_slots,
                         max_samples, min_distance, max_distance,
                         free_sampling_margin, free_points_per_meter,
-                        logodd_occupied, logodd_free, logodd_variance):
+                        logodd_occupied, logodd_free, logodd_variance,
+                        zero_threshold: float = 0.0):
     """The FULL fused occupancy-map update (sampler -> label -> FITC),
     sharded over the mesh — the multi-chip twin of
     models/spgp_occupancy_map.update_step, one jit.
@@ -169,7 +170,7 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
     def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
         dqm, dalpha = fitc_delta(
             pseudo, L_km, xl, yl, vl, ml, scale, kernel=kernel,
-            diagonal_qm=diagonal_qm,
+            diagonal_qm=diagonal_qm, zero_threshold=zero_threshold,
             reduce=lambda t: jax.lax.psum(t, BANK_AXIS))
         return qm + dqm, alpha + dalpha
 

@@ -108,3 +108,123 @@ def test_diagonal_qm_mode():
     gp.update(x[None], np.sin(x), NOISE_VAR)
     pred = gp.test(x[None, ::10]).get_mean(0)
     assert np.all(np.isfinite(pred))
+
+
+def _thresholded_reference(pseudo, x, y, var, scale, thr):
+    """scipy.sparse reference of the reference's UpdateSparse chain
+    (src/sparse_pseudo_input_gp.cpp:793-832): threshold K_MN, per-column
+    beta solve + lambda scaling, Q_M/alpha accumulation, then the
+    thresholded-Ktest posterior (TestResult ctor, :55-109)."""
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    M = pseudo.shape[0]
+    r2 = ((pseudo[:, None, :] - pseudo[None, :, :]) ** 2).sum(-1)
+    K_M = np.exp(-0.5 * r2 / scale**2)
+    L_km = np.linalg.cholesky(K_M)
+    r2 = ((pseudo[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    kmn = np.exp(-0.5 * r2 / scale**2)
+    kmn[np.abs(kmn) < thr] = 0.0
+    kmn_s = sp.csc_matrix(kmn)            # the reference's SparseMatrix
+    kmn_scaled = kmn_s.copy().toarray()
+    for i in range(x.shape[0]):
+        beta = sla.solve_triangular(L_km, kmn_s[:, i].toarray()[:, 0],
+                                    lower=True)
+        # the rebuild's lambda clamp (applied on the dense path too):
+        # thresholding can push ||beta||^2 past 1 LEGITIMATELY (not just
+        # float roundoff), where the reference's unclamped 1/(lam+var)
+        # can flip the column weight's sign and break Q_M's PSD-ness —
+        # the clamp bounds the weight at 1/var instead (documented with
+        # deviation #1 in docs/parity.md)
+        lam = max(1.0 - beta @ beta, 0.0)
+        kmn_scaled[:, i] *= 1.0 / (lam + var[i])
+    qm = K_M + kmn_scaled @ kmn_s.T.toarray()
+    alpha = kmn_scaled @ y
+    return L_km, qm, alpha
+
+
+def test_use_sparse_reproduces_reference_thresholded_chain():
+    """use_sparse=True must equal the reference's UpdateSparse math (a
+    scipy.sparse implementation of the thresholded chain) — the masked
+    dense computation and the sparse data structure are the same
+    arithmetic. An aggressive threshold makes the result genuinely
+    different from the dense path, so this cannot pass by accident."""
+    rng = np.random.default_rng(0)
+    n, m = 300, 16
+    x = np.sort(rng.uniform(0, 2 * np.pi, n))
+    y = np.sin(x)
+    var = np.full(n, 1e-3)
+    thr = 0.05   # aggressive: drops ~half the gram at scale=0.6
+    setting = SparsePseudoInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.6),
+        max_num_samples=n, use_sparse=True, sparse_zero_threshold=thr)
+    pseudo = np.linspace(0, 2 * np.pi, m)
+    gp = SparsePseudoInputGaussianProcess(setting, pseudo[None, :])
+    assert gp.update(x[None], y, var)
+
+    L_km, qm_ref, alpha_ref = _thresholded_reference(
+        pseudo[:, None], x[:, None], y[:, None], var, 0.6, thr)
+    np.testing.assert_allclose(np.asarray(gp.state.qm), qm_ref,
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gp.state.alpha), alpha_ref,
+                               rtol=1e-9, atol=1e-11)
+
+    # the dense path at the same data must differ (the threshold bites)
+    dsetting = SparsePseudoInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.6),
+        max_num_samples=n)
+    gpd = SparsePseudoInputGaussianProcess(dsetting, pseudo[None, :])
+    gpd.update(x[None], y, var)
+    assert np.abs(np.asarray(gpd.state.qm) - qm_ref).max() > 1e-6
+
+    # thresholded predict: posterior still reference-quality at a sane
+    # threshold, and the Ktest thresholding is applied (prediction far
+    # from every pseudo point sees an all-zero k* -> prior)
+    xt = np.linspace(0.3, 2 * np.pi - 0.3, 100)
+    res = gp.test(xt[None])
+    mae = np.abs(res.get_mean(0) - np.sin(xt)).mean()
+    assert mae < 5e-2, mae
+    far = gp.test(np.array([[1e3]]))
+    assert abs(far.get_mean(0)[0]) < 1e-12
+    assert abs(far.get_variance()[0] - 1.0) < 1e-9
+
+
+def test_use_sparse_tiny_threshold_matches_dense():
+    """At the reference's default threshold (1e-6) the sparse and dense
+    posteriors agree to O(n * threshold * FITC amplification) — a real
+    tail of the gram IS dropped (RBF decays past 1e-6 within ~3 length
+    scales), so agreement is close but not bitwise; this pins the scale
+    of the approximation the reference's own two paths differ by."""
+    gp_dense, x, y = _make_1d(n=400)
+    setting = SparsePseudoInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.6),
+        max_num_samples=400, use_sparse=True)
+    gp_sp = SparsePseudoInputGaussianProcess(
+        setting, np.linspace(0, 2 * np.pi, 20)[None, :])
+    gp_dense.update(x[None], y, NOISE_VAR)
+    gp_sp.update(x[None], y, NOISE_VAR)
+    xt = np.linspace(0, 2 * np.pi, 200)
+    md = gp_dense.test(xt[None]).get_mean(0)
+    ms = gp_sp.test(xt[None]).get_mean(0)
+    np.testing.assert_allclose(ms, md, rtol=1e-2, atol=1e-4)
+    assert np.abs(ms - md).max() > 0  # the threshold does bite
+
+
+def test_use_sparse_checkpoint_round_trip(tmp_path):
+    setting = SparsePseudoInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=1, scale=0.6),
+        max_num_samples=100, use_sparse=True, sparse_zero_threshold=0.02)
+    gp = SparsePseudoInputGaussianProcess(
+        setting, np.linspace(0, 2 * np.pi, 12)[None, :])
+    x = np.linspace(0, 2 * np.pi, 100)
+    gp.update(x[None], np.sin(x), NOISE_VAR)
+    p = str(tmp_path / "spgp_sparse.npz")
+    gp.save(p)
+    gp2 = SparsePseudoInputGaussianProcess(
+        SparsePseudoInputGaussianProcess.Setting(),
+        np.zeros((1, 1)))
+    gp2.load(p)
+    assert gp2._zero_threshold == 0.02
+    xt = np.linspace(0, 2 * np.pi, 50)
+    np.testing.assert_array_equal(gp.test(xt[None]).get_mean(0),
+                                  gp2.test(xt[None]).get_mean(0))

@@ -301,3 +301,47 @@ def test_float32_matches_float64_posterior():
     assert np.mean(np.sign(lo32) == np.sign(lo64)) > 0.99
     assert np.abs(lo32 - lo64).mean() / scale < 1e-3, (
         np.abs(lo32 - lo64).mean() / scale)
+
+
+def test_map_honors_use_sparse_threshold():
+    """SpGpOccupancyMap threads use_sparse/sparse_zero_threshold through
+    its fused update and predict steps (the reference's map calls
+    sp_gp->Update, which branches on use_sparse internally): an aggressive
+    threshold must change the accumulated information vs the dense map,
+    while the default tiny threshold stays equivalent."""
+    def make(use_sparse, thr):
+        s = SpGpOccupancyMapSetting(
+            sp_gp=SpGpSetting(
+                kernel_type="matern32",
+                kernel=KernelSetting(x_dim=2, scale=0.3),
+                max_num_samples=256, use_sparse=use_sparse,
+                sparse_zero_threshold=thr),
+            min_distance=0.0, max_distance=10.0,
+            free_points_per_meter=2.0, free_sampling_margin=0.02,
+            logodd_free=-1.0, logodd_occupied=1.0, logodd_variance=1e-4)
+        c = np.linspace(-2, 2, 7)
+        pv, qv = np.meshgrid(c, c, indexing="ij")
+        pseudo = np.stack([pv.ravel(), qv.ravel()], axis=0)
+        return SpGpOccupancyMap(s, pseudo,
+                                Aabb.from_min_max([-2, -2], [2, 2]),
+                                seed=0, dtype=np.float64,
+                                free_slots_per_ray=4)
+
+    ang = np.linspace(-2.0, 2.0, 24)
+    pts = np.stack([1.5 * np.cos(ang), 1.5 * np.sin(ang)], axis=-1)
+    dense = make(False, 1e-6)
+    tiny = make(True, 1e-6)
+    coarse = make(True, 0.2)
+    for m in (dense, tiny, coarse):
+        m.update(np.zeros(2), pts)
+    qm_d = np.asarray(dense.sp_gp.state.qm)
+    qm_t = np.asarray(tiny.sp_gp.state.qm)
+    qm_c = np.asarray(coarse.sp_gp.state.qm)
+    # tiny-threshold agreement is ABSOLUTE: thresholding zeroes the
+    # gram tail, so Q_M entries that are themselves ~1e-10 change
+    # by 100% relatively while the map posterior is unaffected
+    assert np.abs(qm_t - qm_d).max() < 2e-4
+    assert np.abs(qm_c - qm_d).max() > 1e-3  # the threshold bites
+    # predict still works on the thresholded map
+    lo, _ = coarse.predict(np.array([[0.0, 0.0], [1.5, 0.0]]))
+    assert np.isfinite(lo).all()

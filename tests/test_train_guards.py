@@ -153,17 +153,22 @@ def test_lidar_gp_empty_partitions_returns_false(caplog):
     assert any("no partitions" in r.message for r in caplog.records)
 
 
-def test_use_sparse_warns(caplog):
+def test_use_sparse_logs_and_arms_threshold(caplog):
+    # use_sparse is now implemented (thresholded math as masked dense,
+    # tests/test_sparse_pseudo_input_gp.py): the ctor logs INFO (not a
+    # warning) and arms the threshold used by every update/predict path
     from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
         SparsePseudoInputGaussianProcess,
         SpGpSetting,
     )
     s = SpGpSetting(kernel_type="rbf",
                     kernel=KernelSetting(x_dim=1, scale=0.5),
-                    use_sparse=True)
-    with caplog.at_level(logging.WARNING, "erl_gaussian_process_tpu"):
-        SparsePseudoInputGaussianProcess(s, np.linspace(-1, 1, 8)[None, :])
+                    use_sparse=True, sparse_zero_threshold=1e-5)
+    with caplog.at_level(logging.INFO, "erl_gaussian_process_tpu"):
+        gp = SparsePseudoInputGaussianProcess(
+            s, np.linspace(-1, 1, 8)[None, :])
     assert any("use_sparse" in r.message for r in caplog.records)
+    assert gp._zero_threshold == 1e-5
 
 
 def test_scale_mixture_settings_resolve_or_reject():
