@@ -238,7 +238,11 @@ def _prestart_bi(i, j, l_any, bi_slab, bi_rem, sems, T):
         def _(s=s):
             pltpu.make_async_copy(
                 _slab_src(i, np.int32(4 * s), l_any, T),
-                bi_slab.at[s], sems.at[np.int32(_S_SLAB + s)]).start()
+                # np.int32: a raw python int lowers as an i64 memref_slice
+                # index under jax_enable_x64, which Mosaic's verifier
+                # rejects (caught by tests/test_tpu_aot_compile.py)
+                bi_slab.at[np.int32(s)],
+                sems.at[np.int32(_S_SLAB + s)]).start()
     _, base = _panel_pieces(j, l_any, T)
     for r in range(3):
         @pl.when(base + r < j)

@@ -1,0 +1,134 @@
+"""TPU AOT compile gate for every Pallas kernel — no chip required.
+
+Round 2's headline risk was Mosaic-vs-interpret divergence: interpret-mode
+tests pass while the real Mosaic lowering rejects the kernel (the x64/i64
+traps) or compiles it to something pathological (the pl.when ~1000x store
+serialization). jax's topology-based AOT (`jax.experimental.topologies`)
+compiles the REAL v5e Mosaic/XLA pipeline against a device-less topology
+descriptor, so lowering/compile regressions in every Pallas kernel are
+caught offline, in CI, with the tunnel down. (Runtime DMA semantics and
+performance still require silicon — benchmarks/onchip_ritual.sh.)
+
+These run the actual production entry points at production shapes: the
+streaming Cholesky at its n=8192 headline and 16384 VMEM-cap gate, the
+fused FITC update at the production map shape, the fused bank at the
+measured sweep shape, the gram/trsv/blocked-solve paths at their
+dispatch-threshold shapes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tpu_sharding():
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name="v5e:1x1",
+            chips_per_host_bounds=(1, 1, 1), num_slices=1)
+    except Exception as e:  # PJRT TPU compile plugin not available
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(topo.devices).reshape(1), ("x",))
+    return NamedSharding(mesh, P())
+
+
+def _aot(fn, *args, sharding, **static):
+    """Lower + compile fn for the v5e topology; shapes only, no execution."""
+    def spec(a):
+        if isinstance(a, jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding)
+        return a
+    args = tuple(spec(a) for a in args)
+    return jax.jit(lambda *xs: fn(*xs, **static)).lower(*args).compile()
+
+
+def _f32(*shape):
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
+def test_streaming_chol_compiles(tpu_sharding):
+    from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked
+    for n in (2560, 8192, 16384):   # min-nb gate, headline, VMEM-cap edge
+        _aot(chol_blocked, _f32(n, n), sharding=tpu_sharding)
+
+
+def test_fused_fitc_update_compiles(tpu_sharding):
+    from erl_gaussian_process_tpu.ops.pallas_fitc import (
+        pallas_fitc_update,
+    )
+    M, n, d = 1024, 2000, 2   # production map shape (31x31 grid padded)
+    _aot(lambda p, li, x, y, v, m, s: pallas_fitc_update(
+             "matern32", p, li, x, y, v, m, s),
+         _f32(M, d), _f32(M, M), _f32(n, d), _f32(n, 1), _f32(n),
+         jax.ShapeDtypeStruct((n,), jnp.bool_), _f32(),
+         sharding=tpu_sharding)
+
+
+def test_fused_bank_fit_compiles(tpu_sharding):
+    from erl_gaussian_process_tpu.ops.pallas_bank import (
+        bank_fit_fused,
+    )
+    B, n, d = 1024, 128, 2    # the measured 5.6x sweep shape
+    _aot(lambda x, y, v, m, s: bank_fit_fused("rbf", x, y, v, m, s),
+         _f32(B, n, d), _f32(B, n, 1), _f32(B, n),
+         jax.ShapeDtypeStruct((B, n), jnp.bool_), _f32(),
+         sharding=tpu_sharding)
+
+
+def test_pallas_gram_compiles(tpu_sharding):
+    from erl_gaussian_process_tpu.ops.pallas_gram import (
+        pallas_cross_gram,
+    )
+    n, m, d = 2048, 2048, 2
+    for name in ("rbf", "ou", "matern32"):
+        _aot(lambda a, b, s, _k=name: pallas_cross_gram(_k, a, b, s),
+             _f32(n, d), _f32(m, d), _f32(), sharding=tpu_sharding)
+
+
+def test_pallas_trsv_compiles(tpu_sharding):
+    from erl_gaussian_process_tpu.ops.pallas_trsv import (
+        cho_solve_vec,
+    )
+    n, q = 8192, 1
+    _aot(cho_solve_vec, _f32(n, n), _f32(n, q), sharding=tpu_sharding)
+
+
+def test_blocked_solve_compiles(tpu_sharding):
+    from erl_gaussian_process_tpu.ops.blocked_solve import (
+        blocked_solve_lower,
+    )
+    n, m = 8192, 4096
+    _aot(blocked_solve_lower, _f32(n, n), _f32(n, m), sharding=tpu_sharding)
+
+
+def test_flagship_update_step_compiles(tpu_sharding):
+    """The full fused occupancy-map update (sampler + label + FITC) — the
+    __graft_entry__.entry() workload — compiles for v5e end to end."""
+    from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+        update_step,
+    )
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SpGpState,
+    )
+    M, d, n_rays, slots = 1024, 2, 135, 20
+    n_pts = n_rays * (1 + slots)
+    state = SpGpState(
+        pseudo=_f32(M, d), L_km=_f32(M, M), L_inv=_f32(M, M),
+        qm=_f32(M, M), alpha=_f32(M, 1))
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    _aot(lambda st, k, step, sp, pts, msk, lo, hi, sc: update_step(
+             st, k, step, sp, pts, msk, lo, hi, sc,
+             kernel="matern32", diagonal_qm=False, free_slots=slots,
+             max_samples=2000, min_distance=0.0, max_distance=30.0,
+             free_sampling_margin=0.01, free_points_per_meter=3.0,
+             logodd_occupied=1.0, logodd_free=-1.0, logodd_variance=1e-4),
+         state, key, jax.ShapeDtypeStruct((), jnp.int32),
+         _f32(d), _f32(n_rays, d), jax.ShapeDtypeStruct((n_rays,), jnp.bool_),
+         _f32(d), _f32(d), _f32(),
+         sharding=tpu_sharding)
+    del n_pts
