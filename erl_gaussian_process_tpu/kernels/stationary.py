@@ -136,12 +136,15 @@ def cross_gram(name: str, x1, x2, scale, mask1=None) -> jnp.ndarray:
     reference's column layout. Dispatches to the fused Pallas kernel on TPU
     for float32 problems above the dispatch-overhead threshold.
     """
+    from erl_gaussian_process_tpu.kernels.base import mixture_params
     from erl_gaussian_process_tpu.ops.pallas_gram import (
         pallas_cross_gram,
         pallas_gram_enabled,
     )
 
-    if (x1.ndim == 2 and name in ("rbf", "ou", "matern32")
+    if (x1.ndim == 2
+            and (name in ("rbf", "ou", "matern32")
+                 or mixture_params(name) is not None)
             and pallas_gram_enabled(x1.dtype, x1.shape[0], x2.shape[0],
                                     x1.shape[1])):
         k = pallas_cross_gram(name, x1, x2, scale)

@@ -54,7 +54,22 @@ def pallas_gram_enabled(dtype, m: int, n: int, d: int) -> bool:
 
 
 def _apply_family(name: str, r2, scale: float):
-    """Kernel value from squared distance (unit variance, SURVEY.md §2.2)."""
+    """Kernel value from squared distance (unit variance, SURVEY.md §2.2).
+
+    Scale-mixture names (kernels/stationary.register_scale_mixture) are
+    supported natively: the distance tile is already in registers, so a
+    W-component mixture is W fused scalar maps + a weighted sum on the
+    VPU — the fused FITC/bank/gram kernels all stay on for mixture
+    configs (ratios/weights are static config, unrolled at trace time)."""
+    from erl_gaussian_process_tpu.kernels.base import mixture_params
+
+    mix = mixture_params(name)
+    if mix is not None:
+        base, ratios, weights = mix
+        out = weights[0] * _apply_family(base, r2, scale * ratios[0])
+        for w, m in zip(weights[1:], ratios[1:]):
+            out = out + w * _apply_family(base, r2, scale * m)
+        return out
     if name == "rbf":
         return jnp.exp(r2 * (-0.5 / (scale * scale)))
     r = jnp.sqrt(r2)

@@ -255,3 +255,70 @@ def test_mixture_rejections():
         max_num_samples=16)
     with pytest.raises(NotImplementedError, match="reduced-rank"):
         VanillaGaussianProcess(s)
+
+
+def test_pallas_gram_mixture_parity_interpret():
+    """Mixture kernels stay on the fused Pallas gram path: _apply_family
+    unrolls the static (ratios, weights) inside the kernel tile. Parity
+    with the jnp mixture closure in interpret mode."""
+    from jax.experimental import pallas as pl  # noqa: F401
+    import jax.experimental.pallas.tpu as pltpu
+
+    from erl_gaussian_process_tpu.ops.pallas_gram import pallas_cross_gram
+
+    rng = np.random.default_rng(5)
+    ks = KernelSetting(x_dim=2, scale=0.4, scale_mix=0.5,
+                       weights=[0.5, 0.3, 0.2])
+    name = resolve_kernel_setting("matern32", ks, "test")
+    x1 = jnp.asarray(rng.uniform(-2, 2, (300, 2)).astype(np.float32))
+    x2 = jnp.asarray(rng.uniform(-2, 2, (513, 2)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        kp = pallas_cross_gram(name, x1, x2, 0.4)
+    kj = kernel_fn(name)(x1, x2, np.float32(0.4))
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(kj),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_fitc_mixture_parity_interpret():
+    """The fused FITC update accepts mixture names (it applies the kernel
+    via _apply_family on the in-register distance tile)."""
+    import jax.experimental.pallas.tpu as pltpu
+
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        spgp_init,
+    )
+    from erl_gaussian_process_tpu.ops.pallas_fitc import pallas_fitc_update
+
+    rng = np.random.default_rng(6)
+    ks = KernelSetting(x_dim=2, scale=0.5, scale_mix=0.6, weights=[0.7, 0.3])
+    name = resolve_kernel_setting("rbf", ks, "test")
+    m, n, d = 128, 200, 2
+    pseudo = jnp.asarray(rng.uniform(-2, 2, (m, d)).astype(np.float32))
+    st = spgp_init(pseudo, np.float32(0.5), kernel=name)
+    x = jnp.asarray(rng.uniform(-2, 2, (n, d)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32))
+    var = jnp.full((n,), 1e-1, jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=n) < 0.8)
+    with pltpu.force_tpu_interpret_mode():
+        dq, da = pallas_fitc_update(name, st.pseudo, st.L_inv, x, y,
+                                    var, mask, np.float32(0.5))
+    kmn = cross_gram(name, st.pseudo, x, np.float32(0.5))
+    beta = st.L_inv @ kmn
+    lam = jnp.maximum(1.0 - jnp.sum(beta * beta, axis=0), 0.0)
+    inv = jnp.where(mask, 1.0 / (lam + var), 0.0)
+    ksc = kmn * inv[None, :]
+    # tolerance: the mixture K_M is more ill-conditioned than a single
+    # kernel (the short-scale component adds near-duplicate columns), so
+    # ||L_inv|| is larger and the kernel's bf16x3 beta errors amplify to
+    # ~4e-3 through 1/(lam+var) — this test pins MECHANICS; production
+    # accuracy is the map-level f32-vs-f64 gate
+    # magnitude-relative bounds (individual entries cancel to near zero):
+    # measured error class is ~0.5% — bf16x3 beta errors through the
+    # 1/(lam+var) amplification on a mixture K_M that is more
+    # ill-conditioned than any single kernel's
+    dq_ref = np.asarray(ksc @ kmn.T)
+    assert np.abs(np.asarray(dq) - dq_ref).max() < 1e-2 * np.abs(
+        dq_ref).max()
+    da_ref = np.asarray(ksc @ jnp.where(mask[:, None], y, 0.0))
+    assert np.abs(np.asarray(da) - da_ref).max() < 1e-2 * np.abs(
+        da_ref).max()

@@ -214,3 +214,27 @@ def test_multichip_bank_and_predict_compile(tpu8_mesh):
                              kernel="matern32", with_var=True)
     jax.jit(lambda st, L, a, xq, sc: pred(st, L, a, xq, sc)).lower(
         state, S((M, M)), S((M, 1)), S((128, dq)), S(())).compile()
+
+
+def test_mixture_kernels_compile_in_fused_ops(tpu_sharding):
+    """Scale-mixture names flow through _apply_family inside the fused
+    gram AND the fused FITC update — both must Mosaic-compile for v5e."""
+    from erl_gaussian_process_tpu.kernels import (
+        KernelSetting,
+        resolve_kernel_setting,
+    )
+    from erl_gaussian_process_tpu.ops.pallas_fitc import pallas_fitc_update
+    from erl_gaussian_process_tpu.ops.pallas_gram import pallas_cross_gram
+
+    ks = KernelSetting(x_dim=2, scale=0.4, scale_mix=0.5,
+                       weights=[0.5, 0.3, 0.2])
+    name = resolve_kernel_setting("matern32", ks, "test")
+    n, m, d = 2048, 2048, 2
+    _aot(lambda a, b, s: pallas_cross_gram(name, a, b, s),
+         _f32(n, d), _f32(m, d), _f32(), sharding=tpu_sharding)
+    M, nn = 1024, 2000
+    _aot(lambda p, li, x, y, v, msk, s: pallas_fitc_update(
+             name, p, li, x, y, v, msk, s),
+         _f32(M, d), _f32(M, M), _f32(nn, d), _f32(nn, 1), _f32(nn),
+         jax.ShapeDtypeStruct((nn,), jnp.bool_), _f32(),
+         sharding=tpu_sharding)
