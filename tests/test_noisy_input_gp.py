@@ -278,3 +278,102 @@ def test_2d_with_gradient_full_reference_size():
     assert abs(mae - 9.516671456234042e-06) < 1e-12, mae
     assert abs(mx - 0.00010712550862064423) < 1e-11, mx
     assert abs(my - 0.0002508214688791491) < 1e-11, my
+
+
+def _grid_pts(n, xmin, xmax, ymin, ymax):
+    xs = np.linspace(xmin, xmax, n)
+    ys = np.linspace(ymin, ymax, n)
+    return np.array([[x, y] for x in xs for y in ys]).T   # reference order
+
+
+def test_2d_without_gradient_full_reference_size():
+    """Full-size port of MultiInputSingleOutputWithoutGradientObservation
+    (test_noisy_input_gp.cpp:561-760: 50x50 grid, scale=0.15) — MAEs match
+    the reference's recorded values (:757) to ~12 digits. A 2500^2 value-
+    only system, cheap enough for every run."""
+    pts = _grid_pts(50, -2, 2, -1, 1)
+    z = 2 * np.sin(10 * pts[0]) * np.cos(5 * pts[1])
+    s = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=2, scale=0.15),
+        max_num_samples=2500, no_gradient_observation=True)
+    gp = NoisyInputGaussianProcess(s)
+    assert gp.train(pts, z, var_x=NOISE_VAR, var_y=NOISE_VAR)
+    qt = _grid_pts(100, -2, 2, -1, 1)
+    res = gp.test(qt, predict_gradient=True)
+    mae = np.abs(res.get_mean(0)
+                 - 2 * np.sin(10 * qt[0]) * np.cos(5 * qt[1])).mean()
+    g = res.get_gradient(0)
+    mx = np.abs(g[0] - 20 * np.cos(10 * qt[0]) * np.cos(5 * qt[1])).mean()
+    my = np.abs(g[1] + 10 * np.sin(10 * qt[0]) * np.sin(5 * qt[1])).mean()
+    assert mae < 3.4e-4 and mx < 0.01 and my < 0.015, (mae, mx, my)
+    assert abs(mae - 0.0003368450993049195) < 1e-13, mae
+    assert abs(mx - 0.009407525172327099) < 1e-12, mx
+    assert abs(my - 0.014184702590183184) < 1e-12, my
+
+
+def _two_output_values(q):
+    z1 = 2 * np.sin(10 * q[0]) * np.cos(10 * q[1])
+    z2 = 3 * (np.sin(10 * q[0]) + np.cos(10 * q[1]))
+    g = [(20 * np.cos(10 * q[0]) * np.cos(10 * q[1]),
+          -20 * np.sin(10 * q[0]) * np.sin(10 * q[1])),
+         (30 * np.cos(10 * q[0]), -30 * np.sin(10 * q[1]))]
+    return z1, z2, g
+
+
+def test_2d_two_output_without_gradient_full_reference_size():
+    """Full-size MultiInputMultiOutputWithoutGradientObservation
+    (test_noisy_input_gp.cpp:1004-end: 50x50 grid on [-1,1]^2, scale=0.1)
+    — output-0 MAEs match the recorded sweep line (:1228) to ~12 digits."""
+    pts = _grid_pts(50, -1, 1, -1, 1)
+    z1, z2, _ = _two_output_values(pts)
+    s = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=2, scale=0.1),
+        max_num_samples=2500, no_gradient_observation=True)
+    gp = NoisyInputGaussianProcess(s)
+    assert gp.train(pts, np.stack([z1, z2], axis=-1),
+                    var_x=NOISE_VAR, var_y=NOISE_VAR)
+    qt = _grid_pts(100, -1, 1, -1, 1)
+    z1t, z2t, gt = _two_output_values(qt)
+    res = gp.test(qt, predict_gradient=True)
+    mae0 = np.abs(res.get_mean(0) - z1t).mean()
+    g0 = res.get_gradient(0)
+    assert abs(mae0 - 0.000250581062775504) < 1e-13, mae0
+    assert abs(np.abs(g0[0] - gt[0][0]).mean()
+               - 0.014144193031284197) < 1e-12
+    assert abs(np.abs(g0[1] - gt[0][1]).mean()
+               - 0.010989238198062933) < 1e-12
+
+
+@pytest.mark.skipif(os.environ.get("ERL_GP_HEAVY") != "1",
+                    reason="7500^2 joint system, ~50 s on CPU f64 — "
+                           "run with ERL_GP_HEAVY=1")
+def test_2d_two_output_with_gradient_full_reference_size():
+    """Full-size MultiInputMultiOutputWithGradientObservation
+    (test_noisy_input_gp.cpp:763-1002: 50x50 grid on [-1,1]^2, scale=0.15,
+    both outputs with gradients -> 7500^2 joint system, 2 alpha columns).
+    All six MAEs match the recorded values (:990-996) to ~10 digits."""
+    pts = _grid_pts(50, -1, 1, -1, 1)
+    z1, z2, g = _two_output_values(pts)
+    grad = np.stack([g[0][0], g[0][1], g[1][0], g[1][1]])
+    s = NoisyInputGaussianProcess.Setting(
+        kernel_type="rbf", kernel=KernelSetting(x_dim=2, scale=0.15),
+        max_num_samples=2500, no_gradient_observation=False)
+    gp = NoisyInputGaussianProcess(s)
+    assert gp.train(pts, np.stack([z1, z2], axis=-1), grad,
+                    var_x=NOISE_VAR, var_y=NOISE_VAR, var_grad=NOISE_VAR)
+    qt = _grid_pts(100, -1, 1, -1, 1)
+    z1t, z2t, gt = _two_output_values(qt)
+    res = gp.test(qt, predict_gradient=True)
+    recorded = [(6.205702021195462e-06, 0.00016324462241659358,
+                 0.0002209177886253753),
+                (1.1967913545722718e-05, 0.000292787449896784,
+                 0.00034572267944076794)]
+    for d, ztt in enumerate([z1t, z2t]):
+        mae = np.abs(res.get_mean(d) - ztt).mean()
+        gg = res.get_gradient(d)
+        mx = np.abs(gg[0] - gt[d][0]).mean()
+        my = np.abs(gg[1] - gt[d][1]).mean()
+        r = recorded[d]
+        assert abs(mae - r[0]) < 1e-12, (d, mae)
+        assert abs(mx - r[1]) < 1e-11, (d, mx)
+        assert abs(my - r[2]) < 1e-11, (d, my)
