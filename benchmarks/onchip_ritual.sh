@@ -23,6 +23,8 @@ log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
   ERL_GP_TEST_TPU=1 python -m pytest tests/ -q
   echo "== streaming-chol profile =="
   python benchmarks/profile_chol.py
+  echo "== streaming-chol A/B (HEAD vs last measured rev vs XLA) =="
+  python benchmarks/ab_chol.py
   echo "== headline bench =="
   python bench.py
 } 2>&1 | tee "$log"
