@@ -238,3 +238,17 @@ def test_mixture_kernels_compile_in_fused_ops(tpu_sharding):
          _f32(M, d), _f32(M, M), _f32(nn, d), _f32(nn, 1), _f32(nn),
          jax.ShapeDtypeStruct((nn,), jnp.bool_), _f32(),
          sharding=tpu_sharding)
+
+
+def test_gram_fused_chol_compiles(tpu_sharding):
+    """The gram-fused streaming Cholesky — the actual exact-GP fit path
+    for n >= 3584 (the (n, n) gram never round-trips HBM) — compiles at
+    the fit benchmark sizes for all gram families it gates on."""
+    from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked_gram
+
+    for n in (4096, 8192):
+        for fam in ("rbf", "matern32"):
+            _aot(lambda x, v, m, s, _f=fam: chol_blocked_gram(
+                     _f, x, v, m, s),
+                 _f32(n, 2), _f32(n), jax.ShapeDtypeStruct((n,), jnp.bool_),
+                 _f32(), sharding=tpu_sharding)
