@@ -36,6 +36,8 @@ def blocked_whiten_enabled(dtype, n: int, m: int) -> bool:
     """Wide-RHS dispatch test for ``whiten``. n = system size, m = RHS
     columns. Thin RHS stays on the Pallas substitution (ops/pallas_trsv);
     small systems and f64 keep the exact trsm."""
+    if not all(isinstance(v, int) for v in (n, m)):
+        return False  # symbolic dims (jax.export) are not Pallas-eligible
     if os.environ.get("ERL_GP_NO_BLOCKED_SOLVE"):
         return False
     if jnp.dtype(dtype) != jnp.float32:

@@ -87,6 +87,8 @@ def pallas_bank_applies(dtype, n: int, d: int = 1) -> bool:
     gate at the padded size. Used by models/batch_gp.bank_fit,
     BatchGPBank.solve and parallel/mesh.sharded_bank_fit so the dispatch
     can never drift between the single-chip and sharded paths."""
+    if not all(isinstance(v, int) for v in (n, d)):
+        return False  # symbolic dims (jax.export) are not Pallas-eligible
     return n > 96 and pallas_bank_enabled(dtype, -(-n // 128) * 128, d)
 
 

@@ -72,6 +72,8 @@ def pallas_chol_enabled(dtype, n: int) -> bool:
     12.26). Below ~6k the serial per-column elimination (~n * 0.3 us of
     VMEM-bound rank-1 updates, the law for any right-looking base case)
     dominates and XLA's chain is equally good, so the kernel stays off."""
+    if not isinstance(n, int):
+        return False  # symbolic dims (jax.export) are not Pallas-eligible
     if os.environ.get("ERL_GP_NO_PALLAS_CHOL"):
         return False
     if os.environ.get("ERL_GP_NO_PALLAS"):

@@ -89,6 +89,9 @@ def pallas_fitc_enabled(dtype, m: int, d: int = 2) -> bool:
     XLA chain — 1.5x — at sign-identical map posteriors; see the _dot3x
     docstring for the precision story). Opt out with ERL_GP_NO_PALLAS_FITC=1
     (or ERL_GP_NO_PALLAS=1 for all Pallas kernels)."""
+    if not all(isinstance(v, int) for v in (m, d)):
+        return False  # symbolic dims (jax.export) are not Pallas-eligible
+
     if os.environ.get("ERL_GP_NO_PALLAS_FITC"):
         return False
     if os.environ.get("ERL_GP_NO_PALLAS"):

@@ -40,7 +40,12 @@ _MIN_ELEMENTS = 128 * 128  # below this, dispatch overhead dominates; use jnp
 
 
 def pallas_gram_enabled(dtype, m: int, n: int, d: int) -> bool:
-    """Dispatch policy: TPU backend, f32, d small, problem big enough."""
+    """Dispatch policy: TPU backend, f32, d small, problem big enough.
+    Symbolic dimensions (jax.export shape polymorphism) are not Pallas-
+    eligible — size comparisons would be inconclusive, so fall to the
+    jnp path."""
+    if not all(isinstance(v, int) for v in (m, n, d)):
+        return False
     if os.environ.get("ERL_GP_NO_PALLAS"):
         return False
     if jnp.dtype(dtype) != jnp.float32 or d > 8:

@@ -40,6 +40,8 @@ _Z = np.int32(0)
 
 
 def pallas_trsv_enabled(dtype, n: int, q: int) -> bool:
+    if not all(isinstance(v, int) for v in (n, q)):
+        return False  # symbolic dims (jax.export) are not Pallas-eligible
     if os.environ.get("ERL_GP_NO_PALLAS"):
         return False
     if jnp.dtype(dtype) != jnp.float32:

@@ -125,14 +125,20 @@ def export_map_update_step(setting, *, n_pseudo: int, n_rays: int,
     return export_fn(lambda *xs: fn(*xs), *args, platforms=platforms)
 
 
-def export_map_predict_step(*, n_pseudo: int, n_queries: int, dim: int = 2,
+def export_map_predict_step(*, n_pseudo: int, n_queries=None, dim: int = 2,
                             kernel: str = "matern32", with_grad: bool = False,
                             zero_threshold: float = 0.0, dtype=None,
                             platforms: Sequence[str] = ("tpu", "cpu")
                             ) -> bytes:
     """The serving-side predict artifact: prepared-posterior queries
-    (``mean, grad = predict(state, L_qm, alpha_solved, points, scale)``)
-    at a fixed query-batch bucket."""
+    (``mean, grad = predict(state, L_qm, alpha_solved, points, scale)``).
+
+    ``n_queries``: an int freezes a query-batch bucket; ``None`` exports
+    with a SYMBOLIC query dimension (jax.export shape polymorphism) — one
+    artifact serves any batch size. The Pallas dispatch gates detect the
+    symbolic dim and keep the (numerically identical) XLA path, so
+    polymorphic artifacts trade the fused-kernel perf for bucket-free
+    serving; export fixed buckets for the hot sizes."""
     import jax.numpy as jnp
 
     from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
@@ -150,10 +156,13 @@ def export_map_predict_step(*, n_pseudo: int, n_queries: int, dim: int = 2,
     def S(shape, dt=f32):
         return jax.ShapeDtypeStruct(shape, dt)
 
+    nq = n_queries
+    if nq is None:
+        nq, = _jexport.symbolic_shape("b")
     state = SpGpState(pseudo=S((n_pseudo, dim)),
                       L_km=S((n_pseudo, n_pseudo)),
                       L_inv=S((n_pseudo, n_pseudo)),
                       qm=S((n_pseudo, n_pseudo)), alpha=S((n_pseudo, 1)))
     args = (state, S((n_pseudo, n_pseudo)), S((n_pseudo, 1)),
-            S((n_queries, dim)), S(()))
+            S((nq, dim)), S(()))
     return export_fn(lambda *xs: fn(*xs), *args, platforms=platforms)

@@ -182,3 +182,23 @@ def test_generic_export_fn_vanilla_predict():
     ref_mean, ref_var = vanilla_predict(st, xq, np.float32(0.4), kernel="rbf")
     np.testing.assert_array_equal(np.asarray(mean), np.asarray(ref_mean))
     np.testing.assert_array_equal(np.asarray(varp), np.asarray(ref_var))
+
+
+def test_polymorphic_predict_artifact_serves_any_batch():
+    """n_queries=None exports with a symbolic query dimension: ONE artifact
+    serves every batch size (the Pallas gates detect the symbolic dim and
+    keep the numerically-identical XLA path)."""
+    st = _state()
+    L_qm, a = spgp_prepare(st)
+    blob = export_map_predict_step(n_pseudo=N_PSEUDO_SIDE**2,
+                                   n_queries=None, platforms=("tpu", "cpu"))
+    predict = load_fn(blob)
+    rng = np.random.default_rng(2)
+    for nq in (3, 33, 200):
+        q = jnp.asarray(rng.uniform(-1, 1, (nq, 2)).astype(np.float32))
+        mean, _ = predict(st, L_qm, a, q, np.float32(0.3))
+        assert mean.shape == (nq, 1)
+        ref, _ = predict_prepared_step(st, L_qm, a, q, np.float32(0.3),
+                                       kernel="matern32", with_grad=False)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7)
