@@ -63,3 +63,23 @@ def test_entry_compiles_on_chip():
     fn, example_args = __graft_entry__.entry()
     out = jax.jit(fn).lower(*example_args).compile()
     assert out is not None
+
+
+def test_entry_fails_fast_when_backend_unreachable():
+    # entry() builds device arrays, so a dead tunnel would otherwise hang
+    # the driver's compile check exactly like round 2's dryrun; the
+    # backend probe must turn that into a fast RuntimeError. A
+    # sub-millisecond probe deadline makes the race deterministic in
+    # either tunnel state.
+    r = _run(["-c",
+              "import __graft_entry__ as g;\n"
+              "g._require_backend.__defaults__ = (0.01,)\n"
+              "try:\n"
+              "    g.entry()\n"
+              "    raise SystemExit(1)\n"
+              "except RuntimeError as e:\n"
+              "    assert 'failing fast' in str(e) or 'unavailable' in str(e)\n"
+              "    print('fast-fail OK')\n"],
+             env_extra={}, timeout=120)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    assert "fast-fail OK" in r.stdout
