@@ -41,11 +41,29 @@ from erl_gaussian_process_tpu.utils import from_yaml_file
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _cli():
+    # mirrors the reference test's boost::program_options CLI
+    # (test_spgp_occupancy_map_2d.cpp:385-401: --hinged-grid-size,
+    # --test-grid-size, --config-file)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--hinged-grid-size", type=int, default=31,
+                    help="pseudo-point grid side length")
+    ap.add_argument("--test-grid-size", type=int, default=240,
+                    help="posterior raster side length")
+    ap.add_argument("--config-file",
+                    default=os.path.join(HERE, "..", "config",
+                                         "spgp_occupancy_map_2d.yaml"),
+                    help="SpGpOccupancyMapSetting YAML (reference schema)")
+    ap.add_argument("--n-poses", type=int, default=50)
+    return ap.parse_args()
+
+
 def main():
-    setting = from_yaml_file(
-        SpGpOccupancyMapSetting,
-        os.path.join(HERE, "..", "config", "spgp_occupancy_map_2d.yaml"))
-    pseudo = GridMapInfo2D([-3, -3], [3, 3], [31, 31]) \
+    args = _cli()
+    setting = from_yaml_file(SpGpOccupancyMapSetting, args.config_file)
+    m = args.hinged_grid_size
+    pseudo = GridMapInfo2D([-3, -3], [3, 3], [m, m]) \
         .generate_meter_coordinates().T
     omap = SpGpOccupancyMap(setting, pseudo,
                             Aabb.from_min_max([-3, -3], [3, 3]),
@@ -54,7 +72,7 @@ def main():
     space = reference_space_2d()
     lidar = Lidar2D(Lidar2D.Setting(min_angle=-2.356, max_angle=2.356,
                                     num_lines=135), space)
-    traj = reference_trajectory_2d(50)
+    traj = reference_trajectory_2d(args.n_poses)
 
     def scan_of(pose):
         r = lidar.scan(pose[2], pose[:2])
@@ -79,10 +97,11 @@ def main():
           "post-compile)")
 
     # rasterize the posterior
-    g = GridMapInfo2D([-3, -3], [3, 3], [240, 240])
+    tg = args.test_grid_size
+    g = GridMapInfo2D([-3, -3], [3, 3], [tg, tg])
     q = g.generate_meter_coordinates().astype(np.float32)
     logodd, _ = omap.predict(q)
-    img = logodd.reshape(240, 240)
+    img = logodd.reshape(tg, tg)
 
     try:
         import matplotlib
