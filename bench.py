@@ -59,25 +59,11 @@ def _probe_backend(timeout_s: float):
 
     Returns (ok, platform_or_reason). On timeout the prober thread is left
     hung inside PJRT init (unkillable) — callers must exit via os._exit.
+    One shared implementation: erl_gaussian_process_tpu/utils/backend.py.
     """
-    import threading
-    out = {}
+    from erl_gaussian_process_tpu.utils.backend import probe_backend
 
-    def probe():
-        try:
-            devs = jax.devices()
-            out["platform"] = devs[0].platform
-        except Exception as e:  # backend registered but unreachable
-            out["err"] = f"{type(e).__name__}: {e}"
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive():
-        return False, f"backend init exceeded {timeout_s:.0f}s (tunnel down?)"
-    if "err" in out:
-        return False, out["err"]
-    return True, out["platform"]
+    return probe_backend(timeout_s)
 
 
 def _fail_fast(reason: str):

@@ -38,9 +38,13 @@ def load_rev(rev: str):
                                      delete=False) as f:
         f.write(src)
         path = f.name
-    spec = importlib.util.spec_from_file_location(f"pallas_chol_{rev}", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            f"pallas_chol_{rev}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        os.unlink(path)  # module is loaded; don't leak one file per run
     return mod
 
 

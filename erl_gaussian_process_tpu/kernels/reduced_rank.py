@@ -102,7 +102,12 @@ class ReducedRankSetting(KernelSetting):
 
     base_kernel: str = "rbf"
     num_basis: List[int] = dataclasses.field(default_factory=lambda: [32])
-    boundary: List[float] = dataclasses.field(default_factory=lambda: [1.0])
+    # None = "not set by the user" — the sensor-model classes derive a
+    # frame-fitted box from it, and ReducedRankBasis falls back to the
+    # reference's 1.0 half-extent. A literal [1.0] is an EXPLICIT box and
+    # survives (the old [1.0] dataclass default was indistinguishable from
+    # an explicit 1.0-rad boundary, silently overriding it).
+    boundary: Optional[List[float]] = None
     coord_origin: List[float] = dataclasses.field(default_factory=lambda: [0.0])
 
     def to_dict(self):
@@ -128,6 +133,9 @@ class ReducedRankBasis:
         self.setting = setting
         self.dtype = np.dtype(dtype)
         d = len(setting.num_basis)
+        if setting.boundary is None:
+            # unset -> the reference Setting's 1.0 half-extent per dim
+            setting.boundary = [1.0] * d
         if len(setting.boundary) != d or len(setting.coord_origin) != d:
             raise ValueError(
                 "num_basis, boundary, coord_origin must share length "

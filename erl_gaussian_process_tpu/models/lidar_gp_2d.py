@@ -236,13 +236,13 @@ class LidarGaussianProcess2D:
             if rr_base:
                 ks.base_kernel = rr_base
             # per-field defaulting (mirrors RangeSensorGaussianProcess3D):
-            # the boundary gets the frame-derived box whenever it is still
-            # the dataclass default [1.0] (or the wrong length), regardless
+            # the boundary gets the frame-derived box whenever the user
+            # left it unset (None default, or the wrong length), regardless
             # of num_basis — a shorthand config setting only num_basis must
             # not keep a 1-rad Hilbert box on a ±2.36-rad scan, where rays
             # past the box edge clip to phi≈0/var≈0 and silently pass the
-            # validity gate.
-            if len(ks.boundary) != 1 or list(ks.boundary) == [1.0]:
+            # validity gate. An EXPLICIT boundary (even [1.0]) survives.
+            if ks.boundary is None or len(ks.boundary) != 1:
                 # default basis box: angular domain + ~3*scale margin
                 # (the Hilbert box must extend past the data by a few
                 # length scales or the truncation biases the posterior)

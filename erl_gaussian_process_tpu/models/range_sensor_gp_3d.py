@@ -198,14 +198,14 @@ class RangeSensorGaussianProcess3D:
                 self.setting.gp.kernel = ks
             if rr_base:
                 ks.base_kernel = rr_base
-            # per-field defaulting: only fields the user left at the
-            # dataclass default (or the wrong length for 2D frame coords)
-            # get the frame-derived box — an explicit boundary/coord_origin
-            # must survive a shorthand num_basis=[24]
+            # per-field defaulting: only fields the user left unset (None
+            # default, or the wrong length for 2D frame coords) get the
+            # frame-derived box — an explicit boundary/coord_origin (even
+            # [1.0, 1.0]) must survive a shorthand num_basis=[24]
             if len(ks.num_basis) != 2:
                 nb = ks.num_basis[0] if ks.num_basis else 16
                 ks.num_basis = [nb, nb]
-            if len(ks.boundary) != 2 or list(ks.boundary) == [1.0]:
+            if ks.boundary is None or len(ks.boundary) != 2:
                 # default basis box: (az, el) frame-coord domain + ~3*scale
                 # margin per dim (Hilbert box truncation bias otherwise)
                 fc = self.sensor_frame.frame_coords()

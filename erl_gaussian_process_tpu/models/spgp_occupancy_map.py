@@ -320,7 +320,8 @@ class SpGpOccupancyMap:
             mean, _ = sharded_spgp_predict(
                 self.mesh, self.sp_gp.state, L_qm, a, jnp.asarray(pq),
                 self.dtype.type(self.sp_gp._scale),
-                kernel=self.sp_gp._kernel, with_var=False)
+                kernel=self.sp_gp._kernel, with_var=False,
+                zero_threshold=self.sp_gp._zero_threshold)
             return np.asarray(mean[:m0, 0]), None
         mean, grad = predict_prepared_step(
             self.sp_gp.state, L_qm, a, jnp.asarray(p),

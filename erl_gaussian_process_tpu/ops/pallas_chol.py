@@ -703,6 +703,8 @@ def pallas_chol_gram_enabled(dtype, n: int, fam: str, d: int) -> bool:
     Lower threshold than the plain-A path: even where the factorization
     is a wash vs XLA (n ~ 4-6k), fusing the gram build into the kernel
     still saves the gram op and the (n, n) HBM round-trip."""
+    if not isinstance(n, int):
+        return False  # symbolic dims (jax.export) are not Pallas-eligible
     if fam not in _GRAM_FAMILIES or d > 8:
         return False
     if os.environ.get("ERL_GP_NO_PALLAS_CHOL") or             os.environ.get("ERL_GP_NO_PALLAS"):

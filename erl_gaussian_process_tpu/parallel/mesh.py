@@ -98,12 +98,17 @@ def sharded_bank_fit(mesh: Mesh, x, y, var, mask, scale, *, kernel: str
 
 
 def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
-                        *, kernel: str) -> SpGpState:
+                        *, kernel: str, diagonal_qm: bool = False,
+                        zero_threshold: float = 0.0) -> SpGpState:
     """FITC rank-N update with the N sample axis sharded over the mesh.
 
     Each chip computes its local K_MN / lambda / scaled columns and local
     (dQ_M, dalpha) GEMMs; the accumulation is one ``psum`` pair over ICI.
     Pseudo-point state (L_KM, Q_M, alpha) is replicated.
+    ``diagonal_qm``/``zero_threshold`` carry the same semantics as the
+    single-chip ``spgp_update`` (UpdateSparse's thresholded columns as
+    masked dense) — a sparse-configured map sharded over a mesh must
+    accumulate the same posterior it would single-chip.
     """
 
     @f32_matmul
@@ -112,6 +117,7 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
         # clamp); only the accumulation differs — a psum pair over ICI
         dqm, dalpha = fitc_delta(
             pseudo, L_km, xl, yl, vl, ml, scale, kernel=kernel,
+            diagonal_qm=diagonal_qm, zero_threshold=zero_threshold,
             reduce=lambda t: jax.lax.psum(t, BANK_AXIS))
         return qm + dqm, alpha + dalpha
 
@@ -185,18 +191,23 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
 
 
 def sharded_spgp_predict(mesh: Mesh, state: SpGpState, L_qm, alpha_solved,
-                         xq, scale, *, kernel: str, with_var: bool = True):
+                         xq, scale, *, kernel: str, with_var: bool = True,
+                         zero_threshold: float = 0.0):
     """Query-sharded SPGP predict: queries are embarrassingly parallel, so
     the m_q axis shards over the mesh with the (small) pseudo-point state
     replicated; no collectives. Returns (mean (m_q, q), var (m_q,) | None).
     m_q must be divisible by the mesh size. ``with_var=False`` skips the
     (M, m_q) whitening GEMM + triangular solve entirely (the single-chip
     class path does the same for mean-only queries, which are the common
-    occupancy-serving case)."""
+    occupancy-serving case). ``zero_threshold`` > 0 applies the
+    reference's sparse ComputeKtestSparse semantics (sub-threshold k*
+    entries zeroed) exactly as the single-chip spgp_predict does."""
 
     @f32_matmul
     def local(pseudo, L_km, L_inv, L_qm, a, xl):
         kt = cross_gram(kernel, pseudo, xl, scale)
+        if zero_threshold:
+            kt = jnp.where(jnp.abs(kt) >= zero_threshold, kt, 0.0)
         mean = kt.T @ a
         if not with_var:
             return (mean,)

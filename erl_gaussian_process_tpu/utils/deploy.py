@@ -88,6 +88,7 @@ def export_map_update_step(setting, *, n_pseudo: int, n_rays: int,
     """
     import jax.numpy as jnp
 
+    from erl_gaussian_process_tpu.kernels import resolve_kernel_setting
     from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
         update_step,
     )
@@ -101,8 +102,12 @@ def export_map_update_step(setting, *, n_pseudo: int, n_rays: int,
           if s.sp_gp.use_sparse else 0.0)
     fn = functools.partial(
         update_step,
-        kernel="matern32" if "matern" in s.sp_gp.kernel_type.lower()
-        else s.sp_gp.kernel_type,
+        # Resolve through the full Setting (scale_mix/weights included) so
+        # the artifact bakes in the SAME kernel the live map resolves —
+        # a mixture-configured map must not export a plain-base-kernel
+        # artifact that silently accumulates a different posterior.
+        kernel=resolve_kernel_setting(s.sp_gp.kernel_type, s.sp_gp.kernel,
+                                      "export_map_update_step"),
         diagonal_qm=s.sp_gp.diagonal_qm, free_slots=free_slots,
         max_samples=int(s.sp_gp.max_num_samples),
         min_distance=s.min_distance, max_distance=s.max_distance,
@@ -114,13 +119,12 @@ def export_map_update_step(setting, *, n_pseudo: int, n_rays: int,
     def S(shape, dt=f32):
         return jax.ShapeDtypeStruct(shape, dt)
 
-    import jax.numpy as jnp2
     state = SpGpState(pseudo=S((n_pseudo, dim)),
                       L_km=S((n_pseudo, n_pseudo)),
                       L_inv=S((n_pseudo, n_pseudo)),
                       qm=S((n_pseudo, n_pseudo)), alpha=S((n_pseudo, 1)))
-    args = (state, S((2,), jnp2.uint32), S((), jnp2.int32), S((dim,)),
-            S((n_rays, dim)), S((n_rays,), jnp2.bool_), S((dim,)),
+    args = (state, S((2,), jnp.uint32), S((), jnp.int32), S((dim,)),
+            S((n_rays, dim)), S((n_rays,), jnp.bool_), S((dim,)),
             S((dim,)), S(()))
     return export_fn(lambda *xs: fn(*xs), *args, platforms=platforms)
 
