@@ -202,3 +202,49 @@ def test_polymorphic_predict_artifact_serves_any_batch():
                                        kernel="matern32", with_grad=False)
         np.testing.assert_allclose(np.asarray(mean), np.asarray(ref),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_map_update_artifact_bakes_mixture_kernel():
+    """A scale-mixture-configured map must export an artifact running the
+    SAME mixture kernel as the live step — not a plain-base-kernel
+    heuristic that silently accumulates a different posterior (round-3
+    review finding on export_map_update_step's kernel resolution)."""
+    from erl_gaussian_process_tpu.kernels import resolve_kernel_setting
+
+    s = _setting()
+    s.sp_gp.kernel = KernelSetting(x_dim=2, scale=0.3, scale_mix=0.5,
+                                   weights=[0.7, 0.3])
+    blob = export_map_update_step(
+        s, n_pseudo=N_PSEUDO_SIDE**2, n_rays=N_RAYS, free_slots=SLOTS,
+        platforms=("cpu",))
+    step = load_fn(blob)
+
+    kernel = resolve_kernel_setting(s.sp_gp.kernel_type, s.sp_gp.kernel)
+    st = spgp_init(_state().pseudo, np.float32(0.3), kernel=kernel)
+    key = jax.random.PRNGKey(3)
+    pts, mask = _scan()
+    lo = jnp.asarray(np.array([-3.0, -3.0], np.float32))
+    hi = jnp.asarray(np.array([3.0, 3.0], np.float32))
+    got, n_used = step(st, key, jnp.int32(1), jnp.zeros(2, jnp.float32),
+                       pts, mask, lo, hi, np.float32(0.3))
+
+    ref, _ = update_step(
+        spgp_init(_state().pseudo, np.float32(0.3), kernel=kernel),
+        key, jnp.int32(1), jnp.zeros(2, jnp.float32), pts, mask, lo, hi,
+        np.float32(0.3), kernel=kernel, diagonal_qm=False,
+        free_slots=SLOTS, max_samples=256, min_distance=0.0,
+        max_distance=30.0, free_sampling_margin=0.02,
+        free_points_per_meter=2.0, logodd_occupied=1.0, logodd_free=-1.0,
+        logodd_variance=1e-4)
+    assert int(n_used) > 0
+    np.testing.assert_array_equal(np.asarray(got.qm), np.asarray(ref.qm))
+
+    # and the mixture is live: it differs from the plain-matern32 artifact
+    plain, _ = update_step(
+        _state(), key, jnp.int32(1), jnp.zeros(2, jnp.float32), pts, mask,
+        lo, hi, np.float32(0.3), kernel="matern32", diagonal_qm=False,
+        free_slots=SLOTS, max_samples=256, min_distance=0.0,
+        max_distance=30.0, free_sampling_margin=0.02,
+        free_points_per_meter=2.0, logodd_occupied=1.0, logodd_free=-1.0,
+        logodd_variance=1e-4)
+    assert np.abs(np.asarray(got.qm) - np.asarray(plain.qm)).max() > 1e-6

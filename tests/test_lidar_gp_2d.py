@@ -261,3 +261,29 @@ def test_reduced_rank_boundary_defaults_independently_of_num_basis():
     assert outer.sum() > 0
     mae_outer = np.abs(pred[outer] - ranges[outer]).mean()
     assert mae_outer < 0.02, mae_outer
+
+
+def test_reduced_rank_explicit_unit_boundary_survives():
+    """An EXPLICIT boundary=[1.0] is a real user choice, not the unset
+    sentinel (that is now None) — the frame-derived defaulting must leave
+    it alone (round-3 review: the old [1.0] dataclass default was
+    indistinguishable from an explicit 1.0-rad Hilbert box)."""
+    from erl_gaussian_process_tpu.kernels import ReducedRankSetting
+
+    n = 90
+    angles = np.linspace(-0.7, 0.7, n)  # data fits inside the 1-rad box
+    s = LidarGP2DSetting(
+        group_size=GROUP + OVERLAP, overlap_size=OVERLAP, margin=MARGIN,
+        sensor_range_var=1e-4, max_valid_range_var=0.5,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=float(angles[0]), angle_max=float(angles[-1]),
+            num_rays=n, discontinuity_detection=False),
+        gp=VanillaGPSetting(
+            kernel_type="reduced_rank_rbf",
+            kernel=ReducedRankSetting(x_dim=1, scale=0.25, num_basis=[64],
+                                      boundary=[1.0])),  # explicit
+        mapping=MappingSetting(type=MappingType.IDENTITY),
+    )
+    gp = LidarGaussianProcess2D(s)
+    assert list(gp.setting.gp.kernel.boundary) == [1.0]

@@ -289,3 +289,57 @@ def test_spgp_update_weak_scaling_shape():
 
     if all(v is not None for v in flops.values()):
         assert flops[2] == flops[4] == flops[8], flops
+
+
+def test_sharded_spgp_sparse_semantics_match_single_chip():
+    """UpdateSparse/ComputeKtestSparse semantics (zero_threshold > 0,
+    diagonal_qm) must produce the SAME posterior sharded as single-chip —
+    a sparse-configured map with mesh= used to silently drop the
+    threshold (round-3 review finding)."""
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        spgp_predict, spgp_prepare,
+    )
+    from erl_gaussian_process_tpu.parallel import sharded_spgp_predict
+
+    rng = np.random.default_rng(7)
+    pseudo = jnp.asarray(rng.uniform(-1, 1, (16, 2)))
+    st0 = spgp_init(pseudo, 0.25, kernel="matern32", diagonal_qm=True)
+    n = 8 * 6
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)))
+    var = jnp.full((n,), 1e-3)
+    mask = jnp.ones(n, bool)
+    zt = 0.3  # large enough that thresholding visibly changes the update
+    mesh = make_mesh(8)
+
+    def fresh():
+        # spgp_update donates its state arg, so each call needs its own
+        return spgp_init(pseudo, 0.25, kernel="matern32", diagonal_qm=True)
+
+    sharded = sharded_spgp_update(mesh, st0, x, y, var, mask, 0.25,
+                                  kernel="matern32", diagonal_qm=True,
+                                  zero_threshold=zt)
+    local = spgp_update(fresh(), x, y, var, mask, 0.25, kernel="matern32",
+                        diagonal_qm=True, zero_threshold=zt)
+    np.testing.assert_allclose(sharded.qm, local.qm, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(sharded.alpha, local.alpha,
+                               rtol=1e-10, atol=1e-10)
+    # the knob is live: thresholded != dense
+    dense = spgp_update(fresh(), x, y, var, mask, 0.25, kernel="matern32",
+                        diagonal_qm=True)
+    assert np.abs(np.asarray(sharded.alpha) - np.asarray(dense.alpha)).max() \
+        > 1e-6
+
+    L_qm, a = spgp_prepare(local, diagonal_qm=True)
+    xq = jnp.asarray(rng.uniform(-1, 1, (8 * 4, 2)))
+    mean_s, var_s = sharded_spgp_predict(mesh, local, L_qm, a, xq, 0.25,
+                                         kernel="matern32",
+                                         zero_threshold=zt)
+    mean_r, _, var_r = spgp_predict(local, L_qm, a, xq, 0.25,
+                                    kernel="matern32", zero_threshold=zt)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_r),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_r),
+                               rtol=1e-10, atol=1e-12)
+    mean_d, _, _ = spgp_predict(local, L_qm, a, xq, 0.25, kernel="matern32")
+    assert np.abs(np.asarray(mean_s) - np.asarray(mean_d)).max() > 1e-6
