@@ -19,8 +19,10 @@ reference's m_reduced_rank_kernel_ on the TestResult
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,6 +99,62 @@ def partition_on_hit_rays(hit_ray_indices: np.ndarray, n_hit: int,
     ir3 = int(h[n_hit - 1]) + 1
     parts.append((il3, ir3, coords[il3], coords[ir3]))
     return parts
+
+
+@partial(jax.jit, static_argnames=("kernel", "discon_on", "map_type",
+                                   "map_scale", "use_pallas"))
+def _scan_train_fused(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv,
+                      scale, *, kernel: str, discon_on: bool, map_type,
+                      map_scale: float, use_pallas: bool):
+    """ONE dispatch per scan: hit/continuity masks + distance mapping +
+    partition gather + batched bank fit, all fused in a single jit.
+
+    The host-assembled path (``_assemble_bank_arrays`` + ``bank_fit``)
+    ships four (B, width) arrays per scan — four separate host->device
+    transfers whose round-trip latency dominates the 5.8 ms online number
+    on the remote-TPU tunnel. Here the ONLY per-scan transfer is the raw
+    (num_rays,) range vector; the angle grid and the partition index
+    table are static device constants cached on the class.
+
+    Bitwise contract with the host path: ``idx[b] = [il..il+width)`` with
+    ``inb`` marking real slots; a stable argsort on ``~hit`` compacts hit
+    rays to the front in ray order — exactly the
+    ``np.arange(il, ir)[hit[il:ir]]`` gather of _assemble_bank_arrays —
+    so the resulting BankState (x/mask/L/alpha) matches the reference
+    Train semantics (src/lidar_gp_2d.cpp:366-392) slot for slot."""
+    from erl_gaussian_process_tpu.models.batch_gp import _bank_fit_xla
+    from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
+
+    finite = jnp.isfinite(ranges)
+    hit = finite & (ranges >= vmin) & (ranges <= vmax)
+    n = ranges.shape[0]
+    if n > 1:
+        # continuity: range jump to EITHER neighbor within threshold
+        # (geometry/lidar_frame_2d.py update_ranges, same arithmetic)
+        jump = jnp.abs(jnp.diff(jnp.where(finite, ranges, 0.0)))
+        big = jump > thr
+        left = jnp.zeros(n, bool).at[:-1].set(big)
+        right = jnp.zeros(n, bool).at[1:].set(big)
+        cont = ~(left | right)
+    else:
+        cont = jnp.ones(n, bool)
+    mapped = Mapping(MappingSetting(type=map_type, scale=map_scale)).map(
+        ranges)
+
+    h = hit[idx] & inb                                   # (B, width)
+    order = jnp.argsort(~h, axis=1, stable=True)         # hit-first, ray order
+    sel = jnp.take_along_axis(idx, order, axis=1)
+    ms = jnp.take_along_axis(h, order, axis=1)
+    xs = jnp.where(ms, angles[sel], 0)[..., None]
+    ys = jnp.where(ms, mapped[sel], 0)[..., None]
+    v = jnp.where(cont[sel], srv, dv) if discon_on else srv
+    vs = jnp.where(ms, v, 0)
+
+    if use_pallas:
+        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
+        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
+                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
+    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
 
 
 @dataclasses.dataclass
@@ -199,6 +257,7 @@ class LidarGaussianProcess2D:
         self._trained = False
         self.bank: Optional[BankState] = None
         self.mapped_distances = None
+        self._scan_fit_cache = None
         angles = self.sensor_frame.angles_in_frame
         n = angles.shape[0]
         self.partitions = []
@@ -340,6 +399,7 @@ class LidarGaussianProcess2D:
         self._trained = False
         self.bank = None
         self.mapped_distances = None
+        self._scan_fit_cache = None
 
     def partition_on_angles(self):
         """(Re)build the angle-partition table from the current frame
@@ -350,6 +410,7 @@ class LidarGaussianProcess2D:
             self.setting.overlap_size, self.setting.margin,
             self.setting.symmetric_partitions, angles)
         self._part_bounds = self._bounds_array()
+        self._scan_fit_cache = None
 
     def partition_on_hit_rays(self):
         """(Re)build the hit-ray partition table from the current scan
@@ -360,6 +421,46 @@ class LidarGaussianProcess2D:
             self.setting.group_size, self.setting.overlap_size,
             self.sensor_frame.angles_in_frame)
         self._part_bounds = self._bounds_array()
+        self._scan_fit_cache = None
+
+    def _train_bank_fused(self) -> BankState:
+        """One-dispatch scan train via _scan_train_fused. The partition
+        index table, angle grid, and setting scalars are device constants
+        cached until the partition table changes; the per-scan transfer is
+        the raw range vector only."""
+        from erl_gaussian_process_tpu.ops.pallas_bank import (
+            pallas_bank_applies,
+        )
+
+        c = self._scan_fit_cache
+        if c is None:
+            B = len(self.partitions)
+            width = max(ir - il for (il, ir, _, _) in self.partitions)
+            idx = np.zeros((B, width), np.int32)
+            inb = np.zeros((B, width), bool)
+            for b, (il, ir, _, _) in enumerate(self.partitions):
+                w = ir - il
+                idx[b, :w] = np.arange(il, ir, dtype=np.int32)
+                inb[b, :w] = True
+            sf, s = self.setting.sensor_frame, self.setting
+            dt = self.dtype.type
+            c = {
+                "angles": jnp.asarray(self.sensor_frame.angles_in_frame),
+                "idx": jnp.asarray(idx), "inb": jnp.asarray(inb),
+                "vmin": dt(sf.valid_range_min), "vmax": dt(sf.valid_range_max),
+                "thr": dt(sf.discontinuity_threshold),
+                "srv": dt(s.sensor_range_var), "dv": dt(s.discontinuity_var),
+                "use_pallas": pallas_bank_applies(self.dtype, width, 1),
+            }
+            self._scan_fit_cache = c
+        s = self.setting
+        return _scan_train_fused(
+            jnp.asarray(self.sensor_frame.ranges), c["angles"], c["idx"],
+            c["inb"], c["vmin"], c["vmax"], c["thr"], c["srv"], c["dv"],
+            self.dtype.type(self._scale), kernel=self._kernel,
+            discon_on=s.sensor_frame.discontinuity_detection,
+            map_type=s.mapping.type, map_scale=s.mapping.scale,
+            use_pallas=c["use_pallas"])
 
     def train(self, rotation, translation, ranges) -> bool:
         """Store the scan, map distances, build the padded partition bank,
@@ -393,8 +494,20 @@ class LidarGaussianProcess2D:
                 "LidarGaussianProcess2D.train: no partitions for this "
                 "scan — nothing to train")
             return False
-        xs, ys, vs, ms = self._assemble_bank_arrays()
 
+        if (self._basis is None and self.mesh is None
+                and not self.setting.partition_on_hit_rays):
+            # one-dispatch fused path: mask + mapping + gather + bank fit
+            # in a single jit, one (num_rays,) transfer per scan. Only for
+            # the static angle-partition table — hit-ray partitions are
+            # data-dependent (rebuilt above each scan), so their index
+            # table can't be a cached device constant and the width can
+            # change per scan (jit churn).
+            self.bank = self._train_bank_fused()
+            self._trained = True
+            return True
+
+        xs, ys, vs, ms = self._assemble_bank_arrays()
         if self._basis is not None:
             from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
             self.bank = bank_fit_rr(

@@ -2,6 +2,7 @@
 data/double/train.dat (test ported from test/gtest/test_lidar_gp_2d.cpp:
 OU-1d kernel, identity mapping, asymmetric partitions)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -287,3 +288,46 @@ def test_reduced_rank_explicit_unit_boundary_survives():
     )
     gp = LidarGaussianProcess2D(s)
     assert list(gp.setting.gp.kernel.boundary) == [1.0]
+
+
+def test_fused_scan_train_matches_host_assembled_path():
+    """The one-dispatch fused scan train (mask + mapping + partition
+    gather + bank fit in a single jit, one (num_rays,) transfer) must
+    reproduce the host-assembled path (_assemble_bank_arrays + bank_fit)
+    slot for slot: same compacted x/mask, same factors. Real logged scans,
+    discontinuity detection on, both mapping flavors."""
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit
+    from erl_gaussian_process_tpu.utils.loaders import load_lidar_log
+
+    frames = load_lidar_log(DATA)
+    f0 = frames[0]
+    for mt in (MappingType.IDENTITY, MappingType.INVERSE_SQRT):
+        s = LidarGP2DSetting(
+            partition_on_hit_rays=False, symmetric_partitions=False,
+            group_size=26, overlap_size=6, margin=1, init_variance=1e6,
+            sensor_range_var=0.01, discontinuity_var=100.0,
+            max_valid_range_var=0.1,
+            sensor_frame=LidarFrame2DSetting(
+                valid_range_min=0.1, valid_range_max=30.0,
+                angle_min=float(f0.angles[0]), angle_max=float(f0.angles[-1]),
+                num_rays=f0.angles.shape[0], discontinuity_detection=True),
+            gp=VanillaGPSetting(kernel_type="ou",
+                                kernel=KernelSetting(x_dim=1, scale=0.05)),
+            mapping=MappingSetting(type=mt))
+        gp = LidarGaussianProcess2D(s, dtype=np.float64)
+        eye, zero = np.eye(2), np.zeros(2)
+        for f in frames[:4]:
+            assert gp.train(eye, zero, f.ranges)
+            fused = gp.bank
+            xs, ys, vs, ms = gp._assemble_bank_arrays()
+            ref = bank_fit(jnp.asarray(xs), jnp.asarray(ys),
+                           jnp.asarray(vs), jnp.asarray(ms),
+                           np.float64(gp._scale), kernel=gp._kernel)
+            np.testing.assert_array_equal(np.asarray(fused.mask), ms)
+            np.testing.assert_array_equal(np.asarray(fused.x), xs)
+            np.testing.assert_allclose(np.asarray(fused.alpha),
+                                       np.asarray(ref.alpha),
+                                       rtol=1e-12, atol=1e-13)
+            np.testing.assert_allclose(np.asarray(fused.L),
+                                       np.asarray(ref.L),
+                                       rtol=1e-12, atol=1e-13)
