@@ -13,8 +13,10 @@ search feeding ``bank_predict_assigned``.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +52,48 @@ def _grid_partitions(coords: np.ndarray, group_size: int, overlap: int,
     parts.append((n - gs2 - half, n, coords[n - 1 - gs2],
                   coords[n - 1 - margin]))
     return parts
+
+
+@partial(jax.jit, static_argnames=("kernel", "map_type", "map_scale",
+                                   "use_pallas"))
+def _scan_train_fused(ranges, fc_flat, idx, inb, vmin, vmax, srv, min_count,
+                      scale, *, kernel: str, map_type, map_scale: float,
+                      use_pallas: bool):
+    """ONE dispatch per 3D scan: hit mask + distance mapping + grid-partition
+    gather + flattened bank fit fused in a single jit (the 3D twin of
+    lidar_gp_2d._scan_train_fused). The only per-scan transfer is the raw
+    (n_az, n_el) range image — the host-assembled path ships four padded
+    (B, width) arrays (~5x the bytes at the reference's 271x91 scan, plus
+    three extra transfer round-trips).
+
+    Bitwise contract with _assemble_bank_arrays: ``idx[b]`` enumerates the
+    (row, col) sub-block's FLAT grid indices in row-major order, and the
+    stable argsort on ``~hit`` compacts hit entries to the front in that
+    order — exactly numpy's boolean-mask flattening. Groups with at most
+    ``min_count`` hits are masked out whole (reference Train skip,
+    src/range_sensor_gp_3d.cpp:334-360); per-slot variance is the constant
+    sensor_range_var, as in the host path."""
+    from erl_gaussian_process_tpu.models.batch_gp import _bank_fit_xla
+    from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
+
+    r = ranges.ravel()
+    hit = jnp.isfinite(r) & (r >= vmin) & (r <= vmax)
+    mapped = Mapping(MappingSetting(type=map_type, scale=map_scale)).map(r)
+
+    h = hit[idx] & inb                                   # (B, width)
+    order = jnp.argsort(~h, axis=1, stable=True)
+    sel = jnp.take_along_axis(idx, order, axis=1)
+    ms = jnp.take_along_axis(h, order, axis=1)
+    ms = ms & (jnp.sum(h, axis=1) > min_count)[:, None]
+    xs = jnp.where(ms[..., None], fc_flat[sel], 0)
+    ys = jnp.where(ms, mapped[sel], 0)[..., None]
+    vs = jnp.full(ms.shape, srv, xs.dtype)
+
+    if use_pallas:
+        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
+        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
+                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
+    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
 
 
 @dataclasses.dataclass
@@ -171,6 +215,7 @@ class RangeSensorGaussianProcess3D:
         self._trained = False
         self.bank: Optional[BankState] = None
         self.mapped_distances = None
+        self._scan_fit_cache = None
 
     def _setup_kernel(self):
         """Resolve the partition-GP kernel; reduced-rank kernel types
@@ -350,12 +395,67 @@ class RangeSensorGaussianProcess3D:
                 ms[b, :cnt] = True
         return xs, ys, vs, ms
 
+    def _train_bank_fused(self) -> BankState:
+        """One-dispatch scan train via _scan_train_fused; flat-index
+        partition table + frame coords cached as device constants (the
+        partition grid never changes after the ctor)."""
+        from erl_gaussian_process_tpu.ops.pallas_bank import (
+            pallas_bank_applies,
+        )
+
+        c = self._scan_fit_cache
+        if c is None:
+            fc = self.sensor_frame.frame_coords()
+            H, W = fc.shape[0], fc.shape[1]
+            R, C = self.num_partitions
+            rw = max(ir - il for (il, ir, _, _) in self.row_partitions)
+            cw = max(ir - il for (il, ir, _, _) in self.col_partitions)
+            width = rw * cw
+            B = R * C
+            idx = np.zeros((B, width), np.int32)
+            inb = np.zeros((B, width), bool)
+            for i, (ril, rir, _, _) in enumerate(self.row_partitions):
+                for j, (cil, cir, _, _) in enumerate(self.col_partitions):
+                    b = i * C + j
+                    rr, cc = np.meshgrid(np.arange(ril, rir),
+                                         np.arange(cil, cir), indexing="ij")
+                    flat = (rr * W + cc).ravel()  # row-major, as numpy's
+                    idx[b, :flat.size] = flat     # boolean-mask flattening
+                    inb[b, :flat.size] = True
+            sf = self.sensor_frame.setting
+            dt = self.dtype.type
+            c = {
+                "fc_flat": jnp.asarray(fc.reshape(-1, 2)),
+                "idx": jnp.asarray(idx), "inb": jnp.asarray(inb),
+                "vmin": dt(sf.valid_range_min), "vmax": dt(sf.valid_range_max),
+                "srv": dt(self.setting.sensor_range_var),
+                "min_count": jnp.int32(
+                    self.setting.min_num_samples_per_group),
+                "use_pallas": pallas_bank_applies(self.dtype, width, 2),
+            }
+            self._scan_fit_cache = c
+        s = self.setting
+        return _scan_train_fused(
+            jnp.asarray(self.sensor_frame.ranges), c["fc_flat"], c["idx"],
+            c["inb"], c["vmin"], c["vmax"], c["srv"], c["min_count"],
+            self.dtype.type(self._scale), kernel=self._kernel,
+            map_type=s.mapping.type, map_scale=s.mapping.scale,
+            use_pallas=c["use_pallas"])
+
     def train(self, rotation, translation, ranges) -> bool:
         """One scan → one flattened padded bank fit
         (reference Train, src/range_sensor_gp_3d.cpp:321-364)."""
         self._trained = False
         if not self.store_data(rotation, translation, ranges):
             return False
+        if self._basis is None and self.mesh is None:
+            # one-dispatch fused path — the partition grid is static (built
+            # once from frame geometry in the ctor), so its index table is
+            # a cached device constant and the per-scan transfer is the raw
+            # range image only
+            self.bank = self._train_bank_fused()
+            self._trained = True
+            return True
         xs, ys, vs, ms = self._assemble_bank_arrays()
         if self._basis is not None:
             from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr

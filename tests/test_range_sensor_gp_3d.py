@@ -290,3 +290,35 @@ def test_serialization_round_trip_3d(tmp_path):
     r2, v2 = gp2.test(dirs, True, True).get_mean()
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_fused_scan_train_matches_host_assembled_path_3d():
+    """The one-dispatch fused 3D scan train (hit mask + mapping +
+    grid-partition gather + flattened bank fit in one jit, one range-image
+    transfer) must reproduce the host-assembled path slot for slot,
+    including whole-group skipping at min_num_samples_per_group. Holes are
+    punched in the scan so compaction and group masking both engage."""
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit
+
+    s = _lidar_setting()
+    s.min_num_samples_per_group = 100
+    gp = RangeSensorGaussianProcess3D(s, dtype=np.float64)
+    dirs = gp.sensor_frame.ray_directions_in_frame()
+    ranges = _wavy_room_ranges(dirs)
+    rng = np.random.default_rng(1)
+    ranges = np.where(rng.uniform(size=ranges.shape) < 0.35, np.inf, ranges)
+    assert gp.train(np.eye(3), np.zeros(3), ranges)
+    fused = gp.bank
+    xs, ys, vs, ms = gp._assemble_bank_arrays()
+    ref = bank_fit(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                   jnp.asarray(ms), np.float64(gp._scale), kernel=gp._kernel)
+    np.testing.assert_array_equal(np.asarray(fused.mask), ms)
+    np.testing.assert_array_equal(np.asarray(fused.x), xs)
+    np.testing.assert_allclose(np.asarray(fused.alpha),
+                               np.asarray(ref.alpha), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fused.L), np.asarray(ref.L),
+                               rtol=1e-12, atol=1e-13)
+    # group skipping engaged (some partitions below the sample floor)
+    assert int((~np.asarray(fused.trained)).sum()) > 0
