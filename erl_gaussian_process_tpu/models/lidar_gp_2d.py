@@ -423,11 +423,10 @@ class LidarGaussianProcess2D:
         self._part_bounds = self._bounds_array()
         self._scan_fit_cache = None
 
-    def _train_bank_fused(self) -> BankState:
-        """One-dispatch scan train via _scan_train_fused. The partition
-        index table, angle grid, and setting scalars are device constants
-        cached until the partition table changes; the per-scan transfer is
-        the raw range vector only."""
+    def _build_scan_fit_cache(self) -> dict:
+        """Device constants for the fused scan train: partition index
+        table, angle grid, setting scalars, and the Pallas dispatch flag.
+        Rebuilt whenever the partition table changes."""
         from erl_gaussian_process_tpu.ops.pallas_bank import (
             pallas_bank_applies,
         )
@@ -453,6 +452,12 @@ class LidarGaussianProcess2D:
                 "use_pallas": pallas_bank_applies(self.dtype, width, 1),
             }
             self._scan_fit_cache = c
+        return c
+
+    def _train_bank_fused(self) -> BankState:
+        """One-dispatch scan train via _scan_train_fused; the per-scan
+        transfer is the raw range vector only."""
+        c = self._build_scan_fit_cache()
         s = self.setting
         return _scan_train_fused(
             jnp.asarray(self.sensor_frame.ranges), c["angles"], c["idx"],

@@ -395,10 +395,10 @@ class RangeSensorGaussianProcess3D:
                 ms[b, :cnt] = True
         return xs, ys, vs, ms
 
-    def _train_bank_fused(self) -> BankState:
-        """One-dispatch scan train via _scan_train_fused; flat-index
-        partition table + frame coords cached as device constants (the
-        partition grid never changes after the ctor)."""
+    def _build_scan_fit_cache(self) -> dict:
+        """Device constants for the fused scan train: flat-index partition
+        table + frame coords (the partition grid never changes after the
+        ctor) plus setting scalars and the Pallas dispatch flag."""
         from erl_gaussian_process_tpu.ops.pallas_bank import (
             pallas_bank_applies,
         )
@@ -434,6 +434,12 @@ class RangeSensorGaussianProcess3D:
                 "use_pallas": pallas_bank_applies(self.dtype, width, 2),
             }
             self._scan_fit_cache = c
+        return c
+
+    def _train_bank_fused(self) -> BankState:
+        """One-dispatch scan train via _scan_train_fused; the per-scan
+        transfer is the raw range image only."""
+        c = self._build_scan_fit_cache()
         s = self.setting
         return _scan_train_fused(
             jnp.asarray(self.sensor_frame.ranges), c["fc_flat"], c["idx"],
