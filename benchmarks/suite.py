@@ -370,6 +370,66 @@ def bench_lidar_scan_train(rounds=5):
          unit="scans/s", ms=round(best * 1e3, 3))
 
 
+def bench_range_sensor_3d_train(rounds=5):
+    """End-to-end RangeSensorGaussianProcess3D scan training at the
+    reference's 271x91 lidar scan shape (test_range_sensor_gp_3d.cpp):
+    since the one-dispatch fusion, the per-scan work is one (271, 91)
+    range-image transfer + one jitted program whose 144-slot members
+    dispatch to the fused Pallas bank on TPU. Wall-clock includes the host
+    side — the honest online-sensor number."""
+    from erl_gaussian_process_tpu.geometry.frames_3d import (
+        LidarFrame3DSetting,
+    )
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models import RangeSensorGaussianProcess3D
+    from erl_gaussian_process_tpu.models.mapping import (
+        MappingSetting,
+        MappingType,
+    )
+    from erl_gaussian_process_tpu.models.range_sensor_gp_3d import (
+        RangeSensorGP3DSetting,
+    )
+    from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
+
+    gp = RangeSensorGaussianProcess3D(RangeSensorGP3DSetting(
+        row_group_size=12, row_overlap_size=4, col_group_size=12,
+        col_overlap_size=4, min_num_samples_per_group=10,
+        sensor_range_var=1e-4, max_valid_range_var=0.1,
+        sensor_frame_type="lidar",
+        sensor_frame=LidarFrame3DSetting(
+            valid_range_min=0.1, valid_range_max=40.0,
+            azimuth_min=-np.pi, azimuth_max=np.pi,
+            elevation_min=-0.8, elevation_max=0.8,
+            num_azimuth_lines=271, num_elevation_lines=91),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=2, scale=0.5)),
+        mapping=MappingSetting(type=MappingType.IDENTITY)), dtype=DTYPE)
+    dirs = gp.sensor_frame.ray_directions_in_frame()
+    az = np.arctan2(dirs[..., 1], dirs[..., 0])
+    el = np.arctan2(dirs[..., 2], np.hypot(dirs[..., 0], dirs[..., 1]))
+    eye, zero = np.eye(3), np.zeros(3)
+    rng = np.random.default_rng(0)
+    # a few distinct scans so the runtime can't dedup identical dispatches
+    scans = [(5.0 + 0.5 * np.sin(3 * az + p) * np.cos(2 * el)
+              ).astype(DTYPE) for p in rng.uniform(0, 6.28, 8)]
+
+    def fetch():
+        return float(np.asarray(gp.bank.alpha)[(0, 0, 0)])
+
+    for r in scans:
+        gp.train(eye, zero, r)
+    fetch()
+    best = np.inf
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for r in scans:
+            gp.train(eye, zero, r)
+        fetch()
+        best = min(best, (time.perf_counter() - t0) / len(scans))
+    emit(metric="range_sensor_gp_3d_scan_train", value=round(1.0 / best, 1),
+         unit="scans/s", ms=round(best * 1e3, 3))
+
+
 def bench_routed_predict(B=60, n=144, d=2, m=16384, rounds=8):
     """Routed prediction at serving load: m queries, each answered by its
     assigned bank member (the `test`/`compute_occ` path of both sensor
@@ -528,6 +588,7 @@ def main():
     bench_bank(B=512, n=32)
     bench_nigp()
     bench_lidar_scan_train()
+    bench_range_sensor_3d_train()
     bench_routed_predict()
     bench_spgp()
     bench_spgp_3d()
