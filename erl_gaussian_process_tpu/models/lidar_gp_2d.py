@@ -125,6 +125,21 @@ def _scan_train_fused(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv,
     from erl_gaussian_process_tpu.models.batch_gp import _bank_fit_xla
     from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
 
+    xs, ys, vs, ms = _gather_scan(ranges, angles, idx, inb, vmin, vmax, thr,
+                                  srv, dv, discon_on=discon_on,
+                                  map_type=map_type, map_scale=map_scale)
+    if use_pallas:
+        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
+        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
+                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
+    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
+
+
+def _gather_scan(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv, *,
+                 discon_on: bool, map_type, map_scale: float):
+    """The traced gather half of the fused scan train (shared by the plain
+    and reduced-rank variants): hit/continuity masks + mapping + compacting
+    partition gather. Returns (xs (B,w,1), ys (B,w,1), vs (B,w), ms (B,w))."""
     finite = jnp.isfinite(ranges)
     hit = finite & (ranges >= vmin) & (ranges <= vmax)
     n = ranges.shape[0]
@@ -149,12 +164,40 @@ def _scan_train_fused(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv,
     ys = jnp.where(ms, mapped[sel], 0)[..., None]
     v = jnp.where(cont[sel], srv, dv) if discon_on else srv
     vs = jnp.where(ms, v, 0)
+    return xs, ys, vs, ms
 
-    if use_pallas:
-        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
-        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
-                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
-    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
+
+@partial(jax.jit, static_argnames=("discon_on", "map_type", "map_scale"))
+def _scan_train_fused_rr(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv,
+                         freq, sqrt_s, origin, half, inv_sqrt_vol, *,
+                         discon_on: bool, map_type, map_scale: float):
+    """Reduced-rank variant of the one-dispatch scan train: the shared
+    gather feeds the per-partition Hilbert-basis information systems
+    (models/batch_gp._bank_fit_rr_jit's math) in the same jit — one
+    (num_rays,) transfer per scan for RR-configured lidar GPs too."""
+    from erl_gaussian_process_tpu.kernels.reduced_rank import (
+        rr_features,
+        rr_train_system,
+    )
+    from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul
+
+    xs, ys, vs, ms = _gather_scan(ranges, angles, idx, inb, vmin, vmax, thr,
+                                  srv, dv, discon_on=discon_on,
+                                  map_type=map_type, map_scale=map_scale)
+
+    @f32_matmul
+    def fit(xs, ys, vs, ms):
+        def fit_one(xb, yb, vb, mb):
+            phi = rr_features(xb, mb, freq, sqrt_s, origin, half,
+                              inv_sqrt_vol)
+            A, bv = rr_train_system(phi, jnp.where(mb[:, None], yb, 0.0),
+                                    vb, mb)
+            return cholesky_fit(A, bv)
+        return jax.vmap(fit_one)(xs, ys, vs, ms)
+
+    L, alpha = fit(xs, ys, vs, ms)
+    return BankState(x=xs, mask=ms, L=L, alpha=alpha,
+                     trained=jnp.any(ms, axis=1))
 
 
 @dataclasses.dataclass
@@ -455,10 +498,19 @@ class LidarGaussianProcess2D:
         return c
 
     def _train_bank_fused(self) -> BankState:
-        """One-dispatch scan train via _scan_train_fused; the per-scan
-        transfer is the raw range vector only."""
+        """One-dispatch scan train via _scan_train_fused (plain kernels) or
+        _scan_train_fused_rr (reduced-rank basis); the per-scan transfer is
+        the raw range vector only."""
         c = self._build_scan_fit_cache()
         s = self.setting
+        if self._basis is not None:
+            b = self._basis
+            return _scan_train_fused_rr(
+                jnp.asarray(self.sensor_frame.ranges), c["angles"], c["idx"],
+                c["inb"], c["vmin"], c["vmax"], c["thr"], c["srv"], c["dv"],
+                b._freq, b._sqrt_s, b._origin, b._half, b._inv_sqrt_vol,
+                discon_on=s.sensor_frame.discontinuity_detection,
+                map_type=s.mapping.type, map_scale=s.mapping.scale)
         return _scan_train_fused(
             jnp.asarray(self.sensor_frame.ranges), c["angles"], c["idx"],
             c["inb"], c["vmin"], c["vmax"], c["thr"], c["srv"], c["dv"],
@@ -500,14 +552,13 @@ class LidarGaussianProcess2D:
                 "scan — nothing to train")
             return False
 
-        if (self._basis is None and self.mesh is None
-                and not self.setting.partition_on_hit_rays):
-            # one-dispatch fused path: mask + mapping + gather + bank fit
-            # in a single jit, one (num_rays,) transfer per scan. Only for
-            # the static angle-partition table — hit-ray partitions are
-            # data-dependent (rebuilt above each scan), so their index
-            # table can't be a cached device constant and the width can
-            # change per scan (jit churn).
+        if self.mesh is None and not self.setting.partition_on_hit_rays:
+            # one-dispatch fused path (plain or reduced-rank): mask +
+            # mapping + gather + bank fit in a single jit, one (num_rays,)
+            # transfer per scan. Only for the static angle-partition
+            # table — hit-ray partitions are data-dependent (rebuilt above
+            # each scan), so their index table can't be a cached device
+            # constant and the width can change per scan (jit churn).
             self.bank = self._train_bank_fused()
             self._trained = True
             return True

@@ -76,6 +76,20 @@ def _scan_train_fused(ranges, fc_flat, idx, inb, vmin, vmax, srv, min_count,
     from erl_gaussian_process_tpu.models.batch_gp import _bank_fit_xla
     from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
 
+    xs, ys, vs, ms = _gather_scan_3d(ranges, fc_flat, idx, inb, vmin, vmax,
+                                     srv, min_count, map_type=map_type,
+                                     map_scale=map_scale)
+    if use_pallas:
+        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
+        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
+                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
+    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
+
+
+def _gather_scan_3d(ranges, fc_flat, idx, inb, vmin, vmax, srv, min_count,
+                    *, map_type, map_scale: float):
+    """The traced gather half of the fused 3D scan train (shared by the
+    plain and reduced-rank variants)."""
     r = ranges.ravel()
     hit = jnp.isfinite(r) & (r >= vmin) & (r <= vmax)
     mapped = Mapping(MappingSetting(type=map_type, scale=map_scale)).map(r)
@@ -88,12 +102,42 @@ def _scan_train_fused(ranges, fc_flat, idx, inb, vmin, vmax, srv, min_count,
     xs = jnp.where(ms[..., None], fc_flat[sel], 0)
     ys = jnp.where(ms, mapped[sel], 0)[..., None]
     vs = jnp.full(ms.shape, srv, xs.dtype)
+    return xs, ys, vs, ms
 
-    if use_pallas:
-        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
-        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
-                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
-    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
+
+@partial(jax.jit, static_argnames=("map_type", "map_scale"))
+def _scan_train_fused_rr(ranges, fc_flat, idx, inb, vmin, vmax, srv,
+                         min_count, freq, sqrt_s, origin, half,
+                         inv_sqrt_vol, *, map_type, map_scale: float):
+    """Reduced-rank variant: the shared 3D gather feeds the per-partition
+    Hilbert-basis information systems in the same jit — one range-image
+    transfer per scan for RR-configured 3D sensor GPs too."""
+    from erl_gaussian_process_tpu.kernels.reduced_rank import (
+        rr_features,
+        rr_train_system,
+    )
+    from erl_gaussian_process_tpu.models.gp_core import (
+        cholesky_fit,
+        f32_matmul,
+    )
+
+    xs, ys, vs, ms = _gather_scan_3d(ranges, fc_flat, idx, inb, vmin, vmax,
+                                     srv, min_count, map_type=map_type,
+                                     map_scale=map_scale)
+
+    @f32_matmul
+    def fit(xs, ys, vs, ms):
+        def fit_one(xb, yb, vb, mb):
+            phi = rr_features(xb, mb, freq, sqrt_s, origin, half,
+                              inv_sqrt_vol)
+            A, bv = rr_train_system(phi, jnp.where(mb[:, None], yb, 0.0),
+                                    vb, mb)
+            return cholesky_fit(A, bv)
+        return jax.vmap(fit_one)(xs, ys, vs, ms)
+
+    L, alpha = fit(xs, ys, vs, ms)
+    return BankState(x=xs, mask=ms, L=L, alpha=alpha,
+                     trained=jnp.any(ms, axis=1))
 
 
 @dataclasses.dataclass
@@ -437,10 +481,19 @@ class RangeSensorGaussianProcess3D:
         return c
 
     def _train_bank_fused(self) -> BankState:
-        """One-dispatch scan train via _scan_train_fused; the per-scan
-        transfer is the raw range image only."""
+        """One-dispatch scan train via _scan_train_fused (plain kernels) or
+        _scan_train_fused_rr (reduced-rank basis); the per-scan transfer is
+        the raw range image only."""
         c = self._build_scan_fit_cache()
         s = self.setting
+        if self._basis is not None:
+            b = self._basis
+            return _scan_train_fused_rr(
+                jnp.asarray(self.sensor_frame.ranges), c["fc_flat"],
+                c["idx"], c["inb"], c["vmin"], c["vmax"], c["srv"],
+                c["min_count"], b._freq, b._sqrt_s, b._origin, b._half,
+                b._inv_sqrt_vol, map_type=s.mapping.type,
+                map_scale=s.mapping.scale)
         return _scan_train_fused(
             jnp.asarray(self.sensor_frame.ranges), c["fc_flat"], c["idx"],
             c["inb"], c["vmin"], c["vmax"], c["srv"], c["min_count"],
@@ -454,11 +507,11 @@ class RangeSensorGaussianProcess3D:
         self._trained = False
         if not self.store_data(rotation, translation, ranges):
             return False
-        if self._basis is None and self.mesh is None:
-            # one-dispatch fused path — the partition grid is static (built
-            # once from frame geometry in the ctor), so its index table is
-            # a cached device constant and the per-scan transfer is the raw
-            # range image only
+        if self.mesh is None:
+            # one-dispatch fused path (plain or reduced-rank) — the
+            # partition grid is static (built once from frame geometry in
+            # the ctor), so its index table is a cached device constant
+            # and the per-scan transfer is the raw range image only
             self.bank = self._train_bank_fused()
             self._trained = True
             return True

@@ -331,3 +331,39 @@ def test_fused_scan_train_matches_host_assembled_path():
             np.testing.assert_allclose(np.asarray(fused.L),
                                        np.asarray(ref.L),
                                        rtol=1e-12, atol=1e-13)
+
+
+def test_fused_rr_scan_train_matches_host_assembled_path():
+    """The reduced-rank fused scan train (shared gather + per-partition
+    Hilbert information systems in one jit) must match the host-assembled
+    bank_fit_rr path slot for slot."""
+    from erl_gaussian_process_tpu.kernels import ReducedRankSetting
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
+
+    n = 270
+    angles = np.linspace(-2.2, 2.2, n)
+    ranges = 3.0 + 0.8 * np.sin(2.0 * angles)
+    ranges[40:60] = np.inf  # holes so compaction engages
+    s = LidarGP2DSetting(
+        group_size=32, overlap_size=6, margin=1,
+        sensor_range_var=1e-4, max_valid_range_var=0.5,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=float(angles[0]), angle_max=float(angles[-1]),
+            num_rays=n, discontinuity_detection=True),
+        gp=VanillaGPSetting(
+            kernel_type="reduced_rank_rbf",
+            kernel=ReducedRankSetting(x_dim=1, scale=0.25, num_basis=[48])),
+        mapping=MappingSetting(type=MappingType.IDENTITY))
+    gp = LidarGaussianProcess2D(s, dtype=np.float64)
+    assert gp.train(np.eye(2), np.zeros(2), ranges)
+    fused = gp.bank
+    xs, ys, vs, ms = gp._assemble_bank_arrays()
+    ref = bank_fit_rr(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                      jnp.asarray(ms), gp._basis)
+    np.testing.assert_array_equal(np.asarray(fused.mask), ms)
+    np.testing.assert_array_equal(np.asarray(fused.x), xs)
+    np.testing.assert_allclose(np.asarray(fused.alpha),
+                               np.asarray(ref.alpha), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fused.L), np.asarray(ref.L),
+                               rtol=1e-12, atol=1e-13)

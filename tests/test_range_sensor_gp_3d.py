@@ -322,3 +322,32 @@ def test_fused_scan_train_matches_host_assembled_path_3d():
                                rtol=1e-12, atol=1e-13)
     # group skipping engaged (some partitions below the sample floor)
     assert int((~np.asarray(fused.trained)).sum()) > 0
+
+
+def test_fused_rr_scan_train_matches_host_assembled_path_3d():
+    """3D reduced-rank fused scan train == host-assembled bank_fit_rr."""
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.kernels import ReducedRankSetting
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
+
+    s3 = _lidar_setting()
+    s3.gp = VanillaGPSetting(
+        kernel_type="reduced_rank_rbf",
+        kernel=ReducedRankSetting(x_dim=2, scale=0.5, num_basis=[16, 16]))
+    gp3 = RangeSensorGaussianProcess3D(s3, dtype=np.float64)
+    dirs = gp3.sensor_frame.ray_directions_in_frame()
+    r3 = _wavy_room_ranges(dirs)
+    rng = np.random.default_rng(2)
+    r3 = np.where(rng.uniform(size=r3.shape) < 0.2, np.inf, r3)
+    assert gp3.train(np.eye(3), np.zeros(3), r3)
+    fused = gp3.bank
+    xs, ys, vs, ms = gp3._assemble_bank_arrays()
+    ref = bank_fit_rr(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                      jnp.asarray(ms), gp3._basis)
+    np.testing.assert_array_equal(np.asarray(fused.mask), ms)
+    np.testing.assert_array_equal(np.asarray(fused.x), xs)
+    np.testing.assert_allclose(np.asarray(fused.alpha),
+                               np.asarray(ref.alpha), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fused.L), np.asarray(ref.L),
+                               rtol=1e-12, atol=1e-13)
