@@ -65,6 +65,21 @@ def _bank_fit_xla(x, y, var, mask, scale, *, kernel: str) -> BankState:
                      trained=jnp.any(mask, axis=1))
 
 
+def bank_fit_core(x, y, var, mask, scale, *, kernel: str,
+                  use_pallas: bool) -> BankState:
+    """Traced (jit-inlineable) bank-fit core — the ONE implementation of
+    the Pallas-vs-XLA dispatch, shared by :func:`bank_fit` and the fused
+    scan trains (models/lidar_gp_2d, models/range_sensor_gp_3d) so the
+    two can never drift. ``use_pallas`` is resolved by the caller via
+    :func:`ops.pallas_bank.pallas_bank_applies` (it consults the runtime
+    backend, which must not be read under a trace)."""
+    if use_pallas:
+        L, L_inv, alpha = bank_fit_fused(kernel, x, y, var, mask, scale)
+        return BankState(x=x, mask=mask, L=L, alpha=alpha,
+                         trained=jnp.any(mask, axis=1), L_inv=L_inv)
+    return _bank_fit_xla(x, y, var, mask, scale, kernel=kernel)
+
+
 def bank_fit(x, y, var, mask, scale, *, kernel: str) -> BankState:
     """Train B GPs at once. x (B, n, d); y (B, n, q); var/mask (B, n).
 
@@ -74,30 +89,37 @@ def bank_fit(x, y, var, mask, scale, *, kernel: str) -> BankState:
     carries ``L_inv``; otherwise the vmapped jnp path (small n stays there:
     below ~n=96 the kernel's pad-to-128 waste exceeds XLA's latency)."""
     n, d = x.shape[1], x.shape[2]
-    if pallas_bank_applies(x.dtype, n, d):
-        L, L_inv, alpha = bank_fit_fused(kernel, x, y, var, mask, scale)
-        return BankState(x=x, mask=mask, L=L, alpha=alpha,
-                         trained=jnp.any(mask, axis=1), L_inv=L_inv)
-    return _bank_fit_xla(x, y, var, mask, scale, kernel=kernel)
+    return bank_fit_core(x, y, var, mask, scale, kernel=kernel,
+                         use_pallas=pallas_bank_applies(x.dtype, n, d))
 
 
-@jax.jit
-@f32_matmul
-def _bank_fit_rr_jit(x, y, var, mask, freq, sqrt_s, origin, half,
+def bank_fit_rr_core(x, y, var, mask, freq, sqrt_s, origin, half,
                      inv_sqrt_vol) -> BankState:
+    """Traced RR bank-fit core (per-partition Hilbert-basis information
+    systems; f32_matmul applied inside) — the ONE implementation shared by
+    :func:`bank_fit_rr` and the fused scan trains, so a numerical change
+    here reaches every path."""
     from erl_gaussian_process_tpu.kernels.reduced_rank import (
         rr_features,
         rr_train_system,
     )
 
-    def fit_one(xb, yb, vb, mb):
-        phi = rr_features(xb, mb, freq, sqrt_s, origin, half, inv_sqrt_vol)
-        A, bv = rr_train_system(phi, jnp.where(mb[:, None], yb, 0.0), vb, mb)
-        return cholesky_fit(A, bv)
+    @f32_matmul
+    def fit(x, y, var, mask):
+        def fit_one(xb, yb, vb, mb):
+            phi = rr_features(xb, mb, freq, sqrt_s, origin, half,
+                              inv_sqrt_vol)
+            A, bv = rr_train_system(phi, jnp.where(mb[:, None], yb, 0.0),
+                                    vb, mb)
+            return cholesky_fit(A, bv)
+        return jax.vmap(fit_one)(x, y, var, mask)
 
-    L, alpha = jax.vmap(fit_one)(x, y, var, mask)
+    L, alpha = fit(x, y, var, mask)
     return BankState(x=x, mask=mask, L=L, alpha=alpha,
                      trained=jnp.any(mask, axis=1))
+
+
+_bank_fit_rr_jit = jax.jit(bank_fit_rr_core)
 
 
 def bank_fit_rr(x, y, var, mask, basis) -> BankState:

@@ -97,7 +97,12 @@ def partition_on_hit_rays(hit_ray_indices: np.ndarray, n_hit: int,
     il = il + (n_hit - il - overlap_size) // 2
     il3 = int(h[il])
     ir3 = int(h[n_hit - 1]) + 1
-    parts.append((il3, ir3, coords[il3], coords[ir3]))
+    # the reference reads angles[index_right] with index_right possibly ==
+    # num_rays when the LAST ray is a hit (lidar_gp_2d.cpp:345-346 —
+    # unchecked Eigen indexing, silent UB in release); clamp the right
+    # COORD to the last angle, keeping the exclusive index bound
+    cr3 = coords[min(ir3, coords.shape[0] - 1)]
+    parts.append((il3, ir3, coords[il3], cr3))
     return parts
 
 
@@ -122,17 +127,13 @@ def _scan_train_fused(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv,
     ``np.arange(il, ir)[hit[il:ir]]`` gather of _assemble_bank_arrays —
     so the resulting BankState (x/mask/L/alpha) matches the reference
     Train semantics (src/lidar_gp_2d.cpp:366-392) slot for slot."""
-    from erl_gaussian_process_tpu.models.batch_gp import _bank_fit_xla
-    from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_core
 
     xs, ys, vs, ms = _gather_scan(ranges, angles, idx, inb, vmin, vmax, thr,
                                   srv, dv, discon_on=discon_on,
                                   map_type=map_type, map_scale=map_scale)
-    if use_pallas:
-        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
-        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
-                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
-    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
+    return bank_fit_core(xs, ys, vs, ms, scale, kernel=kernel,
+                         use_pallas=use_pallas)
 
 
 def _gather_scan(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv, *,
@@ -175,29 +176,13 @@ def _scan_train_fused_rr(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv,
     gather feeds the per-partition Hilbert-basis information systems
     (models/batch_gp._bank_fit_rr_jit's math) in the same jit — one
     (num_rays,) transfer per scan for RR-configured lidar GPs too."""
-    from erl_gaussian_process_tpu.kernels.reduced_rank import (
-        rr_features,
-        rr_train_system,
-    )
-    from erl_gaussian_process_tpu.models.gp_core import cholesky_fit, f32_matmul
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr_core
 
     xs, ys, vs, ms = _gather_scan(ranges, angles, idx, inb, vmin, vmax, thr,
                                   srv, dv, discon_on=discon_on,
                                   map_type=map_type, map_scale=map_scale)
-
-    @f32_matmul
-    def fit(xs, ys, vs, ms):
-        def fit_one(xb, yb, vb, mb):
-            phi = rr_features(xb, mb, freq, sqrt_s, origin, half,
-                              inv_sqrt_vol)
-            A, bv = rr_train_system(phi, jnp.where(mb[:, None], yb, 0.0),
-                                    vb, mb)
-            return cholesky_fit(A, bv)
-        return jax.vmap(fit_one)(xs, ys, vs, ms)
-
-    L, alpha = fit(xs, ys, vs, ms)
-    return BankState(x=xs, mask=ms, L=L, alpha=alpha,
-                     trained=jnp.any(ms, axis=1))
+    return bank_fit_rr_core(xs, ys, vs, ms, freq, sqrt_s, origin, half,
+                            inv_sqrt_vol)
 
 
 @dataclasses.dataclass
@@ -467,9 +452,13 @@ class LidarGaussianProcess2D:
         self._scan_fit_cache = None
 
     def _build_scan_fit_cache(self) -> dict:
-        """Device constants for the fused scan train: partition index
-        table, angle grid, setting scalars, and the Pallas dispatch flag.
-        Rebuilt whenever the partition table changes."""
+        """GEOMETRY-only device constants for the fused scan train:
+        partition index table, angle grid, and the (width-determined)
+        Pallas dispatch flag. Rebuilt whenever the partition table changes.
+        Setting scalars are deliberately NOT cached — the host-assembled
+        path read them live each scan, and a user mutating e.g.
+        ``setting.sensor_range_var`` between scans must keep seeing the
+        mutation take effect."""
         from erl_gaussian_process_tpu.ops.pallas_bank import (
             pallas_bank_applies,
         )
@@ -484,14 +473,9 @@ class LidarGaussianProcess2D:
                 w = ir - il
                 idx[b, :w] = np.arange(il, ir, dtype=np.int32)
                 inb[b, :w] = True
-            sf, s = self.setting.sensor_frame, self.setting
-            dt = self.dtype.type
             c = {
                 "angles": jnp.asarray(self.sensor_frame.angles_in_frame),
                 "idx": jnp.asarray(idx), "inb": jnp.asarray(inb),
-                "vmin": dt(sf.valid_range_min), "vmax": dt(sf.valid_range_max),
-                "thr": dt(sf.discontinuity_threshold),
-                "srv": dt(s.sensor_range_var), "dv": dt(s.discontinuity_var),
                 "use_pallas": pallas_bank_applies(self.dtype, width, 1),
             }
             self._scan_fit_cache = c
@@ -502,18 +486,22 @@ class LidarGaussianProcess2D:
         _scan_train_fused_rr (reduced-rank basis); the per-scan transfer is
         the raw range vector only."""
         c = self._build_scan_fit_cache()
-        s = self.setting
+        sf, s = self.setting.sensor_frame, self.setting
+        dt = self.dtype.type
+        scalars = (dt(sf.valid_range_min), dt(sf.valid_range_max),
+                   dt(sf.discontinuity_threshold), dt(s.sensor_range_var),
+                   dt(s.discontinuity_var))
         if self._basis is not None:
             b = self._basis
             return _scan_train_fused_rr(
                 jnp.asarray(self.sensor_frame.ranges), c["angles"], c["idx"],
-                c["inb"], c["vmin"], c["vmax"], c["thr"], c["srv"], c["dv"],
+                c["inb"], *scalars,
                 b._freq, b._sqrt_s, b._origin, b._half, b._inv_sqrt_vol,
                 discon_on=s.sensor_frame.discontinuity_detection,
                 map_type=s.mapping.type, map_scale=s.mapping.scale)
         return _scan_train_fused(
             jnp.asarray(self.sensor_frame.ranges), c["angles"], c["idx"],
-            c["inb"], c["vmin"], c["vmax"], c["thr"], c["srv"], c["dv"],
+            c["inb"], *scalars,
             self.dtype.type(self._scale), kernel=self._kernel,
             discon_on=s.sensor_frame.discontinuity_detection,
             map_type=s.mapping.type, map_scale=s.mapping.scale,
@@ -534,12 +522,10 @@ class LidarGaussianProcess2D:
         if self.setting.partition_on_hit_rays:
             if self.sensor_frame.num_hit_rays == 0:
                 return False
-            self.partitions = partition_on_hit_rays(
-                self.sensor_frame.hit_ray_indices,
-                self.sensor_frame.num_hit_rays,
-                self.setting.group_size, self.setting.overlap_size,
-                self.sensor_frame.angles_in_frame)
-            self._part_bounds = self._bounds_array()
+            # through the method, not inline: it also invalidates the
+            # fused-train cache, so a later switch back to angle
+            # partitioning can never fuse against a stale index table
+            self.partition_on_hit_rays()
 
         if not self.partitions:
             # empty partition list (e.g. a scan with too few rays for the
@@ -682,6 +668,9 @@ class LidarGaussianProcess2D:
         self._setup_kernel()
         self.mapping = Mapping(self.setting.mapping)
         self._trained = bool(d["trained"])
+        # the loaded checkpoint's partition table/frame geometry replace
+        # this instance's — the fused-train cache must not survive them
+        self._scan_fit_cache = None
         self.partitions = [
             (int(il), int(ir), float(cl), float(cr))
             for il, ir, cl, cr in np.asarray(d["partitions"])]

@@ -27,7 +27,6 @@ from erl_gaussian_process_tpu.geometry.frames_3d import (
 from erl_gaussian_process_tpu.kernels import resolve_kernel_name
 from erl_gaussian_process_tpu.models.batch_gp import (
     BankState,
-    bank_fit,
     bank_predict_assigned,
 )
 from erl_gaussian_process_tpu.models.mapping import Mapping, MappingSetting, MappingType
@@ -73,17 +72,13 @@ def _scan_train_fused(ranges, fc_flat, idx, inb, vmin, vmax, srv, min_count,
     ``min_count`` hits are masked out whole (reference Train skip,
     src/range_sensor_gp_3d.cpp:334-360); per-slot variance is the constant
     sensor_range_var, as in the host path."""
-    from erl_gaussian_process_tpu.models.batch_gp import _bank_fit_xla
-    from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_core
 
     xs, ys, vs, ms = _gather_scan_3d(ranges, fc_flat, idx, inb, vmin, vmax,
                                      srv, min_count, map_type=map_type,
                                      map_scale=map_scale)
-    if use_pallas:
-        L, L_inv, alpha = bank_fit_fused(kernel, xs, ys, vs, ms, scale)
-        return BankState(x=xs, mask=ms, L=L, alpha=alpha,
-                         trained=jnp.any(ms, axis=1), L_inv=L_inv)
-    return _bank_fit_xla(xs, ys, vs, ms, scale, kernel=kernel)
+    return bank_fit_core(xs, ys, vs, ms, scale, kernel=kernel,
+                         use_pallas=use_pallas)
 
 
 def _gather_scan_3d(ranges, fc_flat, idx, inb, vmin, vmax, srv, min_count,
@@ -112,32 +107,13 @@ def _scan_train_fused_rr(ranges, fc_flat, idx, inb, vmin, vmax, srv,
     """Reduced-rank variant: the shared 3D gather feeds the per-partition
     Hilbert-basis information systems in the same jit — one range-image
     transfer per scan for RR-configured 3D sensor GPs too."""
-    from erl_gaussian_process_tpu.kernels.reduced_rank import (
-        rr_features,
-        rr_train_system,
-    )
-    from erl_gaussian_process_tpu.models.gp_core import (
-        cholesky_fit,
-        f32_matmul,
-    )
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr_core
 
     xs, ys, vs, ms = _gather_scan_3d(ranges, fc_flat, idx, inb, vmin, vmax,
                                      srv, min_count, map_type=map_type,
                                      map_scale=map_scale)
-
-    @f32_matmul
-    def fit(xs, ys, vs, ms):
-        def fit_one(xb, yb, vb, mb):
-            phi = rr_features(xb, mb, freq, sqrt_s, origin, half,
-                              inv_sqrt_vol)
-            A, bv = rr_train_system(phi, jnp.where(mb[:, None], yb, 0.0),
-                                    vb, mb)
-            return cholesky_fit(A, bv)
-        return jax.vmap(fit_one)(xs, ys, vs, ms)
-
-    L, alpha = fit(xs, ys, vs, ms)
-    return BankState(x=xs, mask=ms, L=L, alpha=alpha,
-                     trained=jnp.any(ms, axis=1))
+    return bank_fit_rr_core(xs, ys, vs, ms, freq, sqrt_s, origin, half,
+                            inv_sqrt_vol)
 
 
 @dataclasses.dataclass
@@ -440,9 +416,12 @@ class RangeSensorGaussianProcess3D:
         return xs, ys, vs, ms
 
     def _build_scan_fit_cache(self) -> dict:
-        """Device constants for the fused scan train: flat-index partition
-        table + frame coords (the partition grid never changes after the
-        ctor) plus setting scalars and the Pallas dispatch flag."""
+        """GEOMETRY-only device constants for the fused scan train:
+        flat-index partition table + frame coords (the partition grid
+        never changes after the ctor) and the (width-determined) Pallas
+        dispatch flag. Setting scalars are NOT cached — the host path read
+        them live each scan, and mutations between scans must keep taking
+        effect."""
         from erl_gaussian_process_tpu.ops.pallas_bank import (
             pallas_bank_applies,
         )
@@ -466,15 +445,9 @@ class RangeSensorGaussianProcess3D:
                     flat = (rr * W + cc).ravel()  # row-major, as numpy's
                     idx[b, :flat.size] = flat     # boolean-mask flattening
                     inb[b, :flat.size] = True
-            sf = self.sensor_frame.setting
-            dt = self.dtype.type
             c = {
                 "fc_flat": jnp.asarray(fc.reshape(-1, 2)),
                 "idx": jnp.asarray(idx), "inb": jnp.asarray(inb),
-                "vmin": dt(sf.valid_range_min), "vmax": dt(sf.valid_range_max),
-                "srv": dt(self.setting.sensor_range_var),
-                "min_count": jnp.int32(
-                    self.setting.min_num_samples_per_group),
                 "use_pallas": pallas_bank_applies(self.dtype, width, 2),
             }
             self._scan_fit_cache = c
@@ -485,18 +458,22 @@ class RangeSensorGaussianProcess3D:
         _scan_train_fused_rr (reduced-rank basis); the per-scan transfer is
         the raw range image only."""
         c = self._build_scan_fit_cache()
-        s = self.setting
+        sf, s = self.sensor_frame.setting, self.setting
+        dt = self.dtype.type
+        scalars = (dt(sf.valid_range_min), dt(sf.valid_range_max),
+                   dt(s.sensor_range_var),
+                   jnp.int32(s.min_num_samples_per_group))
         if self._basis is not None:
             b = self._basis
             return _scan_train_fused_rr(
                 jnp.asarray(self.sensor_frame.ranges), c["fc_flat"],
-                c["idx"], c["inb"], c["vmin"], c["vmax"], c["srv"],
-                c["min_count"], b._freq, b._sqrt_s, b._origin, b._half,
+                c["idx"], c["inb"], *scalars,
+                b._freq, b._sqrt_s, b._origin, b._half,
                 b._inv_sqrt_vol, map_type=s.mapping.type,
                 map_scale=s.mapping.scale)
         return _scan_train_fused(
             jnp.asarray(self.sensor_frame.ranges), c["fc_flat"], c["idx"],
-            c["inb"], c["vmin"], c["vmax"], c["srv"], c["min_count"],
+            c["inb"], *scalars,
             self.dtype.type(self._scale), kernel=self._kernel,
             map_type=s.mapping.type, map_scale=s.mapping.scale,
             use_pallas=c["use_pallas"])
@@ -515,21 +492,17 @@ class RangeSensorGaussianProcess3D:
             self.bank = self._train_bank_fused()
             self._trained = True
             return True
+        # mesh path: host-assembled arrays feed the bank-sharded fit
         xs, ys, vs, ms = self._assemble_bank_arrays()
         if self._basis is not None:
             from erl_gaussian_process_tpu.models.batch_gp import bank_fit_rr
             self.bank = bank_fit_rr(
                 jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
                 jnp.asarray(ms), self._basis)
-        elif self.mesh is not None:
+        else:
             from erl_gaussian_process_tpu.parallel.mesh import sharded_bank_fit
             self.bank = sharded_bank_fit(
                 self.mesh, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
-                jnp.asarray(ms), self.dtype.type(self._scale),
-                kernel=self._kernel)
-        else:
-            self.bank = bank_fit(
-                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
                 jnp.asarray(ms), self.dtype.type(self._scale),
                 kernel=self._kernel)
         self._trained = True

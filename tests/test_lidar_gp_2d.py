@@ -367,3 +367,80 @@ def test_fused_rr_scan_train_matches_host_assembled_path():
                                np.asarray(ref.alpha), rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(fused.L), np.asarray(ref.L),
                                rtol=1e-12, atol=1e-13)
+
+
+def _mk_gp(n, span=2.2, **kw):
+    angles = np.linspace(-span, span, n)
+    s = LidarGP2DSetting(
+        group_size=26, overlap_size=6, margin=1,
+        sensor_range_var=0.01, discontinuity_var=100.0,
+        max_valid_range_var=0.5,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=float(angles[0]), angle_max=float(angles[-1]),
+            num_rays=n, discontinuity_detection=True),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=1, scale=0.05)),
+        mapping=MappingSetting(type=MappingType.IDENTITY), **kw)
+    return LidarGaussianProcess2D(s, dtype=np.float64), angles
+
+
+def test_fused_cache_invalidated_by_load_state_dict():
+    """Loading a checkpoint with different frame geometry must not leave
+    the fused-train cache pointing at the OLD partition table (round-3
+    review: stale 14-partition bank silently built for a 10-partition
+    checkpoint)."""
+    gp_a, ang_a = _mk_gp(270)
+    assert gp_a.train(np.eye(2), np.zeros(2), 3.0 + 0.1 * np.sin(ang_a))
+    gp_b, ang_b = _mk_gp(180)
+    assert gp_b.train(np.eye(2), np.zeros(2), 4.0 + 0.1 * np.cos(ang_b))
+    B_b = len(gp_b.partitions)
+
+    gp_a.load_state_dict(gp_b.state_dict())
+    assert gp_a.train(np.eye(2), np.zeros(2), 4.0 + 0.1 * np.cos(ang_b))
+    assert gp_a.bank.x.shape[0] == B_b == len(gp_a.partitions)
+    # and the bank matches a freshly-built instance bit for bit
+    gp_c, _ = _mk_gp(180)
+    assert gp_c.train(np.eye(2), np.zeros(2), 4.0 + 0.1 * np.cos(ang_b))
+    np.testing.assert_array_equal(np.asarray(gp_a.bank.L),
+                                  np.asarray(gp_c.bank.L))
+
+
+def test_fused_train_sees_live_setting_scalars():
+    """Setting scalars mutated between scans must take effect on the next
+    fused train, exactly as the host-assembled path read them live."""
+    gp, ang = _mk_gp(270)
+    r = 3.0 + 0.1 * np.sin(ang)
+    assert gp.train(np.eye(2), np.zeros(2), r)
+    before = np.asarray(gp.bank.L).copy()
+    gp.setting.sensor_range_var = 0.5  # mutate between scans
+    assert gp.train(np.eye(2), np.zeros(2), r)
+    after = np.asarray(gp.bank.L)
+    assert np.abs(after - before).max() > 1e-6
+    # equivalence with the host gather under the NEW value
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit
+    xs, ys, vs, ms = gp._assemble_bank_arrays()
+    ref = bank_fit(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                   jnp.asarray(ms), np.float64(gp._scale), kernel=gp._kernel)
+    np.testing.assert_allclose(after, np.asarray(ref.L),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_fused_cache_invalidated_by_partition_mode_toggle():
+    """Train angle-partitioned, switch to hit-ray partitioning and train,
+    switch back: the fused path must rebuild its index table for the
+    restored angle partitions instead of fusing against the hit-ray
+    table."""
+    gp, ang = _mk_gp(270)
+    r = 3.0 + 0.1 * np.sin(ang)
+    r[::7] = np.inf  # misses so hit-ray partitions differ from angle ones
+    assert gp.train(np.eye(2), np.zeros(2), r)
+    L_angle = np.asarray(gp.bank.L).copy()
+
+    gp.setting.partition_on_hit_rays = True
+    assert gp.train(np.eye(2), np.zeros(2), r)
+
+    gp.setting.partition_on_hit_rays = False
+    gp.partition_on_angles()  # restore the angle table
+    assert gp.train(np.eye(2), np.zeros(2), r)
+    np.testing.assert_array_equal(np.asarray(gp.bank.L), L_angle)
