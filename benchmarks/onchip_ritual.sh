@@ -25,6 +25,8 @@ log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
   python benchmarks/profile_chol.py
   echo "== streaming-chol A/B (HEAD vs last measured rev vs XLA) =="
   python benchmarks/ab_chol.py
+  echo "== full suite benchmarks (BENCHMARKS.md rows incl. roofline) =="
+  python benchmarks/suite.py
   echo "== headline bench =="
   python bench.py
 } 2>&1 | tee "$log"
