@@ -30,8 +30,10 @@ from erl_gaussian_process_tpu.utils.timing import (
 from erl_gaussian_process_tpu.utils.model_selection import (
     nlml_sweep,
     nlml_sweep_nigp,
+    nlml_sweep_spgp,
     select_scale,
     select_scale_nigp,
+    select_scale_spgp,
 )
 
 __all__ = [
@@ -39,5 +41,6 @@ __all__ = [
     "native_available", "save_tokens", "load_tokens", "raycast_2d",
     "as_yaml_file", "as_yaml_str", "create_setting", "from_yaml_file",
     "from_yaml_str", "register_setting", "setting_names",
-    "nlml_sweep", "nlml_sweep_nigp", "select_scale", "select_scale_nigp",
+    "nlml_sweep", "nlml_sweep_nigp", "nlml_sweep_spgp",
+    "select_scale", "select_scale_nigp", "select_scale_spgp",
 ]

@@ -94,6 +94,60 @@ def nlml_sweep_nigp(x, y, grad, var_x, var_y, var_grad, sample_mask,
     return jax.vmap(one)(scales)
 
 
+@partial(jax.jit, static_argnames=("kernel",))
+@f32_matmul
+def nlml_sweep_spgp(pseudo, x, y, var, mask, scales, *, kernel: str):
+    """Exact FITC NLML at each candidate scale, for the SPGP model with
+    FIXED pseudo points (the production occupancy-map configuration —
+    config/spgp_occupancy_map_2d.yaml hand-sets ``scale: 0.18``; this
+    automates that choice the same way :func:`nlml_sweep` automates the
+    exact-GP sweeps).
+
+    The FITC marginal is y ~ N(0, Q_NN + diag(lambda + var)) with
+    Q_NN = K_NM K_M^{-1} K_MN and lambda_i = 1 - ||L_M^{-1} k_i||^2 (the
+    same residual — including the clamp at 0 — as the update path,
+    models/sparse_pseudo_input_gp.fitc_delta, so the criterion scores
+    exactly the model the map runs). Evaluated by Woodbury in the M-rank
+    form: with V = L_M^{-1} K_MN and W = V / sqrt(D), D = lambda + var,
+
+        log|Sigma| = sum_i log D_i + log|I_M + W W^T|
+        y^T Sigma^{-1} y = y^T D^{-1} y - ||chol(A)^{-1} (W y/sqrt(D))||^2
+
+    so each candidate costs one (M, M) Cholesky pair + (M, n) GEMMs —
+    never an (n, n) factorization. Masked rows get V column 0 / D = 1 /
+    y = 0 and drop out of both terms exactly.
+
+    pseudo (M, d); x (n, d); y (n, q); var/mask (n,); scales (S,).
+    Returns (S,)."""
+    from erl_gaussian_process_tpu.kernels import cross_gram, kernel_fn
+
+    yv = jnp.where(mask[:, None], y, 0.0)
+    n_valid = jnp.sum(mask)
+    q = y.shape[1]
+    m = pseudo.shape[0]
+    eye = jnp.eye(m, dtype=pseudo.dtype)
+
+    def one(s):
+        km = kernel_fn(kernel)(pseudo, pseudo, s)
+        L_m = jnp.linalg.cholesky(km)
+        kmn = cross_gram(kernel, pseudo, x, s)
+        V = jax.scipy.linalg.solve_triangular(L_m, kmn, lower=True)
+        lam = jnp.maximum(1.0 - jnp.sum(V * V, axis=0), 0.0)
+        D = jnp.where(mask, lam + var, 1.0)
+        W = jnp.where(mask[None, :], V, 0.0) / jnp.sqrt(D)[None, :]
+        A = eye + W @ W.T
+        L_a = jnp.linalg.cholesky(A)
+        yd = yv / D[:, None]
+        wy = W @ (yv / jnp.sqrt(D)[:, None])                 # (M, q)
+        beta = jax.scipy.linalg.solve_triangular(L_a, wy, lower=True)
+        quad = 0.5 * (jnp.sum(yv * yd) - jnp.sum(beta * beta))
+        logdet = q * (jnp.sum(jnp.log(jnp.diagonal(L_a)))
+                      + 0.5 * jnp.sum(jnp.log(D)))
+        return quad + logdet + 0.5 * n_valid * q * _LOG_2PI
+
+    return jax.vmap(one)(scales)
+
+
 def _auto_grid(x, mask, num: int = 24):
     """Default candidate grid: log-spaced from twice the median
     nearest-neighbor spacing (finest resolvable structure) to the domain
@@ -198,4 +252,33 @@ def select_scale_nigp(x, y, grad, var_x, var_y, var_grad,
     return _refine_loop(
         lambda s: nlml_sweep_nigp(x, y, grad, var_x, var_y, var_grad,
                                   sample_mask, grad_mask, s, kernel=kernel),
+        scales, np.asarray(x).dtype, refine)
+
+
+def select_scale_spgp(pseudo, x, y, var, mask=None, *, kernel: str,
+                      scales=None, refine: int = 1):
+    """Pick the kernel scale for a fixed-pseudo-point SPGP/FITC model by
+    exact FITC marginal likelihood (:func:`nlml_sweep_spgp`) — automates
+    the hand-set ``scale`` in the production occupancy-map YAML. Same
+    grid + refinement driver as :func:`select_scale`; the default grid is
+    bounded below by the PSEUDO-POINT spacing too (a scale far under the
+    grid pitch can't be represented by the inducing set, and K_M goes
+    numerically singular -> NaN NLML ranks last anyway).
+
+    pseudo (M, d); x (n, d); y (n, q) (1-D promoted); var (n,); mask (n,)
+    bool. Returns (best_scale, scales (S,), nlml (S,))."""
+    pseudo = jnp.atleast_2d(jnp.asarray(pseudo))
+    x = jnp.atleast_2d(jnp.asarray(x))
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    var = jnp.asarray(var)
+    if mask is None:
+        mask = jnp.ones(x.shape[0], bool)
+    mask = jnp.asarray(mask)
+    if scales is None:
+        scales = _auto_grid(x, mask)
+    return _refine_loop(
+        lambda s: nlml_sweep_spgp(pseudo, x, y, var, mask, s,
+                                  kernel=kernel),
         scales, np.asarray(x).dtype, refine)

@@ -243,3 +243,75 @@ def test_select_scale_rejects_degenerate_inputs():
     best, scales, vals = select_scale(x, y, np.full(16, 1e-2),
                                       kernel="rbf", refine=0)
     assert np.isfinite(scales).all() and np.isfinite(best)
+
+
+def _ref_nlml_spgp(pseudo, x, y, var, mask, scale, kernel="matern32"):
+    """Direct f64 FITC NLML: build Sigma = Q_NN + diag(lambda + var) over
+    the ACTIVE rows explicitly and evaluate the Gaussian logpdf (same
+    lambda clamp as the update path)."""
+    from erl_gaussian_process_tpu.kernels import cross_gram, kernel_fn
+
+    act = np.asarray(mask)
+    km = np.asarray(kernel_fn(kernel)(pseudo, pseudo, scale), np.float64)
+    kmn = np.asarray(cross_gram(kernel, pseudo, x, scale), np.float64)
+    kmn = kmn[:, act]
+    import scipy.linalg as sla
+    L = np.linalg.cholesky(km)
+    V = sla.solve_triangular(L, kmn, lower=True)
+    lam = np.maximum(1.0 - (V * V).sum(0), 0.0)
+    sigma = V.T @ V + np.diag(lam + np.asarray(var, np.float64)[act])
+    yv = np.asarray(y, np.float64)[act]
+    if yv.ndim == 1:
+        yv = yv[:, None]
+    sign, logdet = np.linalg.slogdet(sigma)
+    assert sign > 0
+    sol = np.linalg.solve(sigma, yv)
+    q = yv.shape[1]
+    return (0.5 * float((yv * sol).sum()) + 0.5 * q * float(logdet)
+            + 0.5 * yv.shape[0] * q * np.log(2 * np.pi))
+
+
+def test_nlml_spgp_matches_direct_computation_with_mask():
+    from erl_gaussian_process_tpu.utils import nlml_sweep_spgp
+
+    rng = np.random.default_rng(5)
+    m_side, n = 6, 160
+    c = np.linspace(-1, 1, m_side)
+    pv, qv = np.meshgrid(c, c, indexing="ij")
+    pseudo = np.stack([pv.ravel(), qv.ravel()], axis=-1)
+    x = rng.uniform(-1, 1, (n, 2))
+    y = np.stack([np.sin(2 * x[:, 0]) * np.cos(x[:, 1]),
+                  x[:, 0] * x[:, 1]], axis=-1)   # q=2 outputs
+    var = np.full(n, 1e-2)
+    mask = rng.uniform(size=n) < 0.85
+    scales = np.asarray([0.2, 0.4, 0.8])
+    vals = np.asarray(nlml_sweep_spgp(
+        jnp.asarray(pseudo), jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(var), jnp.asarray(mask), jnp.asarray(scales),
+        kernel="matern32"))
+    ref = [_ref_nlml_spgp(pseudo, x, y, var, mask, s) for s in scales]
+    np.testing.assert_allclose(vals, ref, rtol=1e-9)
+
+
+def test_select_scale_spgp_recovers_sensible_scale():
+    """On data drawn from a known-scale GP, the FITC selection (fixed
+    pseudo grid) must land near the exact-GP selection — the dense and
+    FITC criteria score the same generative process."""
+    from erl_gaussian_process_tpu.utils import select_scale, select_scale_spgp
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x = np.sort(rng.uniform(-2, 2, n))[:, None]
+    true_scale = 0.45
+    d2 = (x - x.T) ** 2
+    K = np.exp(-0.5 * d2 / true_scale**2) + 1e-8 * np.eye(n)
+    y = np.linalg.cholesky(K) @ rng.standard_normal((n, 1))
+    var = np.full(n, 1e-4)
+
+    pseudo = np.linspace(-2, 2, 48)[:, None]
+    best_fitc, _, _ = select_scale_spgp(pseudo, x, y, var, kernel="rbf",
+                                        refine=2)
+    best_exact, _, _ = select_scale(x, y, var, kernel="rbf", refine=2)
+    assert 0.5 * best_exact < best_fitc < 2.0 * best_exact, \
+        (best_fitc, best_exact)
+    assert 0.25 < best_fitc < 0.9, best_fitc
