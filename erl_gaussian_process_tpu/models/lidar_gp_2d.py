@@ -168,6 +168,31 @@ def _gather_scan(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv, *,
     return xs, ys, vs, ms
 
 
+@partial(jax.jit, static_argnames=("kernel", "discon_on", "map_type",
+                                   "map_scale", "use_pallas"))
+def _scan_train_batch_fused(ranges_batch, angles, idx, inb, vmin, vmax, thr,
+                            srv, dv, scale, *, kernel: str, discon_on: bool,
+                            map_type, map_scale: float, use_pallas: bool):
+    """Offline trajectory replay: S scans' partition banks in ONE dispatch.
+    The gather vmaps over the scan axis and the S*B members run one
+    batched bank fit — the whole logged trajectory becomes a single
+    MXU-shaped program, a throughput mode the reference's per-scan OpenMP
+    loop has no analogue for. Returns a BankState with S*B members,
+    scan-major (member s*B + b is scan s's partition b)."""
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_core
+
+    def g(r):
+        return _gather_scan(r, angles, idx, inb, vmin, vmax, thr, srv, dv,
+                            discon_on=discon_on, map_type=map_type,
+                            map_scale=map_scale)
+
+    xs, ys, vs, ms = jax.vmap(g)(ranges_batch)
+    S, B, w = ms.shape
+    return bank_fit_core(xs.reshape(S * B, w, 1), ys.reshape(S * B, w, 1),
+                         vs.reshape(S * B, w), ms.reshape(S * B, w), scale,
+                         kernel=kernel, use_pallas=use_pallas)
+
+
 @partial(jax.jit, static_argnames=("discon_on", "map_type", "map_scale"))
 def _scan_train_fused_rr(ranges, angles, idx, inb, vmin, vmax, thr, srv, dv,
                          freq, sqrt_s, origin, half, inv_sqrt_vol, *,
@@ -506,6 +531,53 @@ class LidarGaussianProcess2D:
             discon_on=s.sensor_frame.discontinuity_detection,
             map_type=s.mapping.type, map_scale=s.mapping.scale,
             use_pallas=c["use_pallas"])
+
+    def train_scan_batch(self, ranges_batch) -> BankState:
+        """Offline trajectory replay: train S scans' partition banks in
+        ONE dispatch (vmapped gather + one S*B-member batched bank fit) —
+        the TPU-throughput mode for processing logged trajectories
+        (data/*/train.dat-style replays); the reference can only loop its
+        per-scan Train. Requires the static angle-partition table (no
+        hit-ray mode / mesh; plain kernels).
+
+        ranges_batch (S, num_rays). Returns a BankState with S*B members,
+        scan-major. Use :meth:`use_scan_bank` to point this instance's
+        routed predict at one scan's slice, or slice it yourself
+        (members ``[s*B:(s+1)*B]``). Does NOT mutate this instance's
+        trained state."""
+        if (self.setting.partition_on_hit_rays or self._basis is not None
+                or self.mesh is not None):
+            raise NotImplementedError(
+                "train_scan_batch needs the static angle-partition table "
+                "with a plain kernel on a single chip")
+        rb = np.asarray(ranges_batch, self.dtype)
+        if rb.ndim != 2 or rb.shape[1] != self.setting.sensor_frame.num_rays:
+            raise ValueError(
+                f"ranges_batch must be (S, {self.setting.sensor_frame.num_rays}),"
+                f" got {rb.shape}")
+        c = self._build_scan_fit_cache()
+        sf, s = self.setting.sensor_frame, self.setting
+        dt = self.dtype.type
+        return _scan_train_batch_fused(
+            jnp.asarray(rb), c["angles"], c["idx"], c["inb"],
+            dt(sf.valid_range_min), dt(sf.valid_range_max),
+            dt(sf.discontinuity_threshold), dt(s.sensor_range_var),
+            dt(s.discontinuity_var), dt(self._scale), kernel=self._kernel,
+            discon_on=sf.discontinuity_detection, map_type=s.mapping.type,
+            map_scale=s.mapping.scale, use_pallas=c["use_pallas"])
+
+    def use_scan_bank(self, stacked: BankState, scan_index: int) -> None:
+        """Point this instance's routed predict (test/compute_occ) at one
+        scan's slice of a :meth:`train_scan_batch` result. The caller must
+        also store that scan via :meth:`train`-style frame state if world
+        transforms are needed; frame-coord queries work immediately."""
+        B = len(self.partitions)
+        sl = slice(scan_index * B, (scan_index + 1) * B)
+        self.bank = BankState(
+            x=stacked.x[sl], mask=stacked.mask[sl], L=stacked.L[sl],
+            alpha=stacked.alpha[sl], trained=stacked.trained[sl],
+            L_inv=None if stacked.L_inv is None else stacked.L_inv[sl])
+        self._trained = True
 
     def train(self, rotation, translation, ranges) -> bool:
         """Store the scan, map distances, build the padded partition bank,

@@ -444,3 +444,44 @@ def test_fused_cache_invalidated_by_partition_mode_toggle():
     gp.partition_on_angles()  # restore the angle table
     assert gp.train(np.eye(2), np.zeros(2), r)
     np.testing.assert_array_equal(np.asarray(gp.bank.L), L_angle)
+
+
+def test_train_scan_batch_matches_per_scan_training():
+    """Offline replay: S scans trained in ONE dispatch must reproduce the
+    per-scan fused training bitwise, and a sliced scan bank must drive the
+    routed predict identically."""
+    frames = load_lidar_log(DATA)
+    S = 6
+    gp, _ = None, None
+    f0 = frames[0]
+    gp = _mk_gp(f0.angles.shape[0],
+                span=float(abs(f0.angles[0])))[0]
+    # match the log's actual angle domain
+    rb = np.stack([f.ranges for f in frames[:S]])
+    stacked = gp.train_scan_batch(rb)
+    B = len(gp.partitions)
+    assert stacked.x.shape[0] == S * B
+
+    eye, zero = np.eye(2), np.zeros(2)
+    for s_i in (0, 3, S - 1):
+        assert gp.train(eye, zero, rb[s_i])
+        per = gp.bank
+        sl = slice(s_i * B, (s_i + 1) * B)
+        np.testing.assert_array_equal(np.asarray(stacked.mask[sl]),
+                                      np.asarray(per.mask))
+        np.testing.assert_array_equal(np.asarray(stacked.L[sl]),
+                                      np.asarray(per.L))
+        np.testing.assert_array_equal(np.asarray(stacked.alpha[sl]),
+                                      np.asarray(per.alpha))
+        # routed predict off the sliced bank == off the per-scan bank
+        q = np.linspace(-1.5, 1.5, 64)
+        ref_res = gp.test(q, angles_are_local=True, un_map=False)
+        ref_mean, ref_valid = ref_res.get_mean()
+        gp.use_scan_bank(stacked, s_i)
+        got_res = gp.test(q, angles_are_local=True, un_map=False)
+        got_mean, got_valid = got_res.get_mean()
+        np.testing.assert_array_equal(got_valid, ref_valid)
+        np.testing.assert_array_equal(got_mean, ref_mean)
+
+    with pytest.raises(ValueError):
+        gp.train_scan_batch(rb[:, :100])
