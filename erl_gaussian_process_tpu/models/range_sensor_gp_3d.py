@@ -100,6 +100,29 @@ def _gather_scan_3d(ranges, fc_flat, idx, inb, vmin, vmax, srv, min_count,
     return xs, ys, vs, ms
 
 
+@partial(jax.jit, static_argnames=("kernel", "map_type", "map_scale",
+                                   "use_pallas"))
+def _scan_train_batch_fused(ranges_batch, fc_flat, idx, inb, vmin, vmax,
+                            srv, min_count, scale, *, kernel: str, map_type,
+                            map_scale: float, use_pallas: bool):
+    """Offline trajectory replay: S range images' partition banks in ONE
+    dispatch (vmapped gather + one S*B-member batched bank fit) — the 3D
+    twin of lidar_gp_2d._scan_train_batch_fused. Returns a BankState with
+    S*B members, scan-major."""
+    from erl_gaussian_process_tpu.models.batch_gp import bank_fit_core
+
+    def g(r):
+        return _gather_scan_3d(r, fc_flat, idx, inb, vmin, vmax, srv,
+                               min_count, map_type=map_type,
+                               map_scale=map_scale)
+
+    xs, ys, vs, ms = jax.vmap(g)(ranges_batch)
+    S, B, w = ms.shape
+    return bank_fit_core(xs.reshape(S * B, w, 2), ys.reshape(S * B, w, 1),
+                         vs.reshape(S * B, w), ms.reshape(S * B, w), scale,
+                         kernel=kernel, use_pallas=use_pallas)
+
+
 @partial(jax.jit, static_argnames=("map_type", "map_scale"))
 def _scan_train_fused_rr(ranges, fc_flat, idx, inb, vmin, vmax, srv,
                          min_count, freq, sqrt_s, origin, half,
@@ -477,6 +500,46 @@ class RangeSensorGaussianProcess3D:
             self.dtype.type(self._scale), kernel=self._kernel,
             map_type=s.mapping.type, map_scale=s.mapping.scale,
             use_pallas=c["use_pallas"])
+
+    def train_scan_batch(self, ranges_batch) -> BankState:
+        """Offline trajectory replay: train S range images' partition
+        banks in ONE dispatch (the 3D twin of
+        LidarGaussianProcess2D.train_scan_batch). Requires plain kernels
+        on a single chip. ranges_batch (S, n_az, n_el) — or (S, H, W) for
+        a depth frame. Returns a BankState with S*B members, scan-major;
+        use :meth:`use_scan_bank` to route queries at one scan's slice.
+        Does NOT mutate this instance's trained state."""
+        if self._basis is not None or self.mesh is not None:
+            raise NotImplementedError(
+                "train_scan_batch needs plain kernels on a single chip")
+        rb = np.asarray(ranges_batch, self.dtype)
+        fc = self.sensor_frame.frame_coords()
+        if rb.ndim != 3 or rb.shape[1:] != fc.shape[:2]:
+            raise ValueError(
+                f"ranges_batch must be (S, {fc.shape[0]}, {fc.shape[1]}), "
+                f"got {rb.shape}")
+        c = self._build_scan_fit_cache()
+        sf, s = self.sensor_frame.setting, self.setting
+        dt = self.dtype.type
+        return _scan_train_batch_fused(
+            jnp.asarray(rb), c["fc_flat"], c["idx"], c["inb"],
+            dt(sf.valid_range_min), dt(sf.valid_range_max),
+            dt(s.sensor_range_var), jnp.int32(s.min_num_samples_per_group),
+            self.dtype.type(self._scale), kernel=self._kernel,
+            map_type=s.mapping.type, map_scale=s.mapping.scale,
+            use_pallas=c["use_pallas"])
+
+    def use_scan_bank(self, stacked: BankState, scan_index: int) -> None:
+        """Point this instance's routed predict at one scan's slice of a
+        :meth:`train_scan_batch` result."""
+        R, C = self.num_partitions
+        B = R * C
+        sl = slice(scan_index * B, (scan_index + 1) * B)
+        self.bank = BankState(
+            x=stacked.x[sl], mask=stacked.mask[sl], L=stacked.L[sl],
+            alpha=stacked.alpha[sl], trained=stacked.trained[sl],
+            L_inv=None if stacked.L_inv is None else stacked.L_inv[sl])
+        self._trained = True
 
     def train(self, rotation, translation, ranges) -> bool:
         """One scan → one flattened padded bank fit

@@ -351,3 +351,42 @@ def test_fused_rr_scan_train_matches_host_assembled_path_3d():
                                np.asarray(ref.alpha), rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(fused.L), np.asarray(ref.L),
                                rtol=1e-12, atol=1e-13)
+
+
+def test_train_scan_batch_matches_per_scan_training_3d():
+    """Offline 3D replay: S range images in ONE dispatch reproduce the
+    per-scan fused training bitwise; sliced banks drive the routed
+    predict identically."""
+    gp = RangeSensorGaussianProcess3D(_lidar_setting())
+    dirs = gp.sensor_frame.ray_directions_in_frame()
+    az = np.arctan2(dirs[..., 1], dirs[..., 0])
+    el = np.arctan2(dirs[..., 2], np.hypot(dirs[..., 0], dirs[..., 1]))
+    S = 4
+    rb = np.stack([5.0 + 0.5 * np.sin(3 * az + p) * np.cos(2 * el)
+                   for p in (0.0, 0.9, 1.7, 2.4)])
+    rng = np.random.default_rng(3)
+    rb = np.where(rng.uniform(size=rb.shape) < 0.1, np.inf, rb)
+    stacked = gp.train_scan_batch(rb)
+    R, C = gp.num_partitions
+    B = R * C
+    assert stacked.x.shape[0] == S * B
+
+    q = dirs.reshape(-1, 3)[::101]
+    for s_i in (0, S - 1):
+        assert gp.train(np.eye(3), np.zeros(3), rb[s_i])
+        per = gp.bank
+        sl = slice(s_i * B, (s_i + 1) * B)
+        np.testing.assert_array_equal(np.asarray(stacked.mask[sl]),
+                                      np.asarray(per.mask))
+        np.testing.assert_array_equal(np.asarray(stacked.L[sl]),
+                                      np.asarray(per.L))
+        ref_mean, ref_valid = gp.test(
+            q, directions_are_local=True, un_map=False).get_mean()
+        gp.use_scan_bank(stacked, s_i)
+        got_mean, got_valid = gp.test(
+            q, directions_are_local=True, un_map=False).get_mean()
+        np.testing.assert_array_equal(got_valid, ref_valid)
+        np.testing.assert_array_equal(got_mean, ref_mean)
+
+    with pytest.raises(ValueError):
+        gp.train_scan_batch(rb[:, :10, :])
