@@ -113,6 +113,22 @@ def main():
           % (best_n, np.abs(rt.get_mean() - truth).mean(),
              np.abs(rt.get_gradient()[0] - 3 * np.cos(3 * xq[0])).mean()))
 
+    # 6b. FITC variant: select the scale for the fixed-pseudo-point SPGP
+    # (the production occupancy-map YAML hand-sets scale: 0.18 — this is
+    # the automated version of that choice)
+    from erl_gaussian_process_tpu.utils import select_scale_spgp
+
+    best_s, _, _ = select_scale_spgp(
+        np.linspace(-1, 1, 20)[:, None], x.T, y, var, kernel="rbf",
+        refine=1)
+    sp_t = SparsePseudoInputGaussianProcessD(
+        SpGpSetting(kernel_type="rbf",
+                    kernel=KernelSetting(x_dim=1, scale=best_s)),
+        np.linspace(-1, 1, 20)[None, :])
+    sp_t.update(x, y, var)
+    print("SPGP NLML     %.3f -> MAE %.2e"
+          % (best_s, np.abs(sp_t.test(xq).get_mean() - truth).mean()))
+
     # 7. scale-mixture kernel: two RBF components at scale and scale/2
     # (erl_covariance's Setting{scale_mix, weights}; docs/parity.md #2)
     mixgp = VanillaGaussianProcessD(VanillaGPSetting(
