@@ -336,3 +336,76 @@ def test_fused_scan_train_compiles(tpu_sharding):
          jax.ShapeDtypeStruct(c3["inb"].shape, jnp.bool_),
          _f32(), _f32(), _f32(), jax.ShapeDtypeStruct((), jnp.int32), _f32(),
          sharding=tpu_sharding)
+
+
+def test_batch_replay_compiles(tpu_sharding):
+    """The S-scan batched trajectory replay (vmapped gather + one
+    S*B-member bank fit) compiles for v5e — 2D at the 28-scan reference
+    log shape, 3D at 8 scans of the 271x91 grid (1800 Pallas-bank
+    members, the VMEM-pressure case)."""
+    import functools
+
+    from erl_gaussian_process_tpu.geometry.frames_3d import (
+        LidarFrame3DSetting,
+    )
+    from erl_gaussian_process_tpu.geometry.lidar_frame_2d import (
+        LidarFrame2DSetting,
+    )
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models.lidar_gp_2d import (
+        LidarGaussianProcess2D,
+        LidarGP2DSetting,
+        _scan_train_batch_fused as batch2d,
+    )
+    from erl_gaussian_process_tpu.models.range_sensor_gp_3d import (
+        RangeSensorGaussianProcess3D,
+        RangeSensorGP3DSetting,
+        _scan_train_batch_fused as batch3d,
+    )
+    from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
+
+    gp2 = LidarGaussianProcess2D(LidarGP2DSetting(
+        group_size=26, overlap_size=6, margin=1,
+        sensor_frame=LidarFrame2DSetting(
+            valid_range_min=0.1, valid_range_max=30.0,
+            angle_min=-2.356, angle_max=2.356, num_rays=270),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=1, scale=0.05)),
+    ), dtype=np.float32)
+    c2 = gp2._build_scan_fit_cache()
+    s2 = gp2.setting
+    fn2 = functools.partial(
+        batch2d, kernel=gp2._kernel,
+        discon_on=s2.sensor_frame.discontinuity_detection,
+        map_type=s2.mapping.type, map_scale=s2.mapping.scale,
+        use_pallas=c2["use_pallas"])
+    _aot(lambda r, a, i, b, *sc: fn2(r, a, i, b, *sc),
+         _f32(28, 270), _f32(270),
+         jax.ShapeDtypeStruct(c2["idx"].shape, jnp.int32),
+         jax.ShapeDtypeStruct(c2["inb"].shape, jnp.bool_),
+         _f32(), _f32(), _f32(), _f32(), _f32(), _f32(),
+         sharding=tpu_sharding)
+
+    gp3 = RangeSensorGaussianProcess3D(RangeSensorGP3DSetting(
+        row_group_size=12, row_overlap_size=4, col_group_size=12,
+        col_overlap_size=4, min_num_samples_per_group=10,
+        sensor_frame_type="lidar",
+        sensor_frame=LidarFrame3DSetting(
+            valid_range_min=0.1, valid_range_max=40.0,
+            azimuth_min=-np.pi, azimuth_max=np.pi,
+            elevation_min=-0.8, elevation_max=0.8,
+            num_azimuth_lines=271, num_elevation_lines=91),
+        gp=VanillaGPSetting(kernel_type="ou",
+                            kernel=KernelSetting(x_dim=2, scale=0.5)),
+    ), dtype=np.float32)
+    c3 = gp3._build_scan_fit_cache()
+    s3 = gp3.setting
+    fn3 = functools.partial(
+        batch3d, kernel=gp3._kernel, map_type=s3.mapping.type,
+        map_scale=s3.mapping.scale, use_pallas=True)
+    _aot(lambda r, fc, i, b, *sc: fn3(r, fc, i, b, *sc),
+         _f32(8, 271, 91), _f32(271 * 91, 2),
+         jax.ShapeDtypeStruct(c3["idx"].shape, jnp.int32),
+         jax.ShapeDtypeStruct(c3["inb"].shape, jnp.bool_),
+         _f32(), _f32(), _f32(), jax.ShapeDtypeStruct((), jnp.int32), _f32(),
+         sharding=tpu_sharding)
