@@ -46,6 +46,31 @@ def probe_backend(timeout_s: float = 55.0) -> Tuple[bool, str]:
     return True, out["platform"]
 
 
+def probe_backend_subprocess(timeout_s: float = 55.0) -> Tuple[bool, str]:
+    """Like :func:`probe_backend`, but in a CHILD process — after an
+    in-process thread probe times out, that thread is parked inside jax's
+    backend-init lock forever and every later jax call in the process
+    deadlocks on it. Callers that want to FALL BACK to another backend in
+    the same process (e.g. ``__graft_entry__.entry``) must probe this way;
+    the in-thread probe is only safe when the process exits on failure
+    (bench.py uses ``os._exit``)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+    except subprocess.TimeoutExpired:
+        return False, f"backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return False, tail[-1] if tail else f"probe exited rc={r.returncode}"
+    out = r.stdout.strip().splitlines()
+    return True, out[-1] if out else "unknown"
+
+
 def require_backend(timeout_s: float = 55.0) -> str:
     """Probe the default backend; raise ``RuntimeError`` (fast) instead of
     hanging when it is unreachable. Returns the platform name."""

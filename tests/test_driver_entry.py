@@ -65,21 +65,22 @@ def test_entry_compiles_on_chip():
     assert out is not None
 
 
-def test_entry_fails_fast_when_backend_unreachable():
+def test_entry_degrades_to_cpu_when_backend_unreachable():
     # entry() builds device arrays, so a dead tunnel would otherwise hang
-    # the driver's compile check exactly like round 2's dryrun; the
-    # backend probe must turn that into a fast RuntimeError. A
-    # sub-millisecond probe deadline makes the race deterministic in
-    # either tunnel state.
+    # the driver's compile check exactly like round 2's dryrun. The probe
+    # (in a SUBPROCESS — an in-process thread probe that times out parks
+    # inside jax's backend-init lock and deadlocks any fallback) must turn
+    # that into a warned CPU-backend compile check, not a hang and not a
+    # red artifact. A sub-millisecond probe deadline makes the race
+    # deterministic in either tunnel state.
     r = _run(["-c",
-              "import __graft_entry__ as g;\n"
-              "g._require_backend.__defaults__ = (0.01,)\n"
-              "try:\n"
-              "    g.entry()\n"
-              "    raise SystemExit(1)\n"
-              "except RuntimeError as e:\n"
-              "    assert 'failing fast' in str(e) or 'unavailable' in str(e)\n"
-              "    print('fast-fail OK')\n"],
-             env_extra={}, timeout=120)
+              "import erl_gaussian_process_tpu.utils.backend as b;\n"
+              "b.probe_backend_subprocess.__defaults__ = (0.01,)\n"
+              "import __graft_entry__ as g, jax;\n"
+              "fn, args = g.entry()\n"
+              "assert jax.config.jax_platforms == 'cpu'\n"
+              "jax.jit(fn).lower(*args).compile()\n"
+              "print('cpu-fallback OK on', jax.default_backend())\n"],
+             env_extra={}, timeout=300)
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
-    assert "fast-fail OK" in r.stdout
+    assert "cpu-fallback OK on cpu" in r.stdout
