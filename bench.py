@@ -47,23 +47,40 @@ TARGET_HZ = 10.0  # BASELINE.json north-star
 # Backend-init watchdog. When the remote-TPU (axon) tunnel is down, the
 # first jax.devices() call blocks forever inside PJRT client creation —
 # round 2 lost its hardware number to a 30-line traceback after the driver
-# killed the process (BENCH_r02.json rc=1). Probe in a daemon thread with a
-# deadline so infra-down degrades to a fast, machine-readable one-line JSON
-# instead of a hang/traceback the driver can't classify.
+# killed the process (BENCH_r02.json rc=1), and round 3 lost its number to
+# a transient blip because a single 55 s probe gave up (BENCH_r03.json).
+# This artifact is captured ONCE per round: poll the backend in fresh CHILD
+# processes (a timed-out in-process probe parks a thread inside jax's
+# backend-init lock forever) for up to ~10 minutes before emitting the
+# structured failure.
 BACKEND_INIT_TIMEOUT_S = float(os.environ.get("ERL_GP_BENCH_INIT_TIMEOUT",
                                               "55"))
+BACKEND_POLL_BUDGET_S = float(os.environ.get("ERL_GP_BENCH_POLL_BUDGET",
+                                             "600"))
 
 
-def _probe_backend(timeout_s: float):
-    """Initialize the default jax backend under a deadline.
+def _probe_backend(timeout_s: float, budget_s: float):
+    """Poll backend init in child processes until one succeeds or the
+    budget is exhausted. Returns (ok, platform_or_reason). Only after a
+    child succeeds does the caller initialize the backend in-process, so a
+    down tunnel never hangs or poisons this process. One shared probe
+    implementation: erl_gaussian_process_tpu/utils/backend.py."""
+    from erl_gaussian_process_tpu.utils.backend import (
+        probe_backend_subprocess,
+    )
 
-    Returns (ok, platform_or_reason). On timeout the prober thread is left
-    hung inside PJRT init (unkillable) — callers must exit via os._exit.
-    One shared implementation: erl_gaussian_process_tpu/utils/backend.py.
-    """
-    from erl_gaussian_process_tpu.utils.backend import probe_backend
-
-    return probe_backend(timeout_s)
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        ok, info = probe_backend_subprocess(timeout_s)
+        if ok or time.monotonic() + 15.0 > deadline:
+            if not ok:
+                info = f"{info} after {attempt} probes/{budget_s:.0f}s budget"
+            return ok, info
+        print(f"# backend probe {attempt} failed ({info}); retrying "
+              f"({deadline - time.monotonic():.0f}s left)", flush=True)
+        time.sleep(10.0)
 
 
 def _fail_fast(reason: str):
@@ -111,7 +128,7 @@ def make_scans(n_poses=50, num_lines=135):
 
 
 def main():
-    ok, info = _probe_backend(BACKEND_INIT_TIMEOUT_S)
+    ok, info = _probe_backend(BACKEND_INIT_TIMEOUT_S, BACKEND_POLL_BUDGET_S)
     if not ok:
         _fail_fast(info)
 

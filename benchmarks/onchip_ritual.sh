@@ -19,8 +19,8 @@ log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
   timeout 90 python -c "import jax; print(jax.devices())"
   echo "== TPU-only kernel parity (test_ops) =="
   ERL_GP_TEST_TPU=1 python -m pytest tests/test_ops.py -q
-  echo "== full suite on-chip =="
-  ERL_GP_TEST_TPU=1 python -m pytest tests/ -q
+  echo "== full suite on-chip (incl. full-size reference goldens) =="
+  ERL_GP_HEAVY=1 ERL_GP_TEST_TPU=1 python -m pytest tests/ -q
   echo "== streaming-chol profile =="
   python benchmarks/profile_chol.py
   echo "== streaming-chol A/B (HEAD vs last measured rev vs XLA) =="
