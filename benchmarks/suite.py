@@ -7,6 +7,7 @@ map-update rate at the production shape. Run with JAX_PLATFORMS='' for TPU.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -336,7 +337,8 @@ def bench_lidar_scan_train(rounds=5):
     from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
     from erl_gaussian_process_tpu.utils.loaders import load_lidar_log
 
-    frames = load_lidar_log("/root/reference/data/double/train.dat")
+    frames = load_lidar_log(os.path.join(
+        os.path.dirname(__file__), os.pardir, "data", "double", "train.dat"))
     f0 = frames[0]
     setting = LidarGP2DSetting(
         partition_on_hit_rays=False, symmetric_partitions=False,

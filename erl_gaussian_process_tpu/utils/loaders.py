@@ -31,9 +31,11 @@ def load_lidar_log(path: str, dtype=np.float64) -> List[LidarLogFrame]:
     if native is not None:
         frames = []
         for angles, ranges, pose in native:
-            p = pose.reshape(3, 2).T
+            # the native marshaller always fills float64 buffers; cast back
+            # to the log's dtype so both parse paths return identical frames
+            p = pose.astype(dtype).reshape(3, 2).T
             frames.append(LidarLogFrame(
-                angles=angles, ranges=ranges,
+                angles=angles.astype(dtype), ranges=ranges.astype(dtype),
                 position=p[:, 0].copy(), rotation=p[:, 1:3].copy()))
         return frames
     raw = np.fromfile(path, dtype=np.uint8)

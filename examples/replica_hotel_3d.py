@@ -41,8 +41,8 @@ from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
     SpGpOccupancyMapSetting,
 )
 
-TRAJ = "/root/reference/data/replica-hotel-0-traj.txt"
 HERE = os.path.dirname(os.path.abspath(__file__))
+TRAJ = os.path.join(HERE, os.pardir, "data", "replica-hotel-0-traj.txt")
 
 
 def load_trajectory(path=TRAJ):

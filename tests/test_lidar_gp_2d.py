@@ -14,7 +14,11 @@ from erl_gaussian_process_tpu.models.mapping import MappingSetting, MappingType
 from erl_gaussian_process_tpu.models.vanilla_gp import VanillaGPSetting
 from erl_gaussian_process_tpu.utils.loaders import load_lidar_log
 
-DATA = "/root/reference/data/double/train.dat"
+import os
+
+_REPO = os.path.join(os.path.dirname(__file__), os.pardir)
+DATA = os.path.join(_REPO, "data", "double", "train.dat")
+DATA_FLOAT = os.path.join(_REPO, "data", "float", "train.dat")
 
 # test constants from the reference (test_lidar_gp_2d.cpp:117-127)
 SCALE = 0.05
@@ -222,6 +226,27 @@ def test_real_scan_float32(frame0):
     pred, valid = res.get_mean()
     assert pred.dtype == np.float32 and valid.any()
     mae = np.abs(pred[valid] - frame0.ranges[valid].astype(np.float32)).mean()
+    assert mae < 0.04, mae
+
+
+def test_float_variant_log_golden():
+    """The reference ships a float32 copy of the scan log
+    (data/float/train.dat) that its own tests never parse; run the same
+    golden pipeline on it end-to-end at float32 (the reference's F-suffixed
+    instantiation, src/lidar_gp_2d.cpp:638-639). The log must parse, agree
+    with the double log, and hit the float32 accuracy bound."""
+    frames = load_lidar_log(DATA_FLOAT, dtype=np.float32)
+    f0 = frames[0]
+    assert f0.angles.dtype == np.float32
+    d0 = load_lidar_log(DATA)[0]
+    np.testing.assert_allclose(f0.angles, d0.angles, rtol=2e-7, atol=1e-6)
+    gp = LidarGaussianProcess2D(_make_setting(f0, discontinuity=False),
+                                dtype=np.float32)
+    assert gp.train(np.eye(2), np.zeros(2), f0.ranges)
+    res = gp.test(f0.angles, angles_are_local=False, un_map=True)
+    pred, valid = res.get_mean()
+    assert pred.dtype == np.float32 and valid.any()
+    mae = np.abs(pred[valid] - f0.ranges[valid]).mean()
     assert mae < 0.04, mae
 
 

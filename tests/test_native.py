@@ -173,15 +173,14 @@ def test_raycast_mesh_native_matches_numpy():
 
 
 def test_reference_float_and_double_logs_agree():
-    """Parse the reference's real scan logs in both dtypes (data/double +
-    data/float); frames must agree to float32 precision."""
+    """Parse the vendored real scan logs in both dtypes (data/double +
+    data/float, vendored from the reference's data assets); frames must
+    agree to float32 precision."""
     import os
 
-    dpath = "/root/reference/data/double/train.dat"
-    fpath = "/root/reference/data/float/train.dat"
-    if not (os.path.exists(dpath) and os.path.exists(fpath)):
-        import pytest
-        pytest.skip("reference data not mounted")
+    repo = os.path.join(os.path.dirname(__file__), os.pardir)
+    dpath = os.path.join(repo, "data", "double", "train.dat")
+    fpath = os.path.join(repo, "data", "float", "train.dat")
     fd = load_lidar_log(dpath, dtype=np.float64)
     ff = load_lidar_log(fpath, dtype=np.float32)
     assert len(fd) == len(ff) > 0

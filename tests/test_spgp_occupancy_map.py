@@ -7,6 +7,8 @@ map-quality assertion SURVEY.md §4 calls out as missing: surface points must
 read occupied, visited free space must read free.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -23,7 +25,13 @@ from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
     SpGpOccupancyMapSetting,
 )
 
-REFERENCE_YAML = "/root/reference/config/spgp_occupancy_map_2d.yaml"
+# the vendored config is semantically identical to the reference's
+# (whitespace-only diff); prefer the true reference file when mounted so
+# the C++-type-tag compatibility claim is tested against the original
+_REF = "/root/reference/config/spgp_occupancy_map_2d.yaml"
+REFERENCE_YAML = _REF if os.path.exists(_REF) else os.path.join(
+    os.path.dirname(__file__), os.pardir, "config",
+    "spgp_occupancy_map_2d.yaml")
 
 
 def _production_setting() -> SpGpOccupancyMapSetting:
