@@ -78,13 +78,32 @@ def pack_alpha(y, grad, sample_mask, grad_mask):
 def nigp_fit(x, y, grad, var_x, var_y, var_grad, sample_mask, grad_mask,
              scale, *, kernel: str) -> NoisyInputGPState:
     """Train with gradient observations: joint gram + LLT solve
-    (src/noisy_input_gp.cpp:807-898)."""
+    (src/noisy_input_gp.cpp:807-898).
+
+    On TPU/f32 at joint size (1+d)n in [3584, 16384] the gram build is
+    fused INTO the streaming factorization (ops/pallas_chol.
+    chol_blocked_gram_joint): the jnp path materializes the (n, n, d)
+    and (n, n, d, d) derivative blocks plus the (N, N) assembled gram in
+    HBM before factoring — the fused kernel builds each tile in VMEM
+    from per-row metadata instead."""
+    from erl_gaussian_process_tpu.models.gp_core import solve_with_L
+    from erl_gaussian_process_tpu.ops.pallas_chol import (
+        chol_blocked_gram_joint,
+        pallas_chol_joint_enabled,
+    )
+
+    alpha = pack_alpha(y, grad, sample_mask, grad_mask)
+    if pallas_chol_joint_enabled(x.dtype, x.shape[0], kernel, x.shape[1]):
+        L = chol_blocked_gram_joint(
+            kernel, x, var_x + var_y, var_grad, sample_mask, grad_mask,
+            scale)
+        return NoisyInputGPState(x, sample_mask, grad_mask, L,
+                                 solve_with_L(L, alpha))
     K = train_gram_with_gradient(
         kernel, x, jnp.where(sample_mask, var_x, 0.0),
         jnp.where(sample_mask, var_y, 0.0),
         jnp.where(grad_mask, var_grad, 0.0),
         sample_mask, grad_mask, scale)
-    alpha = pack_alpha(y, grad, sample_mask, grad_mask)
     L, a = cholesky_fit(K, alpha, robust=False)
     return NoisyInputGPState(x, sample_mask, grad_mask, L, a)
 

@@ -497,13 +497,83 @@ def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
                               i_buf, zbuf, sems, T, wl, wa, wait=True)
 
 
+def _joint_tile(fam: str, xi, xj, scale, d: int):
+    """One (T, T) tile of the JOINT value/gradient train gram from per-row
+    metadata (the TPU-native form of the reference's
+    ``ComputeKtrainWithGradient`` gram assembly, src/noisy_input_gp.cpp:
+    860-868): lane layout of each joint row is
+    ``[coords(d) | block type | validity]`` where type 0 is a value row and
+    type k is a d/dx_{k-1} row. Using per-row metadata instead of joint
+    index arithmetic means rows of different block types can share a tile
+    freely — the kernel never needs to know where the value/gradient block
+    boundaries fall relative to the 512-tiling.
+
+    Closed forms (diff = x_row - x_col, matching
+    kernels/gradient._rbf_blocks/_matern32_blocks and the row-side sign
+    flip of kernels/gradient._assemble):
+      value/value   k(r)
+      value/grad_l  dk/dx2_l          =  D_col * g(r)
+      grad_k/value  dk/dx1_k = -dk/dx2_k = -D_row * g(r)
+      grad_k/grad_l d2k/dx1_k dx2_l
+    with D_row/D_col the diff component selected by the row/col block
+    type. Invalid (masked or pad) rows are zeroed here and get their
+    identity diagonal in the caller's diag-tile noise add."""
+    T = xi.shape[0]
+    ta = xi[:, d:d + 1]                       # (T, 1) row block type
+    tb = xj[d:d + 1, :]                       # (1, T) col block type
+    va = xi[:, d + 1:d + 2] > 0.5             # (T, 1) row validity
+    vb = xj[d + 1:d + 2, :] > 0.5             # (1, T) col validity
+    diffs = []
+    r2 = jnp.zeros((T, T), jnp.float32)
+    for k in range(d):
+        dk_ = xi[:, k:k + 1] - xj[k:k + 1, :]
+        diffs.append(dk_)
+        r2 = r2 + dk_ * dk_
+    dr = jnp.zeros((T, T), jnp.float32)
+    dc = jnp.zeros((T, T), jnp.float32)
+    for k in range(d):
+        tk = np.float32(k + 1)
+        dr = dr + jnp.where(ta == tk, diffs[k], 0.0)
+        dc = dc + jnp.where(tb == tk, diffs[k], 0.0)
+    arow = ta > 0.5
+    bcol = tb > 0.5
+    # same grad dim, both grads; astype keeps this f32 under x64 (an
+    # all-weak-literal where would materialize f64 and crash Mosaic's
+    # 32-bit layout inference)
+    eqf = ((ta == tb) & arow).astype(jnp.float32)
+    if fam == "rbf":
+        inv_s2 = 1.0 / (scale * scale)
+        kv = jnp.exp(r2 * (-0.5 * inv_s2))
+        # one expression covers all four blocks: u*v is 1 (val/val),
+        # +-D/s^2 (single-grad), -D_r D_c/s^4 (grad/grad); eqf adds the
+        # delta_kl/s^2 term of d2k
+        u = jnp.where(arow, -dr * inv_s2, 1.0)
+        v = jnp.where(bcol, dc * inv_s2, 1.0)
+        out = kv * (u * v + eqf * inv_s2)
+    else:  # matern32
+        c = np.float32(np.sqrt(3.0)) / scale
+        r = jnp.sqrt(r2)
+        e = jnp.exp(-c * r)
+        safe_r = jnp.where(r > 0, r, 1.0)
+        both = arow & bcol
+        single = jnp.logical_xor(arow, bcol)
+        cc = c * c
+        u = jnp.where(arow, -dr, 1.0)
+        v = jnp.where(bcol, dc, 1.0)
+        out = e * jnp.where(
+            both, cc * (eqf - c * dr * dc / safe_r),
+            jnp.where(single, cc * u * v, 1.0 + c * r))
+    return jnp.where(va & vb, out, 0.0)
+
+
 def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
                       l_any, dinv_any, acc, bi_slab, bi_rem, bj_panel,
                       l_buf, i_buf, aug, zbuf, xi_s, xj_s, vj_s, sems,
-                      *, fam: str, d: int):
+                      *, fam: str, d: int, joint: bool = False):
     """Gram-fused variant: A[i, j] = k(x_i, x_j) (+ noise diag on i == j)
     is built in-kernel from DMA'd coordinate slices — the (n, n) gram
-    never round-trips through HBM."""
+    never round-trips through HBM. ``joint=True`` builds the NIGP joint
+    value/gradient gram instead (see ``_joint_tile``)."""
     from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
 
     t = pl.program_id(0)
@@ -556,24 +626,35 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
         xi = xi_s[slot]                      # (T, 128)
         xj = xj_s[slot]                      # (8, T)
         vj = vj_s[slot]                      # (8, T)
-        r2 = jnp.zeros((T, T), jnp.float32)
-        for k in range(d):
-            diff = xi[:, k:k + 1] - xj[k:k + 1, :]
-            r2 = r2 + diff * diff
-        # Far-point rows sit at (i+2)*1e15; once two masked rows are
-        # >~18400 apart diff^2 overflows f32 to inf, and matern32's
-        # (1+cr)*exp(-cr) would evaluate inf*0 = NaN. Clamp to a finite
-        # huge r2 (exp(-sqrt(1e30)/s) underflows to exactly 0 for every
-        # family, which is the intended masked-off-diagonal value).
-        r2 = jnp.minimum(r2, jnp.float32(1e30))
         accs = acc.at[slot]
-        accs[:, :] = _apply_family(fam, r2, scale_ref[0, 0])
+        if joint:
+            accs[:, :] = _joint_tile(fam, xi, xj, scale_ref[0, 0], d)
+        else:
+            r2 = jnp.zeros((T, T), jnp.float32)
+            for k in range(d):
+                diff = xi[:, k:k + 1] - xj[k:k + 1, :]
+                r2 = r2 + diff * diff
+            # Far-point rows sit at (i+2)*1e15; once two masked rows are
+            # >~18400 apart diff^2 overflows f32 to inf, and matern32's
+            # (1+cr)*exp(-cr) would evaluate inf*0 = NaN. Clamp to a finite
+            # huge r2 (exp(-sqrt(1e30)/s) underflows to exactly 0 for every
+            # family, which is the intended masked-off-diagonal value).
+            r2 = jnp.minimum(r2, jnp.float32(1e30))
+            accs[:, :] = _apply_family(fam, r2, scale_ref[0, 0])
 
         @pl.when(i == j)
         def _():
             sub = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-            accs[:, :] = accs[:, :] + jnp.where(sub == lane, vj[:1, :],
+            if joint:
+                # masked/pad joint rows are zeroed by _joint_tile; give
+                # them their exact identity diagonal here (validity is
+                # lane d+1 of the col slice; noise vj is pre-zeroed on
+                # masked rows by the wrapper)
+                diag_add = vj[:1, :] + (1.0 - xj[d + 1:d + 2, :])
+            else:
+                diag_add = vj[:1, :]
+            accs[:, :] = accs[:, :] + jnp.where(sub == lane, diag_add,
                                                 0.0)
 
     _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi_slab, bi_rem,
@@ -717,13 +798,13 @@ def pallas_chol_gram_enabled(dtype, n: int, fam: str, d: int) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("fam", "d", "tile"))
+@functools.partial(jax.jit, static_argnames=("fam", "d", "tile", "joint"))
 def _chol_gram_padded(scale, xc, xr, vr, ti, tj, *, fam: str, d: int,
-                      tile: int):
+                      tile: int, joint: bool = False):
     n = xc.shape[0]
     nt = ti.shape[0]
     L, dinv = pl.pallas_call(
-        functools.partial(_chol_gram_kernel, fam=fam, d=d),
+        functools.partial(_chol_gram_kernel, fam=fam, d=d, joint=joint),
         out_shape=(
             jax.ShapeDtypeStruct((n, n), xc.dtype),
             jax.ShapeDtypeStruct((n, tile), xc.dtype),
@@ -786,3 +867,66 @@ def chol_blocked_gram(fam, x, var, mask, scale, *, tile: int = _T):
         jnp.asarray(scale, dt).reshape(1, 1), xc, xc[:, :8].T, vr,
         jnp.asarray(ti), jnp.asarray(tj), fam=fam, d=d, tile=tile)
     return L[:n0, :n0]
+
+
+_JOINT_FAMILIES = ("rbf", "matern32")   # the differentiable gram families
+                                        # (kernels/gradient._GRAD_BLOCKS)
+
+
+def pallas_chol_joint_enabled(dtype, n: int, fam: str, d: int) -> bool:
+    """Gate for the JOINT value/gradient gram-fused factorization. ``n``
+    is the SAMPLE count; the joint system is (1+d)*n. Same machinery as
+    the plain gram path — the win is larger here because the jnp joint
+    gram materializes (n, n, d) and (n, n, d, d) derivative-block
+    intermediates plus the assembled (N, N) gram in HBM before the
+    factorization even starts (the VERDICT r3 item-3 round-trip)."""
+    if not isinstance(n, int):
+        return False
+    if fam not in _JOINT_FAMILIES or d > 6:   # d+2 metadata lanes must
+        return False                          # fit the 8-lane col slice
+    if os.environ.get("ERL_GP_NO_PALLAS_CHOL") or \
+            os.environ.get("ERL_GP_NO_PALLAS"):
+        return False
+    nj = (1 + d) * n
+    if jnp.dtype(dtype) != jnp.float32 or nj < 3584 or nj > 16384:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def chol_blocked_gram_joint(fam, x, var_v, var_g, sample_mask, grad_mask,
+                            scale, *, tile: int = _T):
+    """L = chol(joint value/gradient train gram) with the (N, N) gram
+    built tile-by-tile in VMEM (N = (1+d)*n never round-trips HBM).
+    Row layout matches kernels/gradient.train_gram_with_gradient —
+    ``[values(n); grad-dim0(n); ...]``, masked rows exact identity rows —
+    so the factor is interchangeable with the jnp joint-gram path.
+    x (n, d); var_v = var_x + var_y per sample; var_g per gradient row;
+    masks (n,) bool. Returns L (N, N). Caller checks
+    ``pallas_chol_joint_enabled``."""
+    n0, d = x.shape
+    dt = x.dtype
+    nj = (1 + d) * n0
+    n = _round_up(nj, tile)
+    assert n >= 5 * tile, \
+        f"chol_blocked_gram_joint needs N >= {5 * tile}, got {nj}"
+    coords = jnp.concatenate([x] * (1 + d), axis=0)             # (nj, d)
+    types = jnp.concatenate(
+        [jnp.full((n0,), np.float32(b), dt) for b in range(1 + d)])
+    valid = jnp.concatenate([sample_mask] + [grad_mask] * d)
+    noise = jnp.concatenate(
+        [jnp.where(sample_mask, var_v, 0.0)]
+        + [jnp.where(grad_mask, var_g, 0.0)] * d).astype(dt)
+    xc = jnp.zeros((n, 128), dt)
+    xc = xc.at[:nj, :d].set(coords)
+    xc = xc.at[:nj, d].set(types)
+    xc = xc.at[:nj, d + 1].set(valid.astype(dt))
+    vr = jnp.zeros((8, n), dt).at[0, :nj].set(noise)
+    ti, tj = _tile_tables(n // tile)
+    L, _ = _chol_gram_padded(
+        jnp.asarray(scale, dt).reshape(1, 1), xc, xc[:, :8].T, vr,
+        jnp.asarray(ti), jnp.asarray(tj), fam=fam, d=d, tile=tile,
+        joint=True)
+    return L[:nj, :nj]

@@ -489,6 +489,102 @@ def test_chol_blocked_gram_interpret_parity(monkeypatch):
         assert np.abs(np.triu(L, 1)).max() == 0.0, (nb, fam)
 
 
+def test_chol_blocked_gram_joint_interpret_parity(monkeypatch):
+    """JOINT value/gradient gram-fused streaming Cholesky against the jnp
+    joint gram (kernels/gradient.train_gram_with_gradient) in interpret
+    mode at a shrunk tile: pins the per-row metadata block selection
+    (value/grad_k row types crossing tile boundaries), the masked-row
+    identity diagonal, and the pad rows, for both differentiable
+    families."""
+    from erl_gaussian_process_tpu.kernels import train_gram_with_gradient
+    from erl_gaussian_process_tpu.ops import pallas_chol as pc
+
+    monkeypatch.setattr(pc, "_SB", 8)
+    tile = 16
+    rng = np.random.default_rng(3)
+    for fam, d, n0 in (("rbf", 2, 33), ("matern32", 2, 33),
+                       ("matern32", 1, 45), ("rbf", 3, 23)):
+        # n0 chosen so block boundaries land mid-tile and the joint size
+        # needs pad rows
+        x = rng.uniform(-2, 2, (n0, d)).astype(np.float32)
+        var_x = (0.02 + 0.01 * rng.random(n0)).astype(np.float32)
+        var_y = (0.03 + 0.01 * rng.random(n0)).astype(np.float32)
+        var_g = (0.05 + 0.01 * rng.random(n0)).astype(np.float32)
+        sample_mask = rng.random(n0) < 0.9
+        grad_mask = rng.random(n0) < 0.7
+        scale = np.float32(0.9)
+        with pltpu.force_tpu_interpret_mode():
+            L = np.asarray(pc.chol_blocked_gram_joint(
+                fam, jnp.asarray(x), jnp.asarray(var_x + var_y),
+                jnp.asarray(var_g), jnp.asarray(sample_mask),
+                jnp.asarray(grad_mask), scale, tile=tile))
+        K = np.asarray(train_gram_with_gradient(
+            fam, jnp.asarray(x),
+            jnp.where(jnp.asarray(sample_mask), jnp.asarray(var_x), 0.0),
+            jnp.where(jnp.asarray(sample_mask), jnp.asarray(var_y), 0.0),
+            jnp.where(jnp.asarray(grad_mask), jnp.asarray(var_g), 0.0),
+            jnp.asarray(sample_mask), jnp.asarray(grad_mask), scale),
+            np.float64)
+        ref = np.linalg.cholesky(K)
+        assert np.abs(L - ref).max() < 5e-4, (fam, d)
+        assert np.abs(np.triu(L, 1)).max() == 0.0, (fam, d)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas chol compiles only on TPU")
+def test_pallas_chol_joint_gram_parity_tpu():
+    """Joint gram-fused streaming Cholesky on-chip vs the jnp joint gram:
+    backward error ||L L^T - K|| plus NIGP posterior mean/gradient parity
+    through the fused factor (same metric rationale as
+    test_pallas_chol_gram_parity_tpu)."""
+    import scipy.linalg as sla
+    from erl_gaussian_process_tpu.kernels import (
+        cross_gram_with_gradient,
+        train_gram_with_gradient,
+    )
+    from erl_gaussian_process_tpu.ops.pallas_chol import (
+        chol_blocked_gram_joint,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 900, 2   # joint 2700 -> pads to 3072 (nb=6)
+    x = jnp.asarray(rng.uniform(-2, 2, (n, d)).astype(np.float32))
+    var_x = jnp.asarray((5e-3 + 1e-3 * rng.random(n)).astype(np.float32))
+    var_y = jnp.asarray((5e-3 + 1e-3 * rng.random(n)).astype(np.float32))
+    var_g = jnp.asarray((2e-2 + 1e-2 * rng.random(n)).astype(np.float32))
+    sample_mask = jnp.asarray(rng.random(n) < 0.95)
+    grad_mask = jnp.asarray(rng.random(n) < 0.8) & sample_mask
+    xq = jnp.asarray(rng.uniform(-2, 2, (200, d)).astype(np.float32))
+    for fam in ("rbf", "matern32"):
+        L = np.asarray(chol_blocked_gram_joint(
+            fam, x, var_x + var_y, var_g, sample_mask, grad_mask,
+            np.float32(0.5)))
+        assert np.abs(np.triu(L, 1)).max() == 0.0
+        K = np.asarray(train_gram_with_gradient(
+            fam, x, jnp.where(sample_mask, var_x, 0.0),
+            jnp.where(sample_mask, var_y, 0.0),
+            jnp.where(grad_mask, var_g, 0.0),
+            sample_mask, grad_mask, np.float32(0.5)), np.float64)
+        recon = np.abs(L.astype(np.float64) @ L.astype(np.float64).T
+                       - K).max()
+        assert recon < 5e-4, (fam, recon)
+        # posterior parity through the factor: joint rhs = [y; grads]
+        yv = np.where(np.asarray(sample_mask),
+                      np.sin(2 * np.asarray(x[:, 0])), 0.0)
+        gv = np.zeros((d * n,))
+        gv[:n] = np.where(np.asarray(grad_mask),
+                          2 * np.cos(2 * np.asarray(x[:, 0])), 0.0)
+        rhs = np.concatenate([yv, gv])
+        kt = np.asarray(cross_gram_with_gradient(
+            fam, x, xq, np.float32(0.5), sample_mask, grad_mask,
+            with_test_grad=True), np.float64)
+        a = sla.cho_solve((L.astype(np.float64), True), rhs)
+        a_ref = sla.cho_solve((np.linalg.cholesky(K), True), rhs)
+        mu, mu_ref = kt.T @ a, kt.T @ a_ref
+        mae = np.abs(mu - mu_ref).mean()
+        assert mae < 2e-3, (fam, mae)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="verifies the Mosaic bank kernel composes with "
                            "shard_map on real hardware")

@@ -254,6 +254,25 @@ def test_gram_fused_chol_compiles(tpu_sharding):
                  _f32(), sharding=tpu_sharding)
 
 
+def test_joint_gram_fused_chol_compiles(tpu_sharding):
+    """The NIGP joint value/gradient gram-fused streaming Cholesky — the
+    fit path that removes the (n(1+d))^2 HBM round-trip (VERDICT r3
+    item 3) — compiles at the reference's 2D NIGP shape (n=2560, d=2 ->
+    joint 7680) and a 1D shape for both differentiable families."""
+    from erl_gaussian_process_tpu.ops.pallas_chol import (
+        chol_blocked_gram_joint,
+    )
+
+    for n, d in ((2560, 2), (3500, 1)):
+        for fam in ("rbf", "matern32"):
+            _aot(lambda x, vv, vg, sm, gm, s, _f=fam:
+                 chol_blocked_gram_joint(_f, x, vv, vg, sm, gm, s),
+                 _f32(n, d), _f32(n), _f32(n),
+                 jax.ShapeDtypeStruct((n,), jnp.bool_),
+                 jax.ShapeDtypeStruct((n,), jnp.bool_),
+                 _f32(), sharding=tpu_sharding)
+
+
 def test_fused_scan_train_compiles(tpu_sharding):
     """The one-dispatch scan-train programs (mask + mapping + partition
     gather + bank fit in one jit) compile for v5e at the production scan
