@@ -17,10 +17,13 @@ log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
   # fail the ritual fast (not hang) when the tunnel is down: backend init
   # blocks indefinitely inside PJRT client creation in that state
   timeout 90 python -c "import jax; print(jax.devices())"
+  # -x: a wedged TPU backend fails EVERY test in the process (observed
+  # 2026-08-18: 22 aborts x ~70 s of retries = 25 wasted minutes); stop
+  # at the first failure instead.
   echo "== TPU-only kernel parity (test_ops) =="
-  ERL_GP_TEST_TPU=1 python -m pytest tests/test_ops.py -q
+  ERL_GP_TEST_TPU=1 python -m pytest tests/test_ops.py -q -x
   echo "== full suite on-chip (incl. full-size reference goldens) =="
-  ERL_GP_HEAVY=1 ERL_GP_TEST_TPU=1 python -m pytest tests/ -q
+  ERL_GP_HEAVY=1 ERL_GP_TEST_TPU=1 python -m pytest tests/ -q -x
   echo "== streaming-chol profile =="
   python benchmarks/profile_chol.py
   echo "== streaming-chol A/B (HEAD vs last measured rev vs XLA) =="

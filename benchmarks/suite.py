@@ -489,6 +489,52 @@ def bench_routed_predict(B=60, n=144, d=2, m=16384, rounds=8):
                 hbm_bytes=4 * (B * n * n + 3 * n * m)))
 
 
+def bench_routed_predict_phases(B=60, n=144, d=2, m=16384, rounds=8):
+    """Phase decomposition of the routed-predict serving path (VERDICT r3
+    item 5): host grouping / H2D / device compute / D2H+scatter, each the
+    min over ``rounds``, plus the min/max spread of the unprofiled
+    end-to-end time so the jitter source is attributable."""
+    from erl_gaussian_process_tpu.models.batch_gp import (
+        bank_predict_assigned,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, n, d)).astype(DTYPE))
+    y = jnp.asarray(rng.uniform(-1, 1, (B, n, 1)).astype(DTYPE))
+    var = jnp.full((B, n), 1e-2, DTYPE)
+    mask = jnp.asarray(rng.uniform(size=(B, n)) < 0.95)
+    bank = bank_fit(x, y, var, mask, DTYPE(0.4), kernel="matern32")
+    _fetch(bank.alpha)
+    q = rng.uniform(-1, 1, (m, d)).astype(DTYPE)
+    idx = rng.integers(0, B, m).astype(np.int32)
+    idx[rng.uniform(size=m) < 0.03] = -1
+
+    def once(k, prof=None):
+        mean, var_, valid = bank_predict_assigned(
+            bank, q + DTYPE(1e-7 * k), idx, DTYPE(0.4), kernel="matern32",
+            profile=prof)
+        return float(mean[0, 0]) + float(var_[0])
+
+    once(0)  # compile + warm
+    # unprofiled end-to-end spread
+    e2e = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        once(r + 1)
+        e2e.append(time.perf_counter() - t0)
+    # per-phase minima (profiled runs synchronize between phases)
+    phases = {}
+    for r in range(rounds):
+        p = {}
+        once(r + 101, prof=p)
+        for k in ("host_group", "h2d", "device", "d2h_scatter"):
+            phases[k] = min(phases.get(k, np.inf), p[k])
+    emit(metric=f"routed_predict_phases_B{B}_n{n}_m{m}",
+         value=round(min(e2e) * 1e3, 3), unit="ms end-to-end (min)",
+         e2e_max_ms=round(max(e2e) * 1e3, 3),
+         **{k + "_ms": round(v * 1e3, 3) for k, v in phases.items()})
+
+
 def bench_spgp(n=2000, grid=31):
     rng = np.random.default_rng(0)
     c = np.linspace(-3, 3, grid)
@@ -607,6 +653,7 @@ def main():
     bench_lidar_scan_train()
     bench_range_sensor_3d_train()
     bench_routed_predict()
+    bench_routed_predict_phases()
     bench_spgp()
     bench_spgp_3d()
     import sys

@@ -18,6 +18,7 @@ needed for fit/predict.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -197,7 +198,8 @@ def _next_mult8(v: int) -> int:
 
 
 def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
-                          reduced_rank: bool = False, basis=None):
+                          reduced_rank: bool = False, basis=None,
+                          profile: dict | None = None):
     """Per-query routed prediction: query j is answered by bank member
     idx[j] (the partition-search pattern of the reference's lidar/3D test
     paths, src/lidar_gp_2d.cpp:68-87). q (m, d); idx (m,) int32 (may be -1
@@ -221,7 +223,17 @@ def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
     whitened features and the +||.||^2 variance (the sign contract the
     reference threads through the partition classes,
     src/lidar_gp_2d.cpp:148-151). Implies reduced_rank=True.
+
+    ``profile``: pass a dict to record per-phase wall-clock seconds
+    (keys ``host_group``, ``h2d``, ``device``, ``d2h_scatter``, plus the
+    chosen bucket shape ``bucket``). Profiling inserts synchronization
+    between phases, so the phase sum slightly exceeds the unprofiled
+    end-to-end time — use it to find the dominant term, not as the
+    serving number.
     """
+    prof = profile is not None
+    if prof:
+        t0 = time.perf_counter()
     q = np.asarray(q)
     idx = np.asarray(idx)
     m = q.shape[0]
@@ -259,8 +271,16 @@ def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
     slots[row, pos] = order
     svalid[row, pos] = True
     member_ids[: active.size] = active
+    if prof:
+        t1 = time.perf_counter()
+        profile["host_group"] = t1 - t0
+        profile["bucket"] = (int(Bp), int(C))
     qs = jnp.asarray(q[slots])                       # (Bp, C, d)
     mids = jnp.asarray(member_ids)
+    if prof:
+        jax.block_until_ready((qs, mids))
+        t2 = time.perf_counter()
+        profile["h2d"] = t2 - t1
     fused = state.L_inv is not None
     if basis is not None:
         mean_seg, var_seg = _predict_segmented_rr(
@@ -271,9 +291,15 @@ def bank_predict_assigned(state: BankState, q, idx, scale, *, kernel: str,
         mean_seg, var_seg = _predict_segmented(
             state, mids, qs,
             scale, kernel=kernel, reduced_rank=reduced_rank, fused=fused)
+    if prof:
+        jax.block_until_ready((mean_seg, var_seg))
+        t3 = time.perf_counter()
+        profile["device"] = t3 - t2
     mean_seg, var_seg = jax.device_get((mean_seg, var_seg))
     mean_out[slots[svalid]] = mean_seg[svalid]
     var_out[slots[svalid]] = var_seg[svalid]
+    if prof:
+        profile["d2h_scatter"] = time.perf_counter() - t3
     return mean_out, var_out, ok
 
 
