@@ -132,6 +132,32 @@ def test_bank_predict_assigned_matches_per_member_oracle():
                                atol=1e-11)
 
 
+def test_bank_predict_assigned_profile_dict():
+    """The optional profile dict records every phase and does not change
+    the results (the serving-path phase decomposition, VERDICT r3 #5)."""
+    rng = np.random.default_rng(3)
+    B, nmax, m = 4, 16, 57
+    xs = rng.uniform(-1, 1, (B, nmax, 2))
+    ys = rng.uniform(-1, 1, (B, nmax, 1))
+    vs = np.full((B, nmax), 1e-3)
+    ms = np.ones((B, nmax), bool)
+    bank = bank_fit(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                    jnp.asarray(ms), 0.4, kernel="matern32")
+    q = rng.uniform(-1, 1, (m, 2))
+    idx = rng.integers(-1, B, m).astype(np.int32)
+    mean0, var0, valid0 = bank_predict_assigned(
+        bank, q, idx, 0.4, kernel="matern32")
+    prof = {}
+    mean1, var1, valid1 = bank_predict_assigned(
+        bank, q, idx, 0.4, kernel="matern32", profile=prof)
+    np.testing.assert_array_equal(mean0, mean1)
+    np.testing.assert_array_equal(var0, var1)
+    np.testing.assert_array_equal(valid0, valid1)
+    for k in ("host_group", "h2d", "device", "d2h_scatter"):
+        assert k in prof and prof[k] >= 0.0
+    assert prof["bucket"][0] % 8 == 0 and prof["bucket"][1] >= 1
+
+
 def test_bank_fit_rr_matches_single_rr_gp():
     """Reduced-rank bank: each member's basis information system must match
     a standalone reduced-rank VanillaGP on the same data (the RR-threading
