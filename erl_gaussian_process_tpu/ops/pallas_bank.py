@@ -68,6 +68,7 @@ from erl_gaussian_process_tpu.models.gp_core import matmul_precision
 # tuple / in-kernel comparisons (observed: func.return (i32, i64) fails to
 # legalize; i64 loop indices blow the tracer's promotion recursion)
 _Z = np.int32(0)
+_ONE = np.int32(1)
 
 _MAX_N = 512
 _MAX_D = 8
@@ -144,6 +145,68 @@ def _elimination(m_ref, n: int):
     jax.lax.while_loop(lambda j: j < n, body, _Z)
 
 
+def _elimination_r2(m_ref, n: int):
+    """Rank-2 form of :func:`_elimination`: TWO pivot columns per serial
+    iteration (``n`` is always a 128 multiple, so even). Same fusion as
+    ops/pallas_chol._elim2d_r2 — the 2x2 pivot block factors in scalar
+    lane reduces, both L-columns come from one pre-update read of the A
+    panel, and the trailing (G, n, 2n) read-modify-write (the dominant
+    serialized cost of the loop) runs once per column PAIR. Identity
+    rows from far-point padding pass through unchanged (d = 1, e_j row).
+    Opt back into rank-1 with ERL_GP_BANK_ELIM1=1 (trace-time)."""
+    G, _, W = m_ref.shape
+
+    def body(j):
+        j1 = j + _ONE
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (G, 1, W), 2)
+        row0 = m_ref[:, pl.ds(j, 1), :]                        # (G,1,W)
+        row1 = m_ref[:, pl.ds(j1, 1), :]
+        d0 = jnp.sum(jnp.where(lane_w == j, row0, 0.0), axis=2,
+                     keepdims=True)
+        inv0 = jax.lax.rsqrt(d0)                    # NaN if not SPD
+        s0 = d0 * inv0
+        urow0 = jnp.where((lane_w < n) & (lane_w <= j), 0.0, row0 * inv0) \
+            + jnp.where(lane_w == j, s0, 0.0)
+        l10 = jnp.sum(jnp.where(lane_w == j, row1, 0.0), axis=2,
+                      keepdims=True) * inv0
+        row1p = row1 - l10 * urow0
+        d1 = jnp.sum(jnp.where(lane_w == j1, row1p, 0.0), axis=2,
+                     keepdims=True)                 # d11 - l10^2
+        inv1 = jax.lax.rsqrt(d1)
+        s1 = d1 * inv1
+        urow1 = jnp.where((lane_w < n) & (lane_w <= j1), 0.0, row1p * inv1) \
+            + jnp.where(lane_w == j1, s1, 0.0)
+        m_ref[:, pl.ds(j, 1), :] = urow0
+        m_ref[:, pl.ds(j1, 1), :] = urow1
+        apart = m_ref[:, :, :n]                                # (G,n,n)
+        lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
+        c0 = jnp.sum(jnp.where(lane_a == j, apart, 0.0), axis=2,
+                     keepdims=True)
+        c1 = jnp.sum(jnp.where(lane_a == j1, apart, 0.0), axis=2,
+                     keepdims=True)
+        lcol0 = c0 * inv0
+        u01 = jnp.sum(jnp.where(lane_w == j1, row0, 0.0), axis=2,
+                      keepdims=True) * inv0                    # = l10
+        lcol1 = (c1 - lcol0 * u01) * inv1
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, n, 1), 1)
+        keep = sub > j1
+        lcol0 = jnp.where(keep, lcol0, 0.0)
+        lcol1 = jnp.where(keep, lcol1, 0.0)
+        m_ref[:] = m_ref[:] - lcol0 * urow0 - lcol1 * urow1
+        return j + np.int32(2)
+
+    jax.lax.while_loop(lambda j: j < n, body, _Z)
+
+
+def _elim(m_ref, n: int):
+    """Dispatch: rank-2 when ``n`` is even (default), rank-1 otherwise
+    or under ERL_GP_BANK_ELIM1=1."""
+    if n % 2 == 0 and not os.environ.get("ERL_GP_BANK_ELIM1"):
+        _elimination_r2(m_ref, n)
+    else:
+        _elimination(m_ref, n)
+
+
 def _fit_kernel(*refs, name: str, d: int):
     (scale_ref, *xc_refs, xr_ref, var_ref, m_ref) = refs
     G, n, _ = m_ref.shape
@@ -157,7 +220,7 @@ def _fit_kernel(*refs, name: str, d: int):
     diag = lane_a == sub_a
     m_ref[:, :, :n] = kf + jnp.where(diag, var_ref[:, :1, :], 0.0)
     m_ref[:, :, n:] = diag.astype(m_ref.dtype)
-    _elimination(m_ref, n)
+    _elim(m_ref, n)
 
 
 def _chol_kernel(k_ref, m_ref):
@@ -166,7 +229,7 @@ def _chol_kernel(k_ref, m_ref):
     lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
     sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 1)
     m_ref[:, :, n:] = (lane_a == sub_a).astype(m_ref.dtype)
-    _elimination(m_ref, n)
+    _elim(m_ref, n)
 
 
 def _cost(B, n):

@@ -260,7 +260,7 @@ def test_pallas_kernels_trace_i64_free_under_x64():
     func.return legalization failure from bare-int index-map literals).
     CPU-traceable guard for a TPU-only compile failure."""
     import jax.experimental.pallas as pl
-    from erl_gaussian_process_tpu.ops.pallas_bank import _elimination
+    from erl_gaussian_process_tpu.ops.pallas_bank import _elim
     from erl_gaussian_process_tpu.ops import pallas_trsv
 
     assert jax.config.jax_enable_x64
@@ -268,7 +268,7 @@ def test_pallas_kernels_trace_i64_free_under_x64():
     G, n = 2, 128
     def bank_kernel(in_ref, m_ref):
         m_ref[:] = in_ref[:]
-        _elimination(m_ref, n)
+        _elim(m_ref, n)
 
     f = pl.pallas_call(
         bank_kernel,
@@ -394,17 +394,20 @@ def test_pallas_chol_gram_parity_tpu():
         assert mae < 2e-3, (fam, mae)
 
 
-def test_elim2d_interpret_parity():
+@pytest.mark.parametrize("rank", [1, 2])
+def test_elim2d_interpret_parity(rank):
     """The streaming-Cholesky elimination base case ([D|I] -> [L^T|L^-1])
-    against numpy, in interpret mode — pins ops/pallas_chol._elim2d on a
-    backend where the TPU-only kernel parity tests skip."""
+    against numpy, in interpret mode — pins ops/pallas_chol._elim2d and
+    its rank-2 form on a backend where the TPU-only parity tests skip."""
     from jax.experimental import pallas as pl
 
-    from erl_gaussian_process_tpu.ops.pallas_chol import _SB, _elim2d
+    from erl_gaussian_process_tpu.ops.pallas_chol import (_SB, _elim2d,
+                                                          _elim2d_r2)
+    elim = _elim2d if rank == 1 else _elim2d_r2
 
     def kern(aug_in, aug_out, aug_scratch):
         aug_scratch[:, :] = aug_in[:, :]
-        _elim2d(aug_scratch, _SB)
+        elim(aug_scratch, _SB)
         aug_out[:, :] = aug_scratch[:, :]
 
     rng = np.random.default_rng(0)
@@ -423,6 +426,48 @@ def test_elim2d_interpret_parity():
     L_ref = np.linalg.cholesky(D.astype(np.float64))
     assert np.abs(L - L_ref).max() / np.abs(L_ref).max() < 1e-5
     assert np.abs(L_inv @ L - np.eye(_SB)).max() < 1e-4
+
+
+@pytest.mark.parametrize("rank", [1, 2])
+def test_bank_elimination_interpret_parity(rank):
+    """The bank kernel's batched augmented elimination (both ranks)
+    against numpy per-member Cholesky, in interpret mode — including an
+    identity (far-point-padded) member, which the rank-2 2x2 pivot must
+    pass through unchanged."""
+    from jax.experimental import pallas as pl
+
+    from erl_gaussian_process_tpu.ops.pallas_bank import (_elimination,
+                                                          _elimination_r2)
+    elim = _elimination if rank == 1 else _elimination_r2
+
+    G, n = 3, 128
+    rng = np.random.default_rng(1)
+    A = np.empty((G, n, n), np.float32)
+    for g in range(G - 1):
+        X = rng.standard_normal((n, n)).astype(np.float32)
+        A[g] = X @ X.T + n * np.eye(n, dtype=np.float32)
+    A[G - 1] = np.eye(n, dtype=np.float32)   # far-point-padded member
+    aug = np.concatenate(
+        [A, np.broadcast_to(np.eye(n, dtype=np.float32), (G, n, n))], axis=2)
+
+    def kern(aug_in, aug_out, scratch):
+        scratch[:] = aug_in[:]
+        elim(scratch, n)
+        aug_out[:] = scratch[:]
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((G, n, 2 * n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G, n, 2 * n), jnp.float32)],
+        interpret=True,
+    )(jnp.asarray(aug))
+    out = np.asarray(out, np.float64)
+    for g in range(G):
+        L = np.tril(out[g, :, :n].T)
+        L_inv = out[g, :, n:]
+        L_ref = np.linalg.cholesky(A[g].astype(np.float64))
+        assert np.abs(L - L_ref).max() / np.abs(L_ref).max() < 1e-5, g
+        assert np.abs(L_inv @ L - np.eye(n)).max() < 1e-4, g
 
 
 def test_chol_blocked_interpret_parity(monkeypatch):
