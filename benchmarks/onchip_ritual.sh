@@ -20,10 +20,17 @@ log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
   # -x: a wedged TPU backend fails EVERY test in the process (observed
   # 2026-08-18: 22 aborts x ~70 s of retries = 25 wasted minutes); stop
   # at the first failure instead.
+  # stdbuf -oL + -v: each test flushes a line into the log as it finishes.
+  # Remote-side compiles (30-90 s each, ZERO local CPU) otherwise make a
+  # healthy run indistinguishable from a wedged tunnel for tens of
+  # minutes — two healthy runs were killed on that misread 2026-08-18.
+  # Patience rule: after killing ANY TPU process, the remote chip lock
+  # lingers for minutes; the next client's first dispatch blocks until
+  # it clears. Don't kill a phase unless the LOG is silent >30 min.
   echo "== TPU-only kernel parity (test_ops) =="
-  ERL_GP_TEST_TPU=1 python -m pytest tests/test_ops.py -q -x
+  ERL_GP_TEST_TPU=1 stdbuf -oL -eL python -m pytest tests/test_ops.py -v -x
   echo "== full suite on-chip (incl. full-size reference goldens) =="
-  ERL_GP_HEAVY=1 ERL_GP_TEST_TPU=1 python -m pytest tests/ -q -x
+  ERL_GP_HEAVY=1 ERL_GP_TEST_TPU=1 stdbuf -oL -eL python -m pytest tests/ -v -x
   echo "== streaming-chol profile =="
   python benchmarks/profile_chol.py
   echo "== streaming-chol A/B (HEAD vs last measured rev vs XLA) =="
