@@ -27,17 +27,26 @@ log="benchmarks/onchip_$(date -u +%Y%m%d_%H%M).log"
   # Patience rule: after killing ANY TPU process, the remote chip lock
   # lingers for minutes; the next client's first dispatch blocks until
   # it clears. Don't kill a phase unless the LOG is silent >30 min.
+  # Phase order: kernel parity gates first (a broken kernel must not
+  # produce a clean bench), then EVERY perf capture (rounds 2-3 both
+  # died owing hardware numbers — bank those before anything long), and
+  # the full on-chip suite last: with cold remote compiles (30-90 s
+  # each, the persistent cache rarely applies through the tunnel) it is
+  # the multi-hour phase, and a failure there must not cost the numbers.
   echo "== TPU-only kernel parity (test_ops) =="
   ERL_GP_TEST_TPU=1 stdbuf -oL -eL python -m pytest tests/test_ops.py -v -x
-  echo "== full suite on-chip (incl. full-size reference goldens) =="
-  ERL_GP_HEAVY=1 ERL_GP_TEST_TPU=1 stdbuf -oL -eL python -m pytest tests/ -v -x
   echo "== streaming-chol profile =="
   python benchmarks/profile_chol.py
   echo "== streaming-chol A/B (HEAD vs last measured rev vs XLA) =="
   python benchmarks/ab_chol.py
+  echo "== elimination-rank A/B (rank-2 default vs rank-1) =="
+  python benchmarks/ab_elim.py
+  ERL_GP_CHOL_ELIM1=1 ERL_GP_BANK_ELIM1=1 python benchmarks/ab_elim.py
   echo "== full suite benchmarks (BENCHMARKS.md rows incl. roofline) =="
   python benchmarks/suite.py
   echo "== headline bench =="
   python bench.py
+  echo "== full suite on-chip (incl. full-size reference goldens) =="
+  ERL_GP_HEAVY=1 ERL_GP_TEST_TPU=1 stdbuf -oL -eL python -m pytest tests/ -v -x
 } 2>&1 | tee "$log"
 echo "ritual complete -> $log"

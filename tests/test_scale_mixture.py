@@ -23,6 +23,13 @@ from erl_gaussian_process_tpu.kernels import (
 
 FAMILIES = ["rbf", "ou", "matern32"]
 
+# see tests/test_ops.py: interpret emulation through the remote tunnel is
+# pathologically slow and redundant with the on-silicon parity tests
+interpret_test = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret emulation through the remote tunnel; the *_tpu "
+           "parity tests cover these kernels on silicon")
+
 
 def _dense_mixture(name, x1, x2, scale, scale_mix, weights):
     """Reference computation: explicit weighted sum of component grams."""
@@ -257,6 +264,7 @@ def test_mixture_rejections():
         VanillaGaussianProcess(s)
 
 
+@interpret_test
 def test_pallas_gram_mixture_parity_interpret():
     """Mixture kernels stay on the fused Pallas gram path: _apply_family
     unrolls the static (ratios, weights) inside the kernel tile. Parity
@@ -279,6 +287,7 @@ def test_pallas_gram_mixture_parity_interpret():
                                rtol=1e-6, atol=1e-6)
 
 
+@interpret_test
 def test_pallas_fitc_mixture_parity_interpret():
     """The fused FITC update accepts mixture names (it applies the kernel
     via _apply_family on the in-register distance tile)."""
