@@ -87,10 +87,16 @@ def sharded_bank_fit(mesh: Mesh, x, y, var, mask, scale, *, kernel: str
         return L, L_inv, alpha, jnp.any(ml, axis=1)
 
     spec = P(BANK_AXIS)
+    # check_vma=False: jax 0.9's varying-mesh-axes checker requires a `vma`
+    # on every pallas_call out_shape traced inside shard_map (pallas_call.py
+    # _convert_out_shape_to_aval) — the fused bank kernel is shared with the
+    # single-chip paths where vma is meaningless, and this map has no
+    # collectives for the checker to verify (members are independent).
     L, L_inv, alpha, trained = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(spec, spec, spec, spec),
-        out_specs=(spec, spec if use_pallas else P(), spec, spec)))(
+        out_specs=(spec, spec if use_pallas else P(), spec, spec),
+        check_vma=False))(
         x, y, var, mask)
     return BankState(x=x[:B0], mask=mask[:B0], L=L[:B0], alpha=alpha[:B0],
                      trained=trained[:B0],

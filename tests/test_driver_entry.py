@@ -44,7 +44,11 @@ def test_bench_fails_fast_with_structured_json():
     # race (even a healthy local backend takes >50 ms to create), so this
     # deterministically exercises the fail-fast path regardless of tunnel
     # state: one-line JSON on stdout, exit code 0, well under 60 s.
-    r = _run(["bench.py"], env_extra={"ERL_GP_BENCH_INIT_TIMEOUT": "0.01"},
+    # POLL_BUDGET=0 collapses the round-4 retry loop (bench.py polls a down
+    # backend for up to 10 min in production; here one failed probe must
+    # emit the structured JSON immediately).
+    r = _run(["bench.py"], env_extra={"ERL_GP_BENCH_INIT_TIMEOUT": "0.01",
+                                      "ERL_GP_BENCH_POLL_BUDGET": "0"},
              timeout=120)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
