@@ -80,8 +80,8 @@ def pallas_chol_enabled(dtype, n: int) -> bool:
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    # upper bound: the resident bj panel + 8-chunk panel-sem budget cap
-    # the kernel at nb <= 33 tiles (see _chol_scratch)
+    # upper bound: beyond ~16k the O(n^2) HBM L re-reads of the streaming
+    # prefix leave no headroom over XLA's chain; untested territory
     if n < 6000 or n > 16384:
         return False
     try:
@@ -252,190 +252,117 @@ def _factor_tile(acc_ref, aug_ref, l_buf, i_buf):
     return
 
 
-# Semaphore map shared by both kernels (gram adds 25..30):
-#   0..3   bi slab slots        4..6   bi remainder tiles
-#   8,9 / 12,13  deferred output writes by step parity
-#   10,11  A-tile input slots (plain kernel only)
-#   14..21 bj-panel chunks      22..24 bj-panel remainder tiles
-#   25..30 coordinate-slice slots (gram kernel only)
-_S_SLAB, _S_REM, _S_PCHUNK, _S_PREM, _S_SLICE = 0, 4, 14, 22, 25
+# Semaphore map shared by both kernels:
+#   0..7   prefix pairs (2 per window slot, 4-deep window)
+#   8,9 / 12,13 (plain) or 8,9 / 16,17 (gram)  deferred writes by parity
+#   10,11  A-tile input slots (plain) / 10..15 coordinate slices (gram)
+_S_PAIR = 0
 
 
-def _panel_pieces(j, l_any, T):
-    """The row-j prefix panel L[j, 0:j] decomposes into full 4-tile
-    chunks at STATIC offsets (trace-time bounds validation ignores
-    pl.when, so only chunks provably inside the array are emitted) plus
-    up to 3 remainder tiles at a dynamic offset. Returns
-    (static_chunk_range, dynamic_base). The same decomposition drives
-    the bi slab stream on off-diagonal steps."""
+def _prestart_pairs(i, j, l_any, bi, bj, sems, T):
+    """Start prefix pairs 0..2 (the head of the 4-deep window). The
+    static range must stay inside the array: prefix index p < j <= nb-1,
+    so p <= nb-2 — a concrete p beyond that fails trace-time bounds
+    validation even under pl.when."""
     nb = l_any.shape[0] // T
-    return range(max((nb - 1) // 4, 0)), 4 * jax.lax.div(j, np.int32(4))
-
-
-def _slab_src(row, c4, l_any, T):
-    """(T, 4T) slab descriptor source: row tile ``row``, columns
-    [c4, c4+4) tiles. ``c4`` is the first tile index (may be dynamic)."""
-    return l_any.at[pl.ds(row * T, T), pl.ds(c4 * T, 4 * T)]
-
-
-def _prestart_panel(j, l_any, bj_panel, sems, T):
-    """Diagonal steps: start ALL DMAs filling bj_panel with this
-    column's prefix row L[j, 0:j]. Must run AFTER the write drains (the
-    panel reads row j, which the previous steps' strict-upper mirror
-    writes target). Columns >= j in the panel are left as garbage and
-    never enter a dot (full chunks stop below j; remainder tiles are
-    per-tile)."""
-    chunks, base = _panel_pieces(j, l_any, T)
-    for c in chunks:
-        @pl.when(np.int32(4 * (c + 1)) <= j)
-        def _(c=c):
+    for q in range(min(3, max(nb - 1, 0))):
+        @pl.when(np.int32(q) < j)
+        def _(q=np.int32(q)):
+            # np.int32: a raw python int lowers as an i64 memref_slice
+            # index under jax_enable_x64, which Mosaic's verifier
+            # rejects (caught by tests/test_tpu_aot_compile.py)
             pltpu.make_async_copy(
-                _slab_src(j, np.int32(4 * c), l_any, T),
-                bj_panel.at[:, pl.ds(np.int32(4 * c) * T, 4 * T)],
-                sems.at[np.int32(_S_PCHUNK + c)]).start()
-    for r in range(3):
-        @pl.when(base + r < j)
-        def _(r=np.int32(r)):
+                l_any.at[pl.ds(i * T, T), pl.ds(q * T, T)],
+                bi.at[q], sems.at[np.int32(2 * q)]).start()
             pltpu.make_async_copy(
-                l_any.at[pl.ds(j * T, T), pl.ds((base + r) * T, T)],
-                bj_panel.at[:, pl.ds((base + r) * T, T)],
-                sems.at[np.int32(_S_PREM) + r]).start()
+                l_any.at[pl.ds(j * T, T), pl.ds(q * T, T)],
+                bj.at[q], sems.at[np.int32(2 * q + 1)]).start()
 
 
-def _prestart_bi(i, j, l_any, bi_slab, bi_rem, sems, T):
-    """Off-diagonal steps: start the head of the bi slab window (depth
-    4) plus the remainder tiles. Safe BEFORE the write drains: slabs
-    read row i, and every write still in flight targets rows i-1 / i-2
-    / j (see _deferral_waits' hazard table) — never row i."""
-    nb = l_any.shape[0] // T
-    nfull = jax.lax.div(j, np.int32(4))
-    for s in range(min(3, nb // 4)):
-        @pl.when(np.int32(s) < nfull)
-        def _(s=s):
-            pltpu.make_async_copy(
-                _slab_src(i, np.int32(4 * s), l_any, T),
-                # np.int32: a raw python int lowers as an i64 memref_slice
-                # index under jax_enable_x64, which Mosaic's verifier
-                # rejects (caught by tests/test_tpu_aot_compile.py)
-                bi_slab.at[np.int32(s)],
-                sems.at[np.int32(_S_SLAB + s)]).start()
-    _, base = _panel_pieces(j, l_any, T)
-    for r in range(3):
-        @pl.when(base + r < j)
-        def _(r=np.int32(r)):
-            pltpu.make_async_copy(
-                l_any.at[pl.ds(i * T, T), pl.ds((base + r) * T, T)],
-                bi_rem.at[r], sems.at[np.int32(_S_REM) + r]).start()
+def _tile_step(i, j, l_any, dinv_any, acc, bi, bj, lb, i_buf, aug,
+               zbuf, sems, wait_input, wl, wa):
+    """Shared per-tile work. The caller must have ALREADY called
+    ``_prestart_pairs`` (ordering differs between diag and offdiag steps
+    — see _deferral_waits' hazard table) and ``wait_input()`` must
+    finish materializing A[i, j] into ``acc`` (DMA wait or in-kernel
+    gram build). Then subtract the prefix products, factor (diag) or
+    solve (off-diag), and start the output writes on sems ``wl``/``wa``
+    (this step's parity) WITHOUT waiting — the two-step deferral gives
+    each ~2 MB store a full grid step to drain. ``lb`` is this parity's
+    l_buf slot.
 
-
-def _tile_step(i, j, l_any, dinv_any, acc, bi_slab, bi_rem, bj_panel,
-               lb, i_buf, aug, zbuf, sems, wait_input, wl, wa):
-    """Shared per-tile work. The caller must have ALREADY prestarted the
-    prefix DMAs (``_prestart_bi`` for offdiag, ``_prestart_panel`` for
-    diag — ordering differs, see _deferral_waits' hazard table) and
-    ``wait_input()`` must finish materializing A[i, j] into ``acc``
-    (DMA wait or in-kernel gram build). Then subtract the prefix
-    products, factor (diag) or solve (off-diag), and start the output
-    writes on sems ``wl``/``wa`` (this step's parity) WITHOUT waiting —
-    the two-step deferral gives each ~2 MB store a full grid step to
-    drain. ``lb`` is this parity's l_buf slot.
-
-    Prefix structure — the round-3 redesign. The per-offdiag fixed cost
-    is DMA-descriptor ISSUE count, not transfer bytes (measured v5e,
+    Per-offdiag-tile fixed cost is the kernel's bound (measured v5e,
     benchmarks/profile_chol.py: 49.8 us/tile at depth-2 pairs, 37.6 us
-    with deferred writes, ~39 us with a 4-deep pair window + deferral —
-    invariant to transfer scheduling, ~1.5 us of scalar-core time per
-    descriptor across ~14-24 issues/step; the earlier "per-pair HBM
-    stream" reading of the same data confused issue cost with transfer
-    time). So the prefix now moves 4 tiles per descriptor and reads the
-    shared operand zero times per step:
+    after one-step write deferral, ~39 us at this 4-deep pair window +
+    two-step deferral, against ~6 us of solve MXU work + ~2.5 us of
+    tile DMA at n=8192). Dinv[j] for the solve is read directly from
+    ``i_buf``, which STILL HOLDS the factorization output of this
+    column's diagonal step (column-major order; offdiag steps never
+    write i_buf) instead of round-tripping through HBM.
 
-      - bj: the whole prefix row L[j, 0:j] is loaded into a persistent
-        VMEM panel ONCE per column (at the diagonal step, whose serial
-        elimination hides the transfer), because column-major order
-        means every off-diagonal step of column j needs exactly that
-        row. Offdiag steps do NO bj DMA at all.
-      - bi: row i streams as (T, 4T) slabs — one descriptor and ONE
-        MXU dot per 4 prefix products (a 4T-contraction dot is the sum
-        of the 4 tile products), 4-deep double-buffered window.
-      - Dinv[j] for the solve is read directly from ``i_buf``, which
-        still holds the factorization output of this column's diagonal
-        step (offdiag steps never write i_buf).
+    Rejected redesigns (measured on v5e; kept so they are not re-tried):
 
-    Tile=1024 was measured and rejected (8.10 vs 7.32 ms at n=8192:
-    bigger tiles lengthen the serial factor/solve critical path more
-    than they save in step overhead)."""
+    - Tile=1024: 8.10 vs 7.32 ms at n=8192 — bigger tiles lengthen the
+      serial factor/solve critical path more than they save in step
+      overhead.
+    - Resident-panel + (T, 4T) slab prefix (round 3, commit 2e02240):
+      keep the whole prefix row L[j, 0:j] in a persistent VMEM panel
+      filled once per column at the diagonal step, stream row i as
+      4-tile slabs with one MXU dot per slab — offdiag steps issue ~1/4
+      the DMA descriptors and never re-read the shared operand. The
+      descriptor-issue-count theory predicted ~25 us/offdiag; silicon
+      measured the OPPOSITE: 50.3 us/offdiag, n=8192 9.10 ms vs 7.08 for
+      this pair-streaming form (A/B benchmarks/ab_chol.py, 2026-08-18;
+      +29% at n=4096 and n=6144 too). With descriptor issue off the
+      critical path, the coarser wait granularity (4 MB slab + panel
+      fills serialized behind the diag factorization) dominates instead.
+      The per-pair stream below double-buffers 1 MB transfers 4 deep —
+      one DMA stream sustains only ~120 GB/s on v5e, so depth, not
+      descriptor count, is what saturates the ~819 GB/s HBM interface.
+    """
     T = acc.shape[0]
-    is_diag = i == j
-    nfull = jax.lax.div(j, np.int32(4))
-    _, base = _panel_pieces(j, l_any, T)
+
+    # prefetched p-loop: Acc -= L[i,p] @ L[j,p]^T, 4-pair-deep window
+    def start_pair(p, slot):
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(i * T, T), pl.ds(p * T, T)],
+            bi.at[slot], sems.at[2 * slot]).start()
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(j * T, T), pl.ds(p * T, T)],
+            bj.at[slot], sems.at[2 * slot + 1]).start()
+
+    def wait_pair(p, slot):
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(i * T, T), pl.ds(p * T, T)],
+            bi.at[slot], sems.at[2 * slot]).wait()
+        pltpu.make_async_copy(
+            l_any.at[pl.ds(j * T, T), pl.ds(p * T, T)],
+            bj.at[slot], sems.at[2 * slot + 1]).wait()
 
     wait_input()
 
-    # diag: panel chunks double as the prefix operands (both sides are
-    # row j) — wait each chunk's fill, then one self-product per chunk
-    @pl.when(is_diag & (j > 0))
+    @pl.when(j > 0)
     def _():
-        def dchunk(c):
-            pltpu.make_async_copy(
-                _slab_src(j, np.int32(4) * c, l_any, T),
-                bj_panel.at[:, pl.ds(np.int32(4) * c * T, 4 * T)],
-                sems.at[np.int32(_S_PCHUNK) + c]).wait()
-            blk = bj_panel[:, pl.ds(np.int32(4) * c * T, 4 * T)]
-            acc[:, :] = acc[:, :] - _dot3x(blk, blk, dims=_NN_DIMS)
-            return c + np.int32(1)
+        def body(p):
+            slot = jax.lax.rem(p, np.int32(4))
 
-        jax.lax.while_loop(lambda c: c < nfull, dchunk, _Z)
-        for r in range(3):
-            @pl.when(base + r < j)
-            def _(r=np.int32(r)):
-                pltpu.make_async_copy(
-                    l_any.at[pl.ds(j * T, T), pl.ds((base + r) * T, T)],
-                    bj_panel.at[:, pl.ds((base + r) * T, T)],
-                    sems.at[np.int32(_S_PREM) + r]).wait()
-                pk = bj_panel[:, pl.ds((base + r) * T, T)]
-                acc[:, :] = acc[:, :] - _dot3x(pk, pk, dims=_NN_DIMS)
-
-    # offdiag: slab window over row i against the resident panel
-    @pl.when(jnp.logical_not(is_diag) & (j > 0))
-    def _():
-        def ochunk(c):
-            sl = jax.lax.rem(c, np.int32(4))
-            pltpu.make_async_copy(
-                _slab_src(i, np.int32(4) * c, l_any, T),
-                bi_slab.at[sl], sems.at[np.int32(_S_SLAB) + sl]).wait()
-            acc[:, :] = acc[:, :] - _dot3x(
-                bi_slab[sl],
-                bj_panel[:, pl.ds(np.int32(4) * c * T, 4 * T)],
-                dims=_NN_DIMS)
-
-            @pl.when(c + 3 < nfull)
+            @pl.when(p + 3 < j)
             def _():
-                s3 = c + np.int32(3)
-                pltpu.make_async_copy(
-                    _slab_src(i, np.int32(4) * s3, l_any, T),
-                    bi_slab.at[jax.lax.rem(s3, np.int32(4))],
-                    sems.at[np.int32(_S_SLAB)
-                            + jax.lax.rem(s3, np.int32(4))]).start()
-            return c + np.int32(1)
+                start_pair(p + np.int32(3),
+                           jax.lax.rem(p + np.int32(3), np.int32(4)))
 
-        jax.lax.while_loop(lambda c: c < nfull, ochunk, _Z)
-        for r in range(3):
-            @pl.when(base + r < j)
-            def _(r=np.int32(r)):
-                pltpu.make_async_copy(
-                    l_any.at[pl.ds(i * T, T), pl.ds((base + r) * T, T)],
-                    bi_rem.at[r], sems.at[np.int32(_S_REM) + r]).wait()
-                acc[:, :] = acc[:, :] - _dot3x(
-                    bi_rem[r],
-                    bj_panel[:, pl.ds((base + r) * T, T)],
-                    dims=_NN_DIMS)
+            wait_pair(p, slot)
+            acc[:, :] = acc[:, :] - _dot3x(bi[slot], bj[slot],
+                                           dims=_NN_DIMS)
+            return p + np.int32(1)
 
-    @pl.when(is_diag)
+        jax.lax.while_loop(lambda p: p < j, body, _Z)
+
+    @pl.when(i == j)
     def _():
         _factor_tile(acc, aug, lb, i_buf)
 
-    @pl.when(jnp.logical_not(is_diag))
+    @pl.when(i != j)
     def _():
         # Dinv[j] still lives in i_buf from this column's diagonal step
         lb[:, :] = _dot3x(acc[:, :], i_buf[:, :], dims=_NN_DIMS)
@@ -471,7 +398,7 @@ def _start_or_wait_writes(i, j, l_any, dinv_any, lb, i_buf, zbuf, sems,
 
 def _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
                     i_buf, zbuf, sems, T, slot, wl, wa, pwl, pwa,
-                    prestart_offdiag, prestart_diag):
+                    prestart):
     """Two-step write-deferral schedule, shared by both kernels.
 
     Each step starts its ~2 MB of output stores without waiting; the
@@ -485,21 +412,22 @@ def _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
       - w+2, iff step w+1 is an off-diagonal step   (cond_a here)
     Both precede the next same-parity store start (end of step w+2).
 
-    Hazard table for starting the prefix-bi DMAs BEFORE the waits
-    (offdiag steps only — this overlaps slab-0 DMA latency with the
-    write waits): an offdiag step (i, j) DMA-reads row i of columns
-    p < j (bj comes from the resident VMEM panel, no DMA). Writes
-    still in flight at that moment are from t-1 and t-2 — L tiles in
-    rows i-1 / i-2 / j and strict-upper mirrors in row j — never row
-    i. Diagonal steps DO read row j (the panel fill, which the
-    in-flight mirror writes target) and overwrite i_buf whose Dinv
-    DMA may be in flight, so they drain BOTH parities before
-    prestarting."""
+    Hazard table for starting the prefix pairs BEFORE the waits
+    (offdiag steps only — this overlaps pair-0 DMA latency with the
+    write waits): an offdiag step (i, j) prefix-reads rows {i, j} of
+    columns p < j. Writes still in flight at that moment are from t-1
+    and t-2, which both target column j (first offdiag of a column:
+    t-1 = (j, j) and t-2 was already drained by the diag's cond_b;
+    later offdiags: both in column j) or the never-read strict-upper
+    mirror — never a read tile. Diagonal steps DO read column j-1
+    (tile (j, j-1), written at t-1 when j = nb-1, at t-2 when
+    j = nb-2) and overwrite i_buf whose Dinv DMA may be in flight, so
+    they drain BOTH parities before prestarting."""
     is_diag = i == j
 
     @pl.when(jnp.logical_not(is_diag))
     def _():
-        prestart_offdiag()
+        prestart()
 
     # cond_a: wait t-2 (same parity) — unless t-1 was a diagonal step,
     # whose cond_b already drained it
@@ -518,11 +446,11 @@ def _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
 
     @pl.when(is_diag)
     def _():
-        prestart_diag()
+        prestart()
 
 
 def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
-                 acc, bi_slab, bi_rem, bj_panel, l_buf, i_buf, aug,
+                 acc, bi, bj, l_buf, i_buf, aug,
                  zbuf, sems):
     t = pl.program_id(0)
     i = ti_ref[t]
@@ -555,13 +483,11 @@ def _chol_kernel(ti_ref, tj_ref, a_any, l_any, dinv_any,
 
     _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
                     i_buf, zbuf, sems, T, slot, wl, wa, pwl, pwa,
-                    prestart_offdiag=lambda: _prestart_bi(
-                        i, j, l_any, bi_slab, bi_rem, sems, T),
-                    prestart_diag=lambda: _prestart_panel(
-                        j, l_any, bj_panel, sems, T))
+                    prestart=lambda: _prestart_pairs(i, j, l_any, bi, bj,
+                                                     sems, T))
 
-    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi_slab, bi_rem,
-               bj_panel, l_buf.at[slot], i_buf, aug, zbuf, sems,
+    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj,
+               l_buf.at[slot], i_buf, aug, zbuf, sems,
                wait_input=a_load(i, j, slot).wait, wl=wl, wa=wa)
 
     # final drain: nothing follows to absorb the last step's writes
@@ -641,7 +567,7 @@ def _joint_tile(fam: str, xi, xj, scale, d: int):
 
 
 def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
-                      l_any, dinv_any, acc, bi_slab, bi_rem, bj_panel,
+                      l_any, dinv_any, acc, bi, bj,
                       l_buf, i_buf, aug, zbuf, xi_s, xj_s, vj_s, sems,
                       *, fam: str, d: int, joint: bool = False):
     """Gram-fused variant: A[i, j] = k(x_i, x_j) (+ noise diag on i == j)
@@ -656,16 +582,17 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
     T = acc.shape[1]
     nt = np.int32(ti_ref.shape[0])
     slot = jax.lax.rem(t, np.int32(2))
-    # write sems by parity: 8/9 (even t), 12/13 (odd t) — same as plain
-    wl = np.int32(8) + np.int32(4) * slot
-    wa = np.int32(9) + np.int32(4) * slot
-    pwl = np.int32(12) - np.int32(4) * slot
-    pwa = np.int32(13) - np.int32(4) * slot
+    # write sems by parity: 8/9 (even t), 16/17 (odd t)
+    wl = np.int32(8) + np.int32(8) * slot
+    wa = np.int32(9) + np.int32(8) * slot
+    pwl = np.int32(16) - np.int32(8) * slot
+    pwa = np.int32(17) - np.int32(8) * slot
 
     # coordinate-slice DMAs: double-buffered slots with dedicated sems
-    # (see the module sem map at _S_SLICE)
+    # 10..15 (3 per slot); sems 0..7 = prefix pairs, 8/9 + 16/17 =
+    # deferred writes by parity
     def slice_copies(ii, jj, sl):
-        base = np.int32(_S_SLICE) + sl * np.int32(3)
+        base = np.int32(10) + sl * np.int32(3)
         return (
             pltpu.make_async_copy(xc_any.at[pl.ds(ii * T, T), :],
                                   xi_s.at[sl], sems.at[base]),
@@ -689,10 +616,8 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
 
     _deferral_waits(t, i, j, ti_ref, tj_ref, l_any, dinv_any, l_buf,
                     i_buf, zbuf, sems, T, slot, wl, wa, pwl, pwa,
-                    prestart_offdiag=lambda: _prestart_bi(
-                        i, j, l_any, bi_slab, bi_rem, sems, T),
-                    prestart_diag=lambda: _prestart_panel(
-                        j, l_any, bj_panel, sems, T))
+                    prestart=lambda: _prestart_pairs(i, j, l_any, bi, bj,
+                                                     sems, T))
 
     def build_gram():
         for c in slice_copies(i, j, slot):
@@ -731,8 +656,8 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
             accs[:, :] = accs[:, :] + jnp.where(sub == lane, diag_add,
                                                 0.0)
 
-    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi_slab, bi_rem,
-               bj_panel, l_buf.at[slot], i_buf, aug, zbuf, sems,
+    _tile_step(i, j, l_any, dinv_any, acc.at[slot], bi, bj,
+               l_buf.at[slot], i_buf, aug, zbuf, sems,
                wait_input=build_gram, wl=wl, wa=wa)
 
     @pl.when(t == nt - 1)
@@ -743,16 +668,12 @@ def _chol_gram_kernel(ti_ref, tj_ref, scale_ref, xc_any, xr_any, var_any,
 
 def _chol_scratch(n: int, tile: int, *, slices: bool = False):
     """Scratch layout shared by both kernels (gram adds the coordinate
-    slices). The bj panel holds one whole prefix row — VMEM therefore
-    scales with n ((nb-1) MB at tile=512), which together with the
-    8-chunk panel-sem budget caps the kernel at nb <= 33 (n <= 16896);
-    the enable gates enforce n <= 16384."""
-    nb = n // tile
+    slices). All buffers are n-independent: the prefix streams through a
+    4-deep (tile, tile) pair window — ~15.6 MB total at tile=512."""
     shapes = [
         pltpu.VMEM((2, tile, tile), jnp.float32),     # acc (2 slots)
-        pltpu.VMEM((4, tile, 4 * tile), jnp.float32),  # bi slabs (4 deep)
-        pltpu.VMEM((3, tile, tile), jnp.float32),     # bi remainder tiles
-        pltpu.VMEM((tile, max(nb - 1, 1) * tile), jnp.float32),  # bj panel
+        pltpu.VMEM((4, tile, tile), jnp.float32),     # bi (4-deep window)
+        pltpu.VMEM((4, tile, tile), jnp.float32),     # bj
         pltpu.VMEM((2, tile, tile), jnp.float32),     # l_buf (by parity)
         pltpu.VMEM((tile, tile), jnp.float32),        # i_buf
         pltpu.VMEM((_SB, 2 * _SB), jnp.float32),      # aug
@@ -764,15 +685,16 @@ def _chol_scratch(n: int, tile: int, *, slices: bool = False):
             pltpu.VMEM((2, 8, tile), jnp.float32),    # xj slices
             pltpu.VMEM((2, 8, tile), jnp.float32),    # var slices
         ]
-    shapes.append(pltpu.SemaphoreType.DMA((31,) if slices else (25,)))
+    # plain: 0..7 pairs, 8/9 + 12/13 writes by parity, 10/11 input slots
+    # gram:  0..7 pairs, 8/9 + 16/17 writes by parity, 10..15 slices
+    shapes.append(pltpu.SemaphoreType.DMA((18,) if slices else (14,)))
     return shapes
 
 
 def _chol_vmem_limit(n: int, tile: int) -> int:
-    nb = n // tile
-    tile_equivs = 2 + 16 + 3 + max(nb - 1, 1) + 2 + 1 + 1
-    scratch = tile_equivs * tile * tile * 4
-    return min(scratch + 24 * 1024 * 1024, 110 * 1024 * 1024)
+    # scratch (~15.6 MB at tile=512 with the 4-deep pair window +
+    # double-buffered inputs) exceeds the default 16 MB scoped-vmem budget
+    return (48 if tile <= 512 else 100) * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

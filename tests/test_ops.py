@@ -319,7 +319,7 @@ def test_pallas_kernels_trace_i64_free_under_x64():
 def test_pallas_chol_parity_tpu():
     """Streaming blocked Cholesky vs XLA's factorization, including the
     pad-to-512 path (n=2600) and posterior-grade accuracy vs float64.
-    n >= 2560 (nb >= 5): the slab/panel static slices set the kernel's
+    n >= 2560 (nb >= 5): chol_blocked's padded-size assert keeps the
     structural minimum (enable gates keep real traffic at n >= 6000)."""
     from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked
 
@@ -487,8 +487,8 @@ def test_bank_elimination_interpret_parity(rank):
 
 @interpret_test
 def test_chol_blocked_interpret_parity(monkeypatch):
-    """FULL streaming-Cholesky kernel (grid schedule, slab/panel prefix
-    decomposition, deferred writes, mirror zero-fill) against numpy in
+    """FULL streaming-Cholesky kernel (grid schedule, pair-stream prefix
+    window, deferred writes, mirror zero-fill) against numpy in
     interpret mode at a shrunk tile — pins the index arithmetic of every
     DMA descriptor on a backend where the TPU parity tests skip.
     Interpret mode emulates DMAs sequentially, so this cannot catch
