@@ -4,11 +4,15 @@ on the two kernels that carry it: the streaming single-matrix Cholesky
 _elimination_r2).
 
 The rank flags are read at TRACE time, so each variant needs its own
-process (jit caches would otherwise pin the first-traced variant):
+process (jit caches would otherwise pin the first-traced variant).
+Measured on v5e (2026-08-18 ritual) the winners DIFFER per kernel —
+rank-2 for the HBM-streaming chol (6.78 vs 7.10 ms at n=8192), rank-1
+for the VMEM-resident bank (6.7 vs 10.9 ms at B=1024 n=128) — so the
+defaults are per-kernel and this A/B swaps both to the non-default:
 
-    python benchmarks/ab_elim.py                          # rank-2 (default)
-    ERL_GP_CHOL_ELIM1=1 ERL_GP_BANK_ELIM1=1 \
-        python benchmarks/ab_elim.py                      # rank-1
+    python benchmarks/ab_elim.py                  # defaults: chol r2, bank r1
+    ERL_GP_CHOL_ELIM1=1 ERL_GP_BANK_ELIM2=1 \
+        python benchmarks/ab_elim.py              # swapped: chol r1, bank r2
 
 Parity is hard-asserted against numpy float64 before any timing prints.
 Timing uses benchmarks.suite._time (two-point fori_loop slope — see the
@@ -35,10 +39,12 @@ def main():
     from erl_gaussian_process_tpu.ops.pallas_chol import chol_blocked
 
     assert jax.default_backend() == "tpu", jax.devices()
-    rank = 1 if os.environ.get("ERL_GP_CHOL_ELIM1") else 2
-    print(f"elimination rank under test: {rank} "
-          f"(chol ELIM1={os.environ.get('ERL_GP_CHOL_ELIM1', '')!r}, "
-          f"bank ELIM1={os.environ.get('ERL_GP_BANK_ELIM1', '')!r})")
+    chol_rank = 1 if os.environ.get("ERL_GP_CHOL_ELIM1") else 2
+    bank_rank = 2 if os.environ.get("ERL_GP_BANK_ELIM2") else 1
+    print(f"elimination ranks under test: chol r{chol_rank}, "
+          f"bank r{bank_rank} "
+          f"(ELIM1={os.environ.get('ERL_GP_CHOL_ELIM1', '')!r}, "
+          f"BANK_ELIM2={os.environ.get('ERL_GP_BANK_ELIM2', '')!r})")
     rng = np.random.default_rng(0)
 
     # --- streaming chol at the suite's two headline sizes ---

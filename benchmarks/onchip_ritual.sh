@@ -74,9 +74,10 @@ run_phase() {
   run_phase perf "streaming-chol profile" python benchmarks/profile_chol.py
   run_phase perf "streaming-chol A/B (HEAD vs last measured rev vs XLA)" \
     python benchmarks/ab_chol.py
-  run_phase perf "elimination-rank A/B (rank-2 default)" python benchmarks/ab_elim.py
-  run_phase perf "elimination-rank A/B (rank-1 opt-out)" \
-    env ERL_GP_CHOL_ELIM1=1 ERL_GP_BANK_ELIM1=1 python benchmarks/ab_elim.py
+  run_phase perf "elimination-rank A/B (defaults: chol r2, bank r1)" \
+    python benchmarks/ab_elim.py
+  run_phase perf "elimination-rank A/B (swapped: chol r1, bank r2)" \
+    env ERL_GP_CHOL_ELIM1=1 ERL_GP_BANK_ELIM2=1 python benchmarks/ab_elim.py
   run_phase perf "full suite benchmarks (BENCHMARKS.md rows incl. roofline)" \
     python benchmarks/suite.py
   run_phase perf "headline bench" python bench.py

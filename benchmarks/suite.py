@@ -8,7 +8,12 @@ map-update rate at the production shape. Run with JAX_PLATFORMS='' for TPU.
 
 import json
 import os
+import sys
 import time
+
+# runnable as `python benchmarks/suite.py` from the repo root without
+# PYTHONPATH (sys.path[0] is benchmarks/, not the repo)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 import numpy as np
 import jax

@@ -153,7 +153,8 @@ def _elimination_r2(m_ref, n: int):
     panel, and the trailing (G, n, 2n) read-modify-write (the dominant
     serialized cost of the loop) runs once per column PAIR. Identity
     rows from far-point padding pass through unchanged (d = 1, e_j row).
-    Opt back into rank-1 with ERL_GP_BANK_ELIM1=1 (trace-time)."""
+    NOT the default: measured slower than rank-1 here (see _elim);
+    opt in with ERL_GP_BANK_ELIM2=1 (trace-time)."""
     G, _, W = m_ref.shape
 
     def body(j):
@@ -199,9 +200,15 @@ def _elimination_r2(m_ref, n: int):
 
 
 def _elim(m_ref, n: int):
-    """Dispatch: rank-2 when ``n`` is even (default), rank-1 otherwise
-    or under ERL_GP_BANK_ELIM1=1."""
-    if n % 2 == 0 and not os.environ.get("ERL_GP_BANK_ELIM1"):
+    """Dispatch: rank-1 by default — measured on v5e (2026-08-18 ritual)
+    the rank-2 pair form is 62% SLOWER here (B=1024 n=128: 10.9 ms vs
+    6.7 ms; B=1000 n=100: 10.8 vs 6.5): unlike the streaming chol's
+    elimination (where rank-2 wins by halving trips over an HBM-resident
+    panel), this loop is VPU-bound over a VMEM-resident (G, n, 2n) slab
+    and the pair form's extra per-iteration reads of the A panel cost
+    more than the halved iteration count saves. Rank-2 stays available
+    for A/B via ERL_GP_BANK_ELIM2=1 (trace-time, even ``n`` only)."""
+    if n % 2 == 0 and os.environ.get("ERL_GP_BANK_ELIM2"):
         _elimination_r2(m_ref, n)
     else:
         _elimination(m_ref, n)
