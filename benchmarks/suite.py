@@ -648,22 +648,34 @@ def bench_spgp_3d(n=2000, grid=(11, 11, 9)):
 
 
 def main():
+    import sys
+    # --only <substr>: run just the phases whose name contains <substr>
+    # (focused re-runs after a kernel change, without re-paying every
+    # remote compile in the full suite)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    phases = [
+        ("vanilla_2048", lambda: bench_vanilla(2048)),
+        ("vanilla_4096", lambda: bench_vanilla(4096)),
+        ("vanilla_8192", lambda: bench_vanilla(8192)),
+        ("bank", bench_bank),
+        ("bank_512x32", lambda: bench_bank(B=512, n=32)),
+        ("nigp", bench_nigp),
+        ("lidar_scan_train", bench_lidar_scan_train),
+        ("range_sensor_3d_train", bench_range_sensor_3d_train),
+        ("routed_predict", bench_routed_predict),
+        ("routed_predict_phases", bench_routed_predict_phases),
+        ("spgp", bench_spgp),
+        ("spgp_3d", bench_spgp_3d),
+    ]
+    if "--sweep" in sys.argv:
+        phases.append(("bank_sweep", bench_bank_sweep))
     emit(metric="backend", value=jax.default_backend(),
          unit=str(jax.devices()[0]))
-    for n in (2048, 4096, 8192):
-        bench_vanilla(n)
-    bench_bank()
-    bench_bank(B=512, n=32)
-    bench_nigp()
-    bench_lidar_scan_train()
-    bench_range_sensor_3d_train()
-    bench_routed_predict()
-    bench_routed_predict_phases()
-    bench_spgp()
-    bench_spgp_3d()
-    import sys
-    if "--sweep" in sys.argv:
-        bench_bank_sweep()
+    for name, thunk in phases:
+        if only is None or only in name:
+            thunk()
 
 
 if __name__ == "__main__":
