@@ -135,23 +135,26 @@ def cholesky_fit(K: jnp.ndarray, y: jnp.ndarray, *, robust: bool = True):
 
     if K.ndim == 2 and pallas_chol_enabled(K.dtype, K.shape[0]):
         # streaming blocked Pallas factorization (ops/pallas_chol.py):
-        # XLA's panel chain runs 2-3x off roofline at n >= 2k
-        L = chol_blocked(K)
-    else:
-        L = jnp.linalg.cholesky(K)
+        # XLA's panel chain runs 2-3x off roofline at n >= 2k; its free
+        # diagonal-block-inverse output feeds the substitution directly
+        L, dinv = chol_blocked(K, return_dinv=True)
+        return L, solve_with_L(L, y, chol_dinv=dinv)
+    L = jnp.linalg.cholesky(K)
     return L, solve_with_L(L, y)
 
 
-def solve_with_L(L: jnp.ndarray, y: jnp.ndarray):
+def solve_with_L(L: jnp.ndarray, y: jnp.ndarray, chol_dinv=None):
     """alpha = K^{-1} y from the Cholesky factor: the thin-RHS Pallas
-    substitution on TPU/f32 (ops/pallas_trsv.py), else two trsm."""
+    substitution on TPU/f32 (ops/pallas_trsv.py), else two trsm.
+    ``chol_dinv``: the streaming Cholesky's free diagonal-block-inverse
+    output — spares the substitution its batched-trsm prep."""
     from erl_gaussian_process_tpu.ops.pallas_trsv import (
         cho_solve_vec,
         pallas_trsv_enabled,
     )
 
     if L.ndim == 2 and pallas_trsv_enabled(L.dtype, L.shape[0], y.shape[1]):
-        return cho_solve_vec(L, y)
+        return cho_solve_vec(L, y, chol_dinv)
     a = solve_triangular(L, y, lower=True)
     return solve_triangular(L.T, a, lower=False)
 

@@ -94,11 +94,11 @@ def nigp_fit(x, y, grad, var_x, var_y, var_grad, sample_mask, grad_mask,
 
     alpha = pack_alpha(y, grad, sample_mask, grad_mask)
     if pallas_chol_joint_enabled(x.dtype, x.shape[0], kernel, x.shape[1]):
-        L = chol_blocked_gram_joint(
+        L, dinv = chol_blocked_gram_joint(
             kernel, x, var_x + var_y, var_grad, sample_mask, grad_mask,
-            scale)
+            scale, return_dinv=True)
         return NoisyInputGPState(x, sample_mask, grad_mask, L,
-                                 solve_with_L(L, alpha))
+                                 solve_with_L(L, alpha, chol_dinv=dinv))
     K = train_gram_with_gradient(
         kernel, x, jnp.where(sample_mask, var_x, 0.0),
         jnp.where(sample_mask, var_y, 0.0),
@@ -124,9 +124,10 @@ def nigp_fit_nograd(x, y, var_x, var_y, sample_mask, scale, *, kernel: str
     yv = jnp.where(sample_mask[:, None], y, 0.0)
     grad_mask = jnp.zeros_like(sample_mask)
     if pallas_chol_gram_enabled(x.dtype, x.shape[0], kernel, x.shape[1]):
-        L = chol_blocked_gram(kernel, x, var, sample_mask, scale)
+        L, dinv = chol_blocked_gram(kernel, x, var, sample_mask, scale,
+                                    return_dinv=True)
         return NoisyInputGPState(x, sample_mask, grad_mask, L,
-                                 solve_with_L(L, yv))
+                                 solve_with_L(L, yv, chol_dinv=dinv))
     K = train_gram(kernel, x, var, scale, mask=sample_mask)
     L, a = cholesky_fit(K, yv, robust=False)
     return NoisyInputGPState(x, sample_mask, grad_mask, L, a)

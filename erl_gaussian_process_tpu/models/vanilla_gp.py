@@ -73,9 +73,11 @@ def vanilla_fit(x, y, var, mask, scale, *, kernel: str) -> VanillaGPState:
     if pallas_chol_gram_enabled(x.dtype, x.shape[0], kernel, x.shape[1]):
         # gram-fused streaming factorization: the (n, n) train gram is
         # built tile-by-tile inside the Cholesky kernel and never
-        # round-trips through HBM (ops/pallas_chol.py)
-        L = chol_blocked_gram(kernel, x, var, mask, scale)
-        alpha = solve_with_L(L, y)
+        # round-trips through HBM (ops/pallas_chol.py); the kernel's free
+        # diagonal-block inverses spare the solve its batched-trsm prep
+        L, dinv = chol_blocked_gram(kernel, x, var, mask, scale,
+                                    return_dinv=True)
+        alpha = solve_with_L(L, y, chol_dinv=dinv)
         return VanillaGPState(x=x, mask=mask, L=L, alpha=alpha)
     K = train_gram(kernel, x, jnp.where(mask, var, 0.0), scale, mask=mask)
     # robust=False: single big system — NaN retry happens on the host

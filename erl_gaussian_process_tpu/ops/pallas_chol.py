@@ -753,10 +753,16 @@ def _tile_tables(nb: int):
     return (np.asarray(ti, np.int32), np.asarray(tj, np.int32))
 
 
-def chol_blocked(A, *, tile: int = _T):
+def chol_blocked(A, *, tile: int = _T, return_dinv: bool = False):
     """L = chol(A) (clean lower-triangular) for one large SPD f32 matrix.
     Pads to a multiple of ``tile`` with an identity diagonal (exact).
-    Returns L at the caller's n. Caller checks ``pallas_chol_enabled``."""
+    Returns L at the caller's n. Caller checks ``pallas_chol_enabled``.
+
+    ``return_dinv=True`` additionally returns the kernel's free second
+    output: the per-diagonal-block inverses, (n_padded, tile) with block
+    row j = inv(L[jT:(j+1)T, jT:(j+1)T]). Downstream thin-RHS solves
+    slice their substitution-block inverses straight out of it
+    (ops/pallas_trsv.inverses_from_chol_dinv) instead of re-inverting."""
     n0 = A.shape[0]
     n = _round_up(n0, tile)
     # structural minimum: the (T, 4T) slab/panel DMA slices are static
@@ -768,7 +774,9 @@ def chol_blocked(A, *, tile: int = _T):
         pad_diag = (idx[:, None] == idx[None, :]) & (idx[:, None] >= n0)
         A = jnp.where(pad_diag, 1.0, A)
     ti, tj = _tile_tables(n // tile)
-    L, _ = _chol_padded(A, jnp.asarray(ti), jnp.asarray(tj), tile=tile)
+    L, dinv = _chol_padded(A, jnp.asarray(ti), jnp.asarray(tj), tile=tile)
+    if return_dinv:
+        return L[:n0, :n0], dinv
     return L[:n0, :n0]
 
 
@@ -839,13 +847,16 @@ def _chol_gram_padded(scale, xc, xr, vr, ti, tj, *, fam: str, d: int,
     return L, dinv
 
 
-def chol_blocked_gram(fam, x, var, mask, scale, *, tile: int = _T):
+def chol_blocked_gram(fam, x, var, mask, scale, *, tile: int = _T,
+                      return_dinv: bool = False):
     """L = chol(k(x, x) + diag(var)) with train-gram semantics (masked
     rows become exact identity rows, the far-point trick of
     ops/pallas_bank.py) — gram construction fused into the streaming
     factorization, so the (n, n) matrix is built tile-by-tile in VMEM and
-    never read from HBM. x (n0, d); var/mask (n0,). Returns L (n0, n0).
-    Caller checks ``pallas_chol_gram_enabled``."""
+    never read from HBM. x (n0, d); var/mask (n0,). Returns L (n0, n0)
+    (plus the free diagonal-block inverses under ``return_dinv=True`` —
+    see :func:`chol_blocked`). Caller checks
+    ``pallas_chol_gram_enabled``."""
     n0, d = x.shape
     dt = x.dtype
     n = _round_up(n0, tile)
@@ -859,9 +870,11 @@ def chol_blocked_gram(fam, x, var, mask, scale, *, tile: int = _T):
     vr = jnp.zeros((8, n), dt)
     vr = vr.at[0, :n0].set(jnp.where(mask, var, 0.0))
     ti, tj = _tile_tables(n // tile)
-    L, _ = _chol_gram_padded(
+    L, dinv = _chol_gram_padded(
         jnp.asarray(scale, dt).reshape(1, 1), xc, xc[:, :8].T, vr,
         jnp.asarray(ti), jnp.asarray(tj), fam=fam, d=d, tile=tile)
+    if return_dinv:
+        return L[:n0, :n0], dinv
     return L[:n0, :n0]
 
 
@@ -893,7 +906,8 @@ def pallas_chol_joint_enabled(dtype, n: int, fam: str, d: int) -> bool:
 
 
 def chol_blocked_gram_joint(fam, x, var_v, var_g, sample_mask, grad_mask,
-                            scale, *, tile: int = _T):
+                            scale, *, tile: int = _T,
+                            return_dinv: bool = False):
     """L = chol(joint value/gradient train gram) with the (N, N) gram
     built tile-by-tile in VMEM (N = (1+d)*n never round-trips HBM).
     Row layout matches kernels/gradient.train_gram_with_gradient —
@@ -921,8 +935,10 @@ def chol_blocked_gram_joint(fam, x, var_v, var_g, sample_mask, grad_mask,
     xc = xc.at[:nj, d + 1].set(valid.astype(dt))
     vr = jnp.zeros((8, n), dt).at[0, :nj].set(noise)
     ti, tj = _tile_tables(n // tile)
-    L, _ = _chol_gram_padded(
+    L, dinv = _chol_gram_padded(
         jnp.asarray(scale, dt).reshape(1, 1), xc, xc[:, :8].T, vr,
         jnp.asarray(ti), jnp.asarray(tj), fam=fam, d=d, tile=tile,
         joint=True)
+    if return_dinv:
+        return L[:nj, :nj], dinv
     return L[:nj, :nj]

@@ -67,6 +67,33 @@ def _diag_block_inverses(L):
     return inv.reshape(nb * _B, _B)
 
 
+def inverses_from_chol_dinv(dinv, n: int, *, tile: int = 512, b: int = _B):
+    """The (n, B) substitution-block inverses, sliced for free from the
+    streaming Cholesky's diagonal-block-inverse output
+    (ops/pallas_chol: block row j of ``dinv`` is inv(L[jT:(j+1)T,
+    jT:(j+1)T]), T = ``tile``, padded blocks identity).
+
+    Uses the structure of triangular inverses: the inverse of a lower-
+    triangular matrix is lower-triangular with its diagonal ``b``-blocks
+    equal to the inverses of the original's diagonal ``b``-blocks — so
+    the (T/b)² sub-blocks of each stored T-block inverse already CONTAIN
+    every b-block inverse the substitution kernels need, and the batched
+    trsm of :func:`_diag_block_inverses` is replaced by pure slicing.
+    Valid for any b-aligned ``n`` (padded T-blocks are [L 0; 0 I]-shaped;
+    their inverse's diagonal sub-blocks are still the sub-inverses)."""
+    assert tile % b == 0 and n % b == 0
+    r = tile // b
+    nb = n // b                     # b-blocks needed
+    nt = -(-nb // r)                # covering T-blocks
+    assert dinv.shape[0] >= nt * tile and dinv.shape[1] == tile
+    d4 = dinv[:nt * tile].reshape(nt, r, b, r, b)
+    sub = jnp.arange(r)
+    # advanced indexing over axes (1, 3) puts the paired dim first:
+    # (r, nt, b, b) -> (nt, r, b, b) -> (nt*r*b, b)
+    diag = jnp.transpose(d4[:, sub, :, sub, :], (1, 0, 2, 3))
+    return diag.reshape(nt * tile, b)[:n]
+
+
 def _fwd_kernel(l_row_ref, inv_ref, b_ref, x_ref):
     i = pl.program_id(0)
 
@@ -174,7 +201,13 @@ def solve_lower_t(L, b, inv=None):
     return _solve_lower_t(L, inv, bp)[:, :q]
 
 
-def cho_solve_vec(L, b):
-    """K^{-1} b via the two blocked solves, sharing one diagonal inversion."""
-    inv = _diag_block_inverses(L)
+def cho_solve_vec(L, b, chol_dinv=None):
+    """K^{-1} b via the two blocked solves, sharing one diagonal inversion.
+    ``chol_dinv``: the streaming Cholesky's free diagonal-block-inverse
+    output — when given, the inversion is pure slicing
+    (:func:`inverses_from_chol_dinv`) instead of a batched trsm."""
+    if chol_dinv is not None:
+        inv = inverses_from_chol_dinv(chol_dinv, L.shape[0])
+    else:
+        inv = _diag_block_inverses(L)
     return solve_lower_t(L, solve_lower(L, b, inv), inv)

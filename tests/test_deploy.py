@@ -37,6 +37,12 @@ N_PSEUDO_SIDE = 8      # 64 pseudo points
 N_RAYS = 32
 SLOTS = 4
 
+# Export single-platform artifacts for the backend THIS suite runs on: a
+# deserialized artifact refuses to execute on a platform it was not
+# lowered for, and the suite runs both on the CPU mesh (default) and on
+# the real chip (ERL_GP_TEST_TPU=1; observed on-chip failure 2026-08-19).
+_HERE = (jax.default_backend(),)
+
 
 def _setting():
     return SpGpOccupancyMapSetting(
@@ -65,7 +71,7 @@ def test_map_update_artifact_round_trip():
     s = _setting()
     blob = export_map_update_step(
         s, n_pseudo=N_PSEUDO_SIDE**2, n_rays=N_RAYS, free_slots=SLOTS,
-        platforms=("cpu",))
+        platforms=_HERE)
     assert isinstance(blob, bytes) and len(blob) > 1000
     step = load_fn(blob)
 
@@ -111,7 +117,7 @@ def test_map_predict_artifact_round_trip():
 
     nq = 16
     blob = export_map_predict_step(
-        n_pseudo=N_PSEUDO_SIDE**2, n_queries=nq, platforms=("cpu",))
+        n_pseudo=N_PSEUDO_SIDE**2, n_queries=nq, platforms=_HERE)
     predict = load_fn(blob)
     q = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, (nq, 2)).astype(np.float32))
@@ -124,7 +130,7 @@ def test_map_predict_artifact_round_trip():
 
 def test_artifact_rejects_wrong_shapes():
     blob = export_map_predict_step(n_pseudo=N_PSEUDO_SIDE**2, n_queries=16,
-                                   platforms=("cpu",))
+                                   platforms=_HERE)
     predict = load_fn(blob)
     st = _state()
     L_qm, a = spgp_prepare(st)
@@ -175,7 +181,7 @@ def test_generic_export_fn_vanilla_predict():
     blob = export_fn(
         lambda st, xq, s: vanilla_predict(st, xq, s, kernel="rbf"),
         jax.eval_shape(lambda: st), S((m, d), jnp.float32),
-        S((), jnp.float32), platforms=("cpu",))
+        S((), jnp.float32), platforms=_HERE)
     predict = load_fn(blob)
     xq = jnp.asarray(rng.uniform(-1, 1, (m, d)).astype(np.float32))
     mean, varp = predict(st, xq, np.float32(0.4))
@@ -216,7 +222,7 @@ def test_map_update_artifact_bakes_mixture_kernel():
                                    weights=[0.7, 0.3])
     blob = export_map_update_step(
         s, n_pseudo=N_PSEUDO_SIDE**2, n_rays=N_RAYS, free_slots=SLOTS,
-        platforms=("cpu",))
+        platforms=_HERE)
     step = load_fn(blob)
 
     kernel = resolve_kernel_setting(s.sp_gp.kernel_type, s.sp_gp.kernel)

@@ -264,6 +264,50 @@ def test_pallas_trsv_parity_tpu():
     for got, ref in [(x, x_ref), (xt, xt_ref), (cs, cs_ref)]:
         assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-5
 
+    # chol_dinv fast path: the streaming chol's free diagonal-block
+    # inverses (one 512-block here, identity-padded) must give the same
+    # solve as the batched-trsm prep
+    Lp = np.eye(512, dtype=np.float32)
+    Lp[:n, :n] = L
+    dinv = sla.solve_triangular(Lp, np.eye(512, dtype=np.float32),
+                                lower=True).astype(np.float32)
+    cs2 = np.asarray(cho_solve_vec(jnp.asarray(L), jnp.asarray(b),
+                                   chol_dinv=jnp.asarray(dinv)))
+    assert np.abs(cs2 - cs_ref).max() / np.abs(cs_ref).max() < 5e-5
+
+
+def test_inverses_from_chol_dinv_matches_block_inverses():
+    """The pure-slicing derivation of the substitution-block inverses
+    from the streaming Cholesky's (n_pad, 512) diagonal-block-inverse
+    output must equal the batched-trsm path — including a final
+    partially-padded 512-block (identity beyond the caller's n), the
+    layout every ``return_dinv=True`` consumer sees. CPU-runnable: the
+    math is pure jnp."""
+    import scipy.linalg as sla
+
+    from erl_gaussian_process_tpu.ops.pallas_trsv import (
+        _diag_block_inverses,
+        inverses_from_chol_dinv,
+    )
+
+    rng = np.random.default_rng(7)
+    n, npad = 640, 1024          # 5 valid 128-blocks in 2 padded 512-blocks
+    X = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+    A = X @ X.T + np.eye(n, dtype=np.float32)
+    L = np.linalg.cholesky(A).astype(np.float32)
+    Lp = np.eye(npad, dtype=np.float32)
+    Lp[:n, :n] = L
+    # what the kernel emits: block row j = inv(Lp[jT:(j+1)T, jT:(j+1)T])
+    dinv = np.concatenate([
+        sla.solve_triangular(Lp[j * 512:(j + 1) * 512,
+                                j * 512:(j + 1) * 512],
+                             np.eye(512, dtype=np.float32), lower=True)
+        for j in range(npad // 512)]).astype(np.float32)
+    got = np.asarray(inverses_from_chol_dinv(jnp.asarray(dinv), n))
+    ref = np.asarray(_diag_block_inverses(jnp.asarray(L)))
+    assert got.shape == ref.shape == (n, 128)
+    assert np.abs(got - ref).max() < 1e-5
+
 
 def test_pallas_kernels_trace_i64_free_under_x64():
     """Under jax_enable_x64 (on in this suite), every Pallas kernel's traced
