@@ -392,13 +392,9 @@ def bench_lidar_scan_train(rounds=5):
          unit="scans/s", ms=round(best_b * 1e3, 3), scans=len(frames))
 
 
-def bench_range_sensor_3d_train(rounds=5):
-    """End-to-end RangeSensorGaussianProcess3D scan training at the
-    reference's 271x91 lidar scan shape (test_range_sensor_gp_3d.cpp):
-    since the one-dispatch fusion, the per-scan work is one (271, 91)
-    range-image transfer + one jitted program whose 144-slot members
-    dispatch to the fused Pallas bank on TPU. Wall-clock includes the host
-    side — the honest online-sensor number."""
+def _make_range_sensor_3d_gp():
+    """The 3D sensor GP + synthetic scans both 3D-train benches share
+    (reference scan shape: test_range_sensor_gp_3d.cpp 271x91 lidar)."""
     from erl_gaussian_process_tpu.geometry.frames_3d import (
         LidarFrame3DSetting,
     )
@@ -434,6 +430,18 @@ def bench_range_sensor_3d_train(rounds=5):
     # a few distinct scans so the runtime can't dedup identical dispatches
     scans = [(5.0 + 0.5 * np.sin(3 * az + p) * np.cos(2 * el)
               ).astype(DTYPE) for p in rng.uniform(0, 6.28, 8)]
+    return gp, scans
+
+
+def bench_range_sensor_3d_train(rounds=5):
+    """End-to-end RangeSensorGaussianProcess3D scan training at the
+    reference's 271x91 lidar scan shape (test_range_sensor_gp_3d.cpp):
+    since the one-dispatch fusion, the per-scan work is one (271, 91)
+    range-image transfer + one jitted program whose 144-slot members
+    dispatch to the fused Pallas bank on TPU. Wall-clock includes the host
+    side — the honest online-sensor number."""
+    gp, scans = _make_range_sensor_3d_gp()
+    eye, zero = np.eye(3), np.zeros(3)
 
     def fetch():
         return float(np.asarray(gp.bank.alpha)[(0, 0, 0)])
@@ -450,6 +458,64 @@ def bench_range_sensor_3d_train(rounds=5):
         best = min(best, (time.perf_counter() - t0) / len(scans))
     emit(metric="range_sensor_gp_3d_scan_train", value=round(1.0 / best, 1),
          unit="scans/s", ms=round(best * 1e3, 3))
+
+
+def bench_range_sensor_3d_train_phases(rounds=8):
+    """Phase decomposition of the 3D scan-train wall time: (a) h2d of the
+    (271, 91) range image through the tunnel (+ one tiny dispatch to
+    barrier it), (b) the fused train program alone, device-only two-point
+    slope with a device-resident image, (c) end-to-end wall via gp.train.
+    Attribution twin of bench_routed_predict_phases: on the remote tunnel
+    the wall number is transfer/dispatch bound, and this bench shows which
+    legs a locally-attached chip would not pay."""
+    from erl_gaussian_process_tpu.models.range_sensor_gp_3d import (
+        _scan_train_fused,
+    )
+
+    gp, scans = _make_range_sensor_3d_gp()
+    eye, zero = np.eye(3), np.zeros(3)
+    gp.train(eye, zero, scans[0])  # builds the scan-fit cache
+    c = gp._build_scan_fit_cache()
+    sf, s = gp.sensor_frame.setting, gp.setting
+    dt = gp.dtype.type
+    scalars = (dt(sf.valid_range_min), dt(sf.valid_range_max),
+               dt(s.sensor_range_var), jnp.int32(s.min_num_samples_per_group))
+
+    def fn(eps, base, fc_flat, idx, inb):
+        return _scan_train_fused(
+            base + eps, fc_flat, idx, inb, *scalars, dt(gp._scale),
+            kernel=gp._kernel, map_type=s.mapping.type,
+            map_scale=s.mapping.scale, use_pallas=c["use_pallas"])
+
+    fn.consts = (jnp.asarray(scans[0]), c["fc_flat"], c["idx"], c["inb"])
+    device_s = _time(fn, iters=20)
+
+    # h2d: stage a fresh host image, barrier on a 4-byte readback of one
+    # element (the put alone returns before the bytes move)
+    pull = jax.jit(lambda a: a[0, 0])
+    float(np.asarray(pull(jax.device_put(scans[0]))))  # compile + warm
+    h2d = np.inf
+    for k in range(rounds):
+        r = scans[k % len(scans)] + DTYPE(1e-6 * (k + 1))  # defeat caching
+        t0 = time.perf_counter()
+        float(np.asarray(pull(jax.device_put(r))))
+        h2d = min(h2d, time.perf_counter() - t0)
+
+    def fetch():
+        return float(np.asarray(gp.bank.alpha)[(0, 0, 0)])
+
+    fetch()
+    e2e = []
+    for k in range(rounds):
+        t0 = time.perf_counter()
+        gp.train(eye, zero, scans[k % len(scans)])
+        fetch()
+        e2e.append(time.perf_counter() - t0)
+    emit(metric="range_sensor_3d_train_phases",
+         value=round(min(e2e) * 1e3, 3), unit="ms end-to-end (min)",
+         e2e_max_ms=round(max(e2e) * 1e3, 3),
+         h2d_ms=round(h2d * 1e3, 3),
+         device_ms=round(device_s * 1e3, 3))
 
 
 def bench_routed_predict(B=60, n=144, d=2, m=16384, rounds=8):
@@ -664,6 +730,7 @@ def main():
         ("nigp", bench_nigp),
         ("lidar_scan_train", bench_lidar_scan_train),
         ("range_sensor_3d_train", bench_range_sensor_3d_train),
+        ("range_sensor_3d_train_phases", bench_range_sensor_3d_train_phases),
         ("routed_predict", bench_routed_predict),
         ("routed_predict_phases", bench_routed_predict_phases),
         ("spgp", bench_spgp),
