@@ -113,8 +113,18 @@ def pallas_bank_enabled(dtype, n: int, d: int = 1) -> bool:
         return False
 
 
-def _elimination(m_ref, n: int):
-    """The augmented right-looking loop shared by both entry points."""
+def _elimination(m_ref, n: int, stop: int):
+    """The augmented right-looking loop shared by both entry points.
+
+    ``stop`` bounds the serial chain at the caller's UNPADDED member size:
+    columns >= n0 are identity rows by construction (far-point masking in
+    bank_fit_fused, explicit diag padding in bank_cholesky_solve_fused), so
+    eliminating them is an exact no-op (d = 1, urow = e_j, lcol = 0) AND
+    they never touch rows < n0 (their off-diagonal gram entries are exactly
+    0.0 in f32) — and the wrappers crop every output to n0 anyway. Skipping
+    them removes the dominant serialized cost of the padding: at the 3D
+    sensor bank's n0=144 (padded 256) it is 112 of 256 full-slab
+    read-modify-writes."""
     G, _, W = m_ref.shape
 
     def body(j):
@@ -142,10 +152,10 @@ def _elimination(m_ref, n: int):
     # jax_enable_x64 fori_loop's scan lowering adds a hidden i64 iteration
     # counter whose convert-element-type sends Mosaic's lowering into
     # infinite recursion (RecursionError at compile time)
-    jax.lax.while_loop(lambda j: j < n, body, _Z)
+    jax.lax.while_loop(lambda j: j < np.int32(stop), body, _Z)
 
 
-def _elimination_r2(m_ref, n: int):
+def _elimination_r2(m_ref, n: int, stop: int):
     """Rank-2 form of :func:`_elimination`: TWO pivot columns per serial
     iteration (``n`` is always a 128 multiple, so even). Same fusion as
     ops/pallas_chol._elim2d_r2 — the 2x2 pivot block factors in scalar
@@ -196,10 +206,10 @@ def _elimination_r2(m_ref, n: int):
         m_ref[:] = m_ref[:] - lcol0 * urow0 - lcol1 * urow1
         return j + np.int32(2)
 
-    jax.lax.while_loop(lambda j: j < n, body, _Z)
+    jax.lax.while_loop(lambda j: j < np.int32(stop), body, _Z)
 
 
-def _elim(m_ref, n: int):
+def _elim(m_ref, n: int, stop: int = None):
     """Dispatch: rank-1 by default — measured on v5e (2026-08-18 ritual)
     the rank-2 pair form is 62% SLOWER here (B=1024 n=128: 10.9 ms vs
     6.7 ms; B=1000 n=100: 10.8 vs 6.5): unlike the streaming chol's
@@ -207,14 +217,18 @@ def _elim(m_ref, n: int):
     panel), this loop is VPU-bound over a VMEM-resident (G, n, 2n) slab
     and the pair form's extra per-iteration reads of the A panel cost
     more than the halved iteration count saves. Rank-2 stays available
-    for A/B via ERL_GP_BANK_ELIM2=1 (trace-time, even ``n`` only)."""
+    for A/B via ERL_GP_BANK_ELIM2=1 (trace-time, even ``n`` only).
+
+    ``stop`` (static) bounds the serial chain at the caller's unpadded
+    member size — see :func:`_elimination`."""
+    stop = n if stop is None else min(stop, n)
     if n % 2 == 0 and os.environ.get("ERL_GP_BANK_ELIM2"):
-        _elimination_r2(m_ref, n)
+        _elimination_r2(m_ref, n, min(stop + (stop % 2), n))
     else:
-        _elimination(m_ref, n)
+        _elimination(m_ref, n, stop)
 
 
-def _fit_kernel(*refs, name: str, d: int):
+def _fit_kernel(*refs, name: str, d: int, n0: int):
     (scale_ref, *xc_refs, xr_ref, var_ref, m_ref) = refs
     G, n, _ = m_ref.shape
     r2 = jnp.zeros((G, n, n), m_ref.dtype)
@@ -227,31 +241,31 @@ def _fit_kernel(*refs, name: str, d: int):
     diag = lane_a == sub_a
     m_ref[:, :, :n] = kf + jnp.where(diag, var_ref[:, :1, :], 0.0)
     m_ref[:, :, n:] = diag.astype(m_ref.dtype)
-    _elim(m_ref, n)
+    _elim(m_ref, n, n0)
 
 
-def _chol_kernel(k_ref, m_ref):
+def _chol_kernel(k_ref, m_ref, *, n0: int):
     G, n, _ = m_ref.shape
     m_ref[:, :, :n] = k_ref[:]
     lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
     sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 1)
     m_ref[:, :, n:] = (lane_a == sub_a).astype(m_ref.dtype)
-    _elim(m_ref, n)
+    _elim(m_ref, n, n0)
 
 
-def _cost(B, n):
-    return pl.CostEstimate(flops=2 * B * n * n * n,
+def _cost(B, n, n0):
+    return pl.CostEstimate(flops=2 * B * n * n * n0,
                            bytes_accessed=B * n * n * 3 * 4,
-                           transcendentals=B * n * n + B * n)
+                           transcendentals=B * n * n + B * n0)
 
 
-@functools.partial(jax.jit, static_argnames=("name", "d", "G"))
-def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int):
+@functools.partial(jax.jit, static_argnames=("name", "d", "G", "n0"))
+def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int, n0: int):
     B, n, _ = xc[0].shape
     spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, _Z, _Z),  # noqa: E731
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fit_kernel, name=name, d=d),
+        functools.partial(_fit_kernel, name=name, d=d, n0=n0),
         out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), xc[0].dtype),
         grid=(B // G,),
         in_specs=[
@@ -262,22 +276,22 @@ def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int):
             spec((8, n)),
         ],
         out_specs=spec((n, 2 * n)),
-        cost_estimate=_cost(B, n),
+        cost_estimate=_cost(B, n, n0),
     )(scale, *xc, xr, var)
 
 
-@functools.partial(jax.jit, static_argnames=("G",))
-def _chol_raw(K, *, G: int):
+@functools.partial(jax.jit, static_argnames=("G", "n0"))
+def _chol_raw(K, *, G: int, n0: int):
     B, n, _ = K.shape
     spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, _Z, _Z),  # noqa: E731
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _chol_kernel,
+        functools.partial(_chol_kernel, n0=n0),
         out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), K.dtype),
         grid=(B // G,),
         in_specs=[spec((n, n))],
         out_specs=spec((n, 2 * n)),
-        cost_estimate=_cost(B, n),
+        cost_estimate=_cost(B, n, n0),
     )(K)
 
 
@@ -308,7 +322,8 @@ def _bank_fit_jit(x, y, var, mask, scale, *, name: str, d: int, n0: int,
     xc = [x_eff[:, :, k:k + 1] for k in range(d)]
     xr = jnp.zeros((B, 8, n), dt).at[:, :d, :].set(jnp.swapaxes(x_eff, 1, 2))
     varr = jnp.zeros((B, 8, n), dt).at[:, 0, :].set(jnp.where(mask, var, 0.0))
-    M = _fit_raw(scale.reshape(1, 1), xc, xr, varr, name=name, d=d, G=G)
+    M = _fit_raw(scale.reshape(1, 1), xc, xr, varr, name=name, d=d, G=G,
+                 n0=n0)
     L, L_inv = _split_outputs(M, n, n0)
     yz = jnp.where(mask[:, :, None], y, 0.0)[:, :n0]
     with matmul_precision():
@@ -344,7 +359,7 @@ def bank_fit_fused(name: str, x, y, var, mask, scale):
 @functools.partial(jax.jit, static_argnames=("n0", "G"))
 def _bank_chol_jit(K, y, *, n0: int, G: int):
     n = K.shape[1]
-    M = _chol_raw(K, G=G)
+    M = _chol_raw(K, G=G, n0=n0)
     L, L_inv = _split_outputs(M, n, n0)
     with matmul_precision():
         w = jnp.einsum("bij,bjq->biq", L_inv, y[:, :n0])

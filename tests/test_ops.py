@@ -511,7 +511,7 @@ def test_bank_elimination_interpret_parity(rank):
 
     def kern(aug_in, aug_out, scratch):
         scratch[:] = aug_in[:]
-        elim(scratch, n)
+        elim(scratch, n, n)
         aug_out[:] = scratch[:]
 
     out = pl.pallas_call(
@@ -527,6 +527,53 @@ def test_bank_elimination_interpret_parity(rank):
         L_ref = np.linalg.cholesky(A[g].astype(np.float64))
         assert np.abs(L - L_ref).max() / np.abs(L_ref).max() < 1e-5, g
         assert np.abs(L_inv @ L - np.eye(n)).max() < 1e-4, g
+
+
+@pytest.mark.parametrize("rank", [1, 2])
+@interpret_test
+def test_bank_elimination_stop_bound_parity(rank):
+    """Bounding the serial elimination at the unpadded member size n0 must
+    be BITWISE identical on the n0-crop to running the full padded chain:
+    columns >= n0 are identity rows (the wrappers' far-point / diag
+    padding), whose elimination is an exact no-op that never touches rows
+    < n0. This is the contract that lets bank_fit_fused skip the padding's
+    serialized cost (e.g. 112 of 256 slab RMWs at the 3D sensor bank's
+    n0=144)."""
+    from jax.experimental import pallas as pl
+
+    from erl_gaussian_process_tpu.ops.pallas_bank import (_elimination,
+                                                          _elimination_r2)
+    elim = _elimination if rank == 1 else _elimination_r2
+
+    G, n, n0 = 2, 128, 100
+    rng = np.random.default_rng(2)
+    A = np.zeros((G, n, n), np.float32)
+    for g in range(G):
+        X = rng.standard_normal((n0, n0)).astype(np.float32)
+        A[g, :n0, :n0] = X @ X.T + n0 * np.eye(n0, dtype=np.float32)
+        A[g, range(n0, n), range(n0, n)] = 1.0   # identity padding tail
+    aug = np.concatenate(
+        [A, np.broadcast_to(np.eye(n, dtype=np.float32), (G, n, n))], axis=2)
+
+    def run(stop):
+        def kern(aug_in, aug_out, scratch):
+            scratch[:] = aug_in[:]
+            elim(scratch, n, stop)
+            aug_out[:] = scratch[:]
+
+        return np.asarray(pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((G, n, 2 * n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((G, n, 2 * n), jnp.float32)],
+            interpret=True,
+        )(jnp.asarray(aug)))
+
+    full, bounded = run(n), run(n0)
+    # crop exactly as _split_outputs does
+    np.testing.assert_array_equal(bounded[:, :n0, :n][:, :, :n0],
+                                  full[:, :n0, :n][:, :, :n0])
+    np.testing.assert_array_equal(bounded[:, :n0, n:][:, :, :n0],
+                                  full[:, :n0, n:][:, :, :n0])
 
 
 @interpret_test
