@@ -14,7 +14,15 @@ into a GEMM.
 Design: one grid step loads G bank members into VMEM and runs a
 batch-vectorized right-looking elimination over the augmented tile
 
-    M = [ A | I ]           A = k(x, x) + diag(var)   (G, n, 2n)
+    M = [ A | I ]           A = k(x, x) + diag(var)   (G, R, 2n)
+
+The slab is RECTANGULAR: lanes pad the member size n0 to the 128-lane
+grain (n), but rows only to the 8-sublane grain (R) — and the serial
+elimination stops at n0, since columns >= n0 are identity rows whose
+elimination is an exact no-op on the cropped output. Both cut the
+padding tax for off-grid member sizes (a 144-slot member is a
+(144, 512) slab eliminated 144 times, not (256, 512) eliminated 256
+times — 3.2x less slab work).
 
 For column j (sequential, ``while_loop``):
     d      = A[j, j]                    (lane one-hot reduce)
@@ -42,10 +50,10 @@ invalid rows sit at pairwise-distant ~1e15 coordinates with var = 0, making
 their gram rows exactly e_i — the identity-padding of the reference's GPU
 batch path (src/batch_gp_update_torch.cpp:60-67) with zero in-kernel masks.
 
-Constraints: float32, n a multiple of 128 (wrappers pad), n <= 512 (VMEM),
-d <= 8. q is unconstrained — alpha is computed OUTSIDE the kernel as two
-batched GEMMs against L^{-1}. Opt out with ERL_GP_NO_PALLAS_BANK=1 (or
-ERL_GP_NO_PALLAS=1 for all Pallas kernels).
+Constraints: float32, lanes a multiple of 128 / rows of 8 (wrappers pad),
+n <= 512 (VMEM), d <= 8. q is unconstrained — alpha is computed OUTSIDE
+the kernel as two batched GEMMs against L^{-1}. Opt out with
+ERL_GP_NO_PALLAS_BANK=1 (or ERL_GP_NO_PALLAS=1 for all Pallas kernels).
 """
 
 from __future__ import annotations
@@ -139,11 +147,12 @@ def _elimination(m_ref, n: int, stop: int):
         urow = jnp.where((lane_w < n) & (lane_w <= j), 0.0, mrow * inv) \
             + jnp.where(lane_w == j, s, 0.0)
         m_ref[:, pl.ds(j, 1), :] = urow
-        apart = m_ref[:, :, :n]                                # (G,n,n)
-        lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
+        apart = m_ref[:, :, :n]                                # (G,R,n)
+        R = apart.shape[1]
+        lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, R, n), 2)
         lcol = jnp.sum(jnp.where(lane_a == j, apart, 0.0), axis=2,
-                       keepdims=True) * inv                    # (G,n,1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (G, n, 1), 1)
+                       keepdims=True) * inv                    # (G,R,1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, R, 1), 1)
         lcol = jnp.where(sub > j, lcol, 0.0)
         m_ref[:] = m_ref[:] - lcol * urow
         return j + np.int32(1)
@@ -189,8 +198,9 @@ def _elimination_r2(m_ref, n: int, stop: int):
             + jnp.where(lane_w == j1, s1, 0.0)
         m_ref[:, pl.ds(j, 1), :] = urow0
         m_ref[:, pl.ds(j1, 1), :] = urow1
-        apart = m_ref[:, :, :n]                                # (G,n,n)
-        lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
+        apart = m_ref[:, :, :n]                                # (G,R,n)
+        R = apart.shape[1]
+        lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, R, n), 2)
         c0 = jnp.sum(jnp.where(lane_a == j, apart, 0.0), axis=2,
                      keepdims=True)
         c1 = jnp.sum(jnp.where(lane_a == j1, apart, 0.0), axis=2,
@@ -199,7 +209,7 @@ def _elimination_r2(m_ref, n: int, stop: int):
         u01 = jnp.sum(jnp.where(lane_w == j1, row0, 0.0), axis=2,
                       keepdims=True) * inv0                    # = l10
         lcol1 = (c1 - lcol0 * u01) * inv1
-        sub = jax.lax.broadcasted_iota(jnp.int32, (G, n, 1), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, R, 1), 1)
         keep = sub > j1
         lcol0 = jnp.where(keep, lcol0, 0.0)
         lcol1 = jnp.where(keep, lcol1, 0.0)
@@ -229,15 +239,19 @@ def _elim(m_ref, n: int, stop: int = None):
 
 
 def _fit_kernel(*refs, name: str, d: int, n0: int):
+    # rectangular slab (G, R, 2n): R rows at the 8-sublane grain, n lanes
+    # at the 128-lane grain — rows do NOT pay the lane padding (a 144-slot
+    # member is a (144, 512) slab, not (256, 512))
     (scale_ref, *xc_refs, xr_ref, var_ref, m_ref) = refs
-    G, n, _ = m_ref.shape
-    r2 = jnp.zeros((G, n, n), m_ref.dtype)
+    G, R, W = m_ref.shape
+    n = W // 2
+    r2 = jnp.zeros((G, R, n), m_ref.dtype)
     for k in range(d):
         diff = xc_refs[k][:, :, :] - xr_ref[:, k, :][:, None, :]
         r2 = r2 + diff * diff
     kf = _apply_family(name, r2, scale_ref[0, 0])
-    lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
-    sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 1)
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, R, n), 2)
+    sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, R, n), 1)
     diag = lane_a == sub_a
     m_ref[:, :, :n] = kf + jnp.where(diag, var_ref[:, :1, :], 0.0)
     m_ref[:, :, n:] = diag.astype(m_ref.dtype)
@@ -245,53 +259,56 @@ def _fit_kernel(*refs, name: str, d: int, n0: int):
 
 
 def _chol_kernel(k_ref, m_ref, *, n0: int):
-    G, n, _ = m_ref.shape
+    G, R, W = m_ref.shape
+    n = W // 2
     m_ref[:, :, :n] = k_ref[:]
-    lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 2)
-    sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, n, n), 1)
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, (G, R, n), 2)
+    sub_a = jax.lax.broadcasted_iota(jnp.int32, (G, R, n), 1)
     m_ref[:, :, n:] = (lane_a == sub_a).astype(m_ref.dtype)
     _elim(m_ref, n, n0)
 
 
-def _cost(B, n, n0):
-    return pl.CostEstimate(flops=2 * B * n * n * n0,
-                           bytes_accessed=B * n * n * 3 * 4,
-                           transcendentals=B * n * n + B * n0)
+def _cost(B, R, n, n0):
+    return pl.CostEstimate(flops=2 * B * R * n * n0,
+                           bytes_accessed=B * R * n * 3 * 4,
+                           transcendentals=B * R * n + B * n0)
 
 
 @functools.partial(jax.jit, static_argnames=("name", "d", "G", "n0"))
 def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int, n0: int):
-    B, n, _ = xc[0].shape
+    # xc rows are the rectangular R (8-grain); xr/var lanes are n (128-grain)
+    B, R, _ = xc[0].shape
+    n = xr.shape[2]
     spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, _Z, _Z),  # noqa: E731
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fit_kernel, name=name, d=d, n0=n0),
-        out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), xc[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((B, R, 2 * n), xc[0].dtype),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (_Z, _Z),
                          memory_space=pltpu.SMEM),
-            *[spec((n, 1)) for _ in range(d)],
+            *[spec((R, 1)) for _ in range(d)],
             spec((8, n)),
             spec((8, n)),
         ],
-        out_specs=spec((n, 2 * n)),
-        cost_estimate=_cost(B, n, n0),
+        out_specs=spec((R, 2 * n)),
+        cost_estimate=_cost(B, R, n, n0),
     )(scale, *xc, xr, var)
 
 
 @functools.partial(jax.jit, static_argnames=("G", "n0"))
 def _chol_raw(K, *, G: int, n0: int):
-    B, n, _ = K.shape
+    B, R, n = K.shape
     spec = lambda shp: pl.BlockSpec((G,) + shp, lambda i: (i, _Z, _Z),  # noqa: E731
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_chol_kernel, n0=n0),
-        out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), K.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, R, 2 * n), K.dtype),
         grid=(B // G,),
-        in_specs=[spec((n, n))],
-        out_specs=spec((n, 2 * n)),
-        cost_estimate=_cost(B, n, n0),
+        in_specs=[spec((R, n))],
+        out_specs=spec((R, 2 * n)),
+        cost_estimate=_cost(B, R, n, n0),
     )(K)
 
 
@@ -299,12 +316,20 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _pick_g(n: int, table) -> int:
-    return table[n]
+def _pick_g(n: int, table, R: int = None) -> int:
+    """Members per grid step. The table holds the measured-good G for the
+    SQUARE (n, 2n) slab; a rectangular slab (R < n rows) frees VMEM, so G
+    may double while the slab stays within the known-good footprint."""
+    R = n if R is None else R
+    g = table[n]
+    while g < 16 and 2 * g * R <= table[n] * n:
+        g *= 2
+    return g
 
 
 def _split_outputs(M, n, n0):
-    """M (B, n, 2n) = [L^T | L^{-1}] -> (L, L_inv) cropped to n0."""
+    """M (B, R, 2n) = [L^T | L^{-1}] -> (L, L_inv) cropped to n0.
+    ``n`` is the LANE width (R rows >= n0 at the 8-sublane grain)."""
     L = jnp.swapaxes(M[:, :n0, :n][:, :, :n0], 1, 2)
     L_inv = M[:, :n0, n:][:, :, :n0]
     return L, L_inv
@@ -314,12 +339,13 @@ def _split_outputs(M, n, n0):
 def _bank_fit_jit(x, y, var, mask, scale, *, name: str, d: int, n0: int,
                   G: int):
     B, n, _ = x.shape
+    R = _round_up(n0, 8)
     dt = x.dtype
     # far-point masking: invalid samples sit at pairwise-distant ~1e15
     # coordinates with var 0 -> gram row exactly e_i (identity padding)
     far = (jnp.arange(n, dtype=dt) + 2.0)[None, :, None] * dt.type(1e15)
     x_eff = jnp.where(mask[:, :, None], x, far)
-    xc = [x_eff[:, :, k:k + 1] for k in range(d)]
+    xc = [x_eff[:, :R, k:k + 1] for k in range(d)]
     xr = jnp.zeros((B, 8, n), dt).at[:, :d, :].set(jnp.swapaxes(x_eff, 1, 2))
     varr = jnp.zeros((B, 8, n), dt).at[:, 0, :].set(jnp.where(mask, var, 0.0))
     M = _fit_raw(scale.reshape(1, 1), xc, xr, varr, name=name, d=d, G=G,
@@ -344,7 +370,7 @@ def bank_fit_fused(name: str, x, y, var, mask, scale):
         y = jnp.pad(y, pad)
         var = jnp.pad(var, pad[:2])
         mask = jnp.pad(mask, pad[:2])  # False => far-point rows
-    G = _pick_g(n, _G_BY_N)
+    G = _pick_g(n, _G_BY_N, _round_up(n0, 8))
     Bp = _round_up(B, G)
     if Bp != B:
         grow = [(0, Bp - B)] + [(0, 0)] * 2
@@ -358,7 +384,7 @@ def bank_fit_fused(name: str, x, y, var, mask, scale):
 
 @functools.partial(jax.jit, static_argnames=("n0", "G"))
 def _bank_chol_jit(K, y, *, n0: int, G: int):
-    n = K.shape[1]
+    n = K.shape[2]                      # lane width (rows may be fewer)
     M = _chol_raw(K, G=G, n0=n0)
     L, L_inv = _split_outputs(M, n, n0)
     with matmul_precision():
@@ -369,24 +395,26 @@ def _bank_chol_jit(K, y, *, n0: int, G: int):
 
 def bank_cholesky_solve_fused(K, y):
     """(L, L_inv, alpha = K^{-1} y) for a precomputed gram batch.
-    K (B, n, n) SPD; y (B, n, q). Pads n to a multiple of 128 with identity
-    rows (exact). Caller must have checked ``pallas_bank_enabled``."""
+    K (B, n, n) SPD; y (B, n, q). Pads lanes to a multiple of 128 and rows
+    to a multiple of 8 with unit-diagonal rows (exact — the elimination
+    stops at n0 and never reads them). Caller must have checked
+    ``pallas_bank_enabled``."""
     B, n0, _ = K.shape
     n = _round_up(max(n0, 128), 128)
-    if n != n0:
-        K = jnp.pad(K, [(0, 0), (0, n - n0), (0, n - n0)])
-        idx = jnp.arange(n)
-        pad_diag = (idx[:, None] == idx[None, :]) & (idx[:, None] >= n0)
+    R = _round_up(n0, 8)
+    if n != n0 or R != n0:
+        K = jnp.pad(K, [(0, 0), (0, R - n0), (0, n - n0)])
+        idx_r, idx_l = jnp.arange(R), jnp.arange(n)
+        pad_diag = (idx_r[:, None] == idx_l[None, :]) & (idx_r[:, None] >= n0)
         K = jnp.where(pad_diag[None], 1.0, K)
-        y = jnp.pad(y, [(0, 0), (0, n - n0), (0, 0)])
-    G = _pick_g(n, _G_BY_N_GRAM_IN)
+    G = _pick_g(n, _G_BY_N_GRAM_IN, R)
     Bp = _round_up(B, G)
     if Bp != B:
         K = jnp.pad(K, [(0, Bp - B), (0, 0), (0, 0)])
         eye_fix = jnp.arange(Bp) >= B
-        idx = jnp.arange(n)
+        idx_r, idx_l = jnp.arange(R), jnp.arange(n)
         K = jnp.where(eye_fix[:, None, None]
-                      & (idx[:, None] == idx[None, :])[None], 1.0, K)
+                      & (idx_r[:, None] == idx_l[None, :])[None], 1.0, K)
         y = jnp.pad(y, [(0, Bp - B), (0, 0), (0, 0)])
     L, L_inv, alpha = _bank_chol_jit(K, y, n0=n0, G=G)
     return L[:B], L_inv[:B], alpha[:B]

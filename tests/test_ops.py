@@ -577,6 +577,40 @@ def test_bank_elimination_stop_bound_parity(rank):
 
 
 @interpret_test
+def test_bank_fit_fused_rectangular_interpret_parity():
+    """The full fused bank-fit wrapper at a non-128 member size, in
+    interpret mode: the rectangular (R=8-grain rows, 128-grain lanes) slab
+    plus the n0-bounded elimination must reproduce per-member numpy
+    Cholesky factors exactly where valid — including masked slots and
+    B-padding to the grid."""
+    from erl_gaussian_process_tpu.ops.pallas_bank import bank_fit_fused
+
+    rng = np.random.default_rng(3)
+    B, n0, d, q = 3, 20, 2, 2        # R=24 rows, 128 lanes, Bp=16-grid pad
+    x = jnp.asarray(rng.normal(size=(B, n0, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, n0, q)).astype(np.float32))
+    var = jnp.asarray((0.5 + 0.1 * rng.random((B, n0))).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, n0)) < 0.8)
+    with pltpu.force_tpu_interpret_mode():
+        L, L_inv, alpha = bank_fit_fused("rbf", x, y, var, mask,
+                                         np.float32(0.7))
+    assert L.shape == (B, n0, n0) and alpha.shape == (B, n0, q)
+    xn, yn = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    mn = np.asarray(mask)
+    for b in range(B):
+        r2 = ((xn[b][:, None, :] - xn[b][None, :, :]) ** 2).sum(-1)
+        A = np.exp(-r2 / (2 * 0.7 ** 2)) + np.diag(np.asarray(var)[b].astype(np.float64))
+        A = np.where(mn[b][:, None] & mn[b][None, :], A, 0.0)
+        A[~mn[b], ~mn[b]] = 1.0
+        L_ref = np.linalg.cholesky(A)
+        a_ref = np.linalg.solve(A, np.where(mn[b][:, None], yn[b], 0.0))
+        tri = np.tril(np.ones((n0, n0), bool))
+        assert np.abs(np.where(tri, np.asarray(L[b]) - L_ref, 0)).max() < 1e-4
+        assert np.abs(np.asarray(alpha[b]) - a_ref).max() < 1e-4
+        assert np.abs(np.asarray(L_inv[b]) @ L_ref - np.eye(n0)).max() < 1e-4
+
+
+@interpret_test
 def test_chol_blocked_interpret_parity(monkeypatch):
     """FULL streaming-Cholesky kernel (grid schedule, pair-stream prefix
     window, deferred writes, mirror zero-fill) against numpy in
