@@ -65,8 +65,9 @@ def main():
         t = _time(fn, iters=8)
         print(f"chol n={n}: {t * 1e3:8.3f} ms  (factor err {err:.2e})")
 
-    # --- fused bank fit at the measured kernel shape and the sweep shape ---
-    for B, n in ((1024, 128), (1000, 100)):
+    # --- fused bank fit at the measured kernel shape, the sweep shape,
+    # and the 3D sensor-bank shape (rect slab: 144 rows x 512 lanes) ---
+    for B, n in ((1024, 128), (1000, 100), (408, 144)):
         d = 2
         x = jnp.asarray(rng.uniform(-1, 1, (B, n, d)).astype(np.float32))
         y = jnp.asarray(rng.uniform(-1, 1, (B, n, 1)).astype(np.float32))

@@ -319,7 +319,11 @@ def _round_up(x: int, mult: int) -> int:
 def _pick_g(n: int, table, R: int = None) -> int:
     """Members per grid step. The table holds the measured-good G for the
     SQUARE (n, 2n) slab; a rectangular slab (R < n rows) frees VMEM, so G
-    may double while the slab stays within the known-good footprint."""
+    may double while the slab stays within the known-good footprint.
+    ERL_GP_BANK_G overrides for on-chip A/B (use with care: too-large G
+    is a Mosaic VMEM OOM at compile time)."""
+    if os.environ.get("ERL_GP_BANK_G"):
+        return int(os.environ["ERL_GP_BANK_G"])
     R = n if R is None else R
     g = table[n]
     while g < 16 and 2 * g * R <= table[n] * n:
