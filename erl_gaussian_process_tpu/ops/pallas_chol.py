@@ -787,10 +787,17 @@ def pallas_chol_gram_enabled(dtype, n: int, fam: str, d: int) -> bool:
     """Gate for the gram-fused factorization (train-gram semantics).
     Lower threshold than the plain-A path: even where the factorization
     is a wash vs XLA (n ~ 4-6k), fusing the gram build into the kernel
-    still saves the gram op and the (n, n) HBM round-trip."""
+    still saves the gram op and the (n, n) HBM round-trip. Scale-mixture
+    names over the plain families qualify too — the in-kernel tile
+    builder resolves them through pallas_gram._apply_family (the distance
+    tile is computed once, each component is one fused scalar map)."""
     if not isinstance(n, int):
         return False  # symbolic dims (jax.export) are not Pallas-eligible
-    if fam not in _GRAM_FAMILIES or d > 8:
+    from erl_gaussian_process_tpu.kernels.base import mixture_params
+
+    mix = mixture_params(fam)
+    base = mix[0] if mix is not None else fam
+    if base not in _GRAM_FAMILIES or d > 8:
         return False
     if os.environ.get("ERL_GP_NO_PALLAS_CHOL") or             os.environ.get("ERL_GP_NO_PALLAS"):
         return False

@@ -644,10 +644,15 @@ def test_chol_blocked_gram_interpret_parity(monkeypatch):
     against a dense numpy gram, in interpret mode at a shrunk tile."""
     from erl_gaussian_process_tpu.ops import pallas_chol as pc
 
+    from erl_gaussian_process_tpu.kernels.stationary import (
+        register_scale_mixture,
+    )
+
     monkeypatch.setattr(pc, "_SB", 8)
     tile = 16
     rng = np.random.default_rng(1)
-    for nb, fam in ((5, "rbf"), (6, "matern32"), (9, "ou")):
+    mix = register_scale_mixture("rbf", 0.5, (0.7, 0.3))
+    for nb, fam in ((5, "rbf"), (6, "matern32"), (9, "ou"), (5, mix)):
         n0 = nb * tile - 3          # exercises the pad-identity rows
         d = 2
         x = rng.uniform(-3, 3, (n0, d)).astype(np.float32)
@@ -664,6 +669,9 @@ def test_chol_blocked_gram_interpret_parity(monkeypatch):
             K = np.exp(-0.5 * (r / scale) ** 2)
         elif fam == "ou":
             K = np.exp(-r / scale)
+        elif fam == mix:
+            K = (0.7 * np.exp(-0.5 * (r / scale) ** 2)
+                 + 0.3 * np.exp(-0.5 * (r / (0.5 * scale)) ** 2))
         else:
             c = np.sqrt(3) / scale
             K = (1 + c * r) * np.exp(-c * r)
