@@ -425,7 +425,6 @@ def _make_range_sensor_3d_gp():
     dirs = gp.sensor_frame.ray_directions_in_frame()
     az = np.arctan2(dirs[..., 1], dirs[..., 0])
     el = np.arctan2(dirs[..., 2], np.hypot(dirs[..., 0], dirs[..., 1]))
-    eye, zero = np.eye(3), np.zeros(3)
     rng = np.random.default_rng(0)
     # a few distinct scans so the runtime can't dedup identical dispatches
     scans = [(5.0 + 0.5 * np.sin(3 * az + p) * np.cos(2 * el)

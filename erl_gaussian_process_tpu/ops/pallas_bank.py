@@ -317,18 +317,16 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def _pick_g(n: int, table, R: int = None) -> int:
-    """Members per grid step. The table holds the measured-good G for the
-    SQUARE (n, 2n) slab; a rectangular slab (R < n rows) frees VMEM, so G
-    may double while the slab stays within the known-good footprint.
+    """Members per grid step, from the measured-good table for the
+    (n, 2n) slab. A rectangular slab (R < n rows) frees VMEM, but within
+    the production gate (n0 > 96 => R > n/2) a doubled G always exceeds
+    the known-good square footprint, so the table value stands;
     ERL_GP_BANK_G overrides for on-chip A/B (use with care: too-large G
     is a Mosaic VMEM OOM at compile time)."""
+    del R
     if os.environ.get("ERL_GP_BANK_G"):
         return int(os.environ["ERL_GP_BANK_G"])
-    R = n if R is None else R
-    g = table[n]
-    while g < 16 and 2 * g * R <= table[n] * n:
-        g *= 2
-    return g
+    return table[n]
 
 
 def _split_outputs(M, n, n0):
