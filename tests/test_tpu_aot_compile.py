@@ -168,7 +168,12 @@ def test_multichip_sharded_update_step_compiles(tpu8_mesh):
     M, d, n_rays, slots = 1024, 2, 136, 20
 
     def S(shape, dt=jnp.float32):
-        return jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+        # vma: explicitly mark the abstract inputs as mesh-invariant —
+        # with a live (non-AOT) default backend present, shard_map's
+        # check_vma rejects vma=None structs (observed on-chip 2026-08-19;
+        # the device-less CPU run never hits the check)
+        return jax.ShapeDtypeStruct(shape, dt, sharding=rep,
+                                    vma=frozenset())
 
     state = SpGpState(pseudo=S((M, d)), L_km=S((M, M)), L_inv=S((M, M)),
                       qm=S((M, M)), alpha=S((M, 1)))
@@ -199,7 +204,12 @@ def test_multichip_bank_and_predict_compile(tpu8_mesh):
     rep = NamedSharding(tpu8_mesh, P())
 
     def S(shape, dt=jnp.float32):
-        return jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+        # vma: explicitly mark the abstract inputs as mesh-invariant —
+        # with a live (non-AOT) default backend present, shard_map's
+        # check_vma rejects vma=None structs (observed on-chip 2026-08-19;
+        # the device-less CPU run never hits the check)
+        return jax.ShapeDtypeStruct(shape, dt, sharding=rep,
+                                    vma=frozenset())
 
     B, n, d = 64, 32, 1
     fit = functools.partial(sharded_bank_fit, tpu8_mesh, kernel="ou")
