@@ -80,12 +80,18 @@ _ONE = np.int32(1)
 
 _MAX_N = 512
 _MAX_D = 8
-# members per grid step, by n: VMEM is ~16 MB and the (G, n, 2n) tile is
-# double-buffered plus rank-1-update temporaries (G=32 at n=128 measured OOM
-# at 17.95M; G=16 compiles and is faster than G=8)
-_G_BY_N = {128: 16, 256: 4, 384: 2, 512: 1}
-# the gram-input variant holds an extra (G, n, n) input block pair
-_G_BY_N_GRAM_IN = {128: 8, 256: 2, 384: 1, 512: 1}
+# Members-per-grid-step budget, in f32 ELEMENTS of the G*R*lane_width
+# product (lane_width = 2n slab + 128 per lane-padded coordinate column
+# for the fused-gram variant; 3n slab+input for the gram-input variant).
+# Calibrated by on-chip A/B + Mosaic OOM boundaries (v5e, 2026-08-19):
+# every measured-OK point sits at <= 1.77M elements and every measured
+# OOM at >= 1.92M (fit: G48*R104*n128 OOMs "scoped vmem by 0.19M",
+# G16*R144*n256 d=2 compiles; G16*R256*n256 d=2 OOMs by 3.89M). Larger G
+# was faster at EVERY compilable point (amortizes the serial elimination
+# across more VPU work per step), so the picker doubles G until the next
+# doubling would cross the budget.
+_VMEM_ELEMS_FIT = 1_800_000
+_VMEM_ELEMS_GRAM_IN = 1_600_000  # no OOM point measured; <= max known-OK
 
 
 def pallas_bank_applies(dtype, n: int, d: int = 1) -> bool:
@@ -316,17 +322,24 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _pick_g(n: int, table, R: int = None) -> int:
-    """Members per grid step, from the measured-good table for the
-    (n, 2n) slab. A rectangular slab (R < n rows) frees VMEM, but within
-    the production gate (n0 > 96 => R > n/2) a doubled G always exceeds
-    the known-good square footprint, so the table value stands;
-    ERL_GP_BANK_G overrides for on-chip A/B (use with care: too-large G
-    is a Mosaic VMEM OOM at compile time)."""
-    del R
+def _pick_g(R: int, lane_elems: int, budget: int, B: int) -> int:
+    """Members per grid step: the largest power of two whose G*R*lane_elems
+    footprint stays within the measured VMEM budget (see _VMEM_ELEMS_*).
+    Rectangular slabs (R < n rows) and 1-D inputs free VMEM that a larger
+    G converts directly into speed (measured: the 3D bank's (144, 512)
+    slab runs 8.61 ms at the old square-table G=4 and 6.83 ms at the
+    budget's G=16; the reference torch-sweep shape (104, 256) 4.72 ->
+    3.98 ms at G=32). Capped at the bank size rounded up to a power of
+    two so tiny banks don't pad B several-fold. ERL_GP_BANK_G overrides
+    for on-chip A/B (too-large G is a Mosaic scoped-vmem OOM at compile
+    time)."""
     if os.environ.get("ERL_GP_BANK_G"):
         return int(os.environ["ERL_GP_BANK_G"])
-    return table[n]
+    g = 1
+    while g < 64 and 2 * g * R * lane_elems <= budget:
+        g *= 2
+    cap = 1 << max(0, B - 1).bit_length()
+    return min(g, cap)
 
 
 def _split_outputs(M, n, n0):
@@ -372,7 +385,7 @@ def bank_fit_fused(name: str, x, y, var, mask, scale):
         y = jnp.pad(y, pad)
         var = jnp.pad(var, pad[:2])
         mask = jnp.pad(mask, pad[:2])  # False => far-point rows
-    G = _pick_g(n, _G_BY_N, _round_up(n0, 8))
+    G = _pick_g(_round_up(n0, 8), 2 * n + 128 * d, _VMEM_ELEMS_FIT, B)
     Bp = _round_up(B, G)
     if Bp != B:
         grow = [(0, Bp - B)] + [(0, 0)] * 2
@@ -409,7 +422,7 @@ def bank_cholesky_solve_fused(K, y):
         idx_r, idx_l = jnp.arange(R), jnp.arange(n)
         pad_diag = (idx_r[:, None] == idx_l[None, :]) & (idx_r[:, None] >= n0)
         K = jnp.where(pad_diag[None], 1.0, K)
-    G = _pick_g(n, _G_BY_N_GRAM_IN, R)
+    G = _pick_g(R, 3 * n, _VMEM_ELEMS_GRAM_IN, B)
     Bp = _round_up(B, G)
     if Bp != B:
         K = jnp.pad(K, [(0, Bp - B), (0, 0), (0, 0)])

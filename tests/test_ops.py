@@ -180,6 +180,37 @@ def test_bank_fit_falls_back_off_tpu():
     assert np.isfinite(np.asarray(st.alpha)).all()
 
 
+def test_bank_pick_g_matches_measured_winners():
+    """The VMEM-budget G picker must reproduce every on-chip A/B winner
+    (v5e, 2026-08-19) and stay under every measured Mosaic OOM boundary
+    (fit: G48*R104*n128 and G16*R256*n256 both OOM'd at compile; the
+    picker's choices all compiled and were the fastest compilable G)."""
+    from erl_gaussian_process_tpu.ops.pallas_bank import (
+        _VMEM_ELEMS_FIT,
+        _VMEM_ELEMS_GRAM_IN,
+        _pick_g,
+    )
+
+    fit = [  # (R, n, d, B) -> measured-best G
+        (104, 128, 1, 1000, 32),   # reference torch-sweep shape
+        (128, 128, 1, 1024, 32),
+        (144, 256, 2, 408, 16),    # 3D sensor bank (271x91 scan)
+        (256, 256, 2, 256, 8),
+        (384, 384, 2, 64, 4),
+        (512, 512, 2, 32, 2),
+    ]
+    for R, n, d, B, exp in fit:
+        assert _pick_g(R, 2 * n + 128 * d, _VMEM_ELEMS_FIT, B) == exp, (R, n)
+    gram_in = [(128, 128, 512, 32), (256, 256, 256, 8)]
+    for R, n, B, exp in gram_in:
+        assert _pick_g(R, 3 * n, _VMEM_ELEMS_GRAM_IN, B) == exp, (R, n)
+    # OOM boundaries stay excluded
+    assert _pick_g(104, 2 * 128 + 128, _VMEM_ELEMS_FIT, 10_000) < 48
+    assert _pick_g(256, 2 * 256 + 256, _VMEM_ELEMS_FIT, 10_000) < 16
+    # tiny banks don't pad B several-fold
+    assert _pick_g(104, 384, _VMEM_ELEMS_FIT, 4) == 4
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="pallas bank kernel compiles only on TPU "
                            "(interpret mode is impractically slow for its "
