@@ -140,53 +140,28 @@ def make_scans(n_poses=50, num_lines=135):
 
 
 def make_hotel0_workload(n_poses: int):
-    """Load the hotel-0 trajectory, raycast a 24x16 depth-style scan per
-    pose against the procedural hotel mesh, and return the stacked scans
-    plus the map/model configuration (mirrors examples/replica_hotel_3d.py,
-    which is the unbenchmarked form of this workload)."""
-    from erl_gaussian_process_tpu.geometry import GridMapInfo3D
-    from erl_gaussian_process_tpu.geometry.simulators import (
-        replica_hotel_like_mesh,
+    """Load the hotel-0 trajectory and raycast one depth-style scan per
+    pose. The workload definition itself (bbox, mesh, setting, pseudo
+    grid, ray grid) lives in erl_gaussian_process_tpu.workloads — the
+    single source of truth shared with examples/replica_hotel_3d.py."""
+    from erl_gaussian_process_tpu.workloads import (
+        hotel0_scan,
+        hotel0_setup,
+        load_hotel0_trajectory,
     )
 
-    traj = np.loadtxt(os.path.join(os.path.dirname(__file__), "data",
-                                   "replica-hotel-0-traj.txt"))
-    poses = traj.reshape(-1, 4, 4)[:n_poses]
-    pos = poses[:, :3, 3]
-    lo = pos.min(axis=0) - 1.5
-    hi = pos.max(axis=0) + 1.5
-    mesh = replica_hotel_like_mesh(lo + 0.2, hi - 0.2)
-
-    setting = SpGpOccupancyMapSetting(
-        sp_gp=SpGpSetting(
-            kernel_type="matern32",
-            kernel=KernelSetting(x_dim=3, scale=float((hi - lo).max()) / 16.0),
-            max_num_samples=2000),
-        min_distance=0.05, max_distance=30.0,
-        free_points_per_meter=2.0, free_sampling_margin=0.02,
-        logodd_free=-1.0, logodd_occupied=1.0, logodd_variance=1e-4)
-
-    pseudo = GridMapInfo3D(lo, hi, [11, 11, 9]).generate_meter_coordinates().T
-
-    u = np.linspace(-0.45, 0.45, 24)
-    v = np.linspace(-0.3, 0.3, 16)
-    uu, vv = np.meshgrid(u, v, indexing="ij")
-    d_local = np.stack([uu.ravel(), vv.ravel(), np.ones(uu.size)], axis=-1)
-    d_local /= np.linalg.norm(d_local, axis=-1, keepdims=True)
+    poses = load_hotel0_trajectory(n_poses=n_poses)
+    setting, pseudo, lo, hi, mesh, d_local = hotel0_setup(poses)
 
     sensors, pts, masks, all_hits = [], [], [], []
     for T in poses:
-        R, t = T[:3, :3], T[:3, 3]
-        dirs = d_local @ R.T
-        rng = mesh.cast_rays(t, dirs)
-        hit = np.isfinite(rng) & (rng <= setting.max_distance)
-        p = t + dirs * np.where(hit, rng, 0.0)[:, None]
+        t, p, hit = hotel0_scan(mesh, T, d_local, setting.max_distance)
         sensors.append(t.astype(np.float32))
         pts.append(p.astype(np.float32))
         masks.append(hit)
         all_hits.append(p[hit])
     return (np.stack(sensors), np.stack(pts), np.stack(masks),
-            np.concatenate(all_hits), pos.astype(np.float32),
+            np.concatenate(all_hits), poses[:, :3, 3].astype(np.float32),
             setting, pseudo, lo, hi)
 
 

@@ -719,7 +719,10 @@ def main():
     # remote compile in the full suite)
     only = None
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
+        pos = sys.argv.index("--only") + 1
+        if pos >= len(sys.argv):
+            sys.exit("usage: suite.py [--sweep] [--only <phase-substring>]")
+        only = sys.argv[pos]
     phases = [
         ("vanilla_2048", lambda: bench_vanilla(2048)),
         ("vanilla_4096", lambda: bench_vanilla(4096)),

@@ -333,12 +333,12 @@ def _pick_g(R: int, lane_elems: int, budget: int, B: int) -> int:
     two so tiny banks don't pad B several-fold. ERL_GP_BANK_G overrides
     for on-chip A/B (too-large G is a Mosaic scoped-vmem OOM at compile
     time)."""
+    cap = 1 << max(0, B - 1).bit_length()
     if os.environ.get("ERL_GP_BANK_G"):
-        return int(os.environ["ERL_GP_BANK_G"])
+        return min(max(1, int(os.environ["ERL_GP_BANK_G"])), cap)
     g = 1
     while g < 64 and 2 * g * R * lane_elems <= budget:
         g *= 2
-    cap = 1 << max(0, B - 1).bit_length()
     return min(g, cap)
 
 

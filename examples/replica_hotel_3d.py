@@ -33,73 +33,29 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 
 import numpy as np
 
-from erl_gaussian_process_tpu.geometry import Aabb, GridMapInfo3D
-from erl_gaussian_process_tpu.kernels import KernelSetting
-from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import SpGpSetting
-from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
-    SpGpOccupancyMap,
-    SpGpOccupancyMapSetting,
+from erl_gaussian_process_tpu.geometry import Aabb
+from erl_gaussian_process_tpu.models.spgp_occupancy_map import SpGpOccupancyMap
+from erl_gaussian_process_tpu.workloads import (
+    hotel0_scan,
+    hotel0_setup,
+    load_hotel0_trajectory,
 )
-
-HERE = os.path.dirname(os.path.abspath(__file__))
-TRAJ = os.path.join(HERE, os.pardir, "data", "replica-hotel-0-traj.txt")
-
-
-def load_trajectory(path=TRAJ):
-    if not os.path.exists(path):
-        # fall back to a synthetic loop if the reference data is absent
-        t = np.linspace(0, 2 * np.pi, 983, endpoint=False)
-        poses = np.tile(np.eye(4), (983, 1, 1))
-        poses[:, 0, 3] = 1.5 * np.cos(t)
-        poses[:, 1, 3] = 1.0 * np.sin(t)
-        poses[:, 2, 3] = 0.0
-        return poses
-    raw = np.loadtxt(path)
-    return raw.reshape(-1, 4, 4)
 
 
 def main():
     n_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 983
-    poses = load_trajectory()[:n_poses]
+    poses = load_hotel0_trajectory(n_poses=n_poses)
     pos = poses[:, :3, 3]
-    lo = pos.min(axis=0) - 1.5
-    hi = pos.max(axis=0) + 1.5
-
-    from erl_gaussian_process_tpu.geometry.simulators import (
-        replica_hotel_like_mesh,
-    )
-    mesh = replica_hotel_like_mesh(lo + 0.2, hi - 0.2)
-
-    setting = SpGpOccupancyMapSetting(
-        sp_gp=SpGpSetting(kernel_type="matern32",
-                          kernel=KernelSetting(x_dim=3,
-                                               scale=float((hi - lo).max())
-                                               / 16.0),
-                          max_num_samples=2000),
-        min_distance=0.05, max_distance=30.0,
-        free_points_per_meter=2.0, free_sampling_margin=0.02,
-        logodd_free=-1.0, logodd_occupied=1.0, logodd_variance=1e-4)
-
-    pseudo = GridMapInfo3D(lo, hi, [11, 11, 9]) \
-        .generate_meter_coordinates().T      # (3, 1089)
+    # the workload definition (bbox, mesh, setting, pseudo grid, ray grid)
+    # is shared verbatim with bench.py's headline measurement
+    setting, pseudo, lo, hi, mesh, d_local = hotel0_setup(poses)
     omap = SpGpOccupancyMap(setting, pseudo, Aabb.from_min_max(lo, hi),
                             seed=0, dtype=np.float32, free_slots_per_ray=12)
-
-    # depth-camera-ish ray grid in the sensor frame (forward = +z)
-    u = np.linspace(-0.45, 0.45, 24)
-    v = np.linspace(-0.3, 0.3, 16)
-    uu, vv = np.meshgrid(u, v, indexing="ij")
-    d_local = np.stack([uu.ravel(), vv.ravel(), np.ones(uu.size)], axis=-1)
-    d_local /= np.linalg.norm(d_local, axis=-1, keepdims=True)
 
     all_hits = []
     t0 = time.perf_counter()
     for T in poses:
-        R, t = T[:3, :3], T[:3, 3]
-        dirs = d_local @ R.T
-        rng = mesh.cast_rays(t, dirs)
-        hit = np.isfinite(rng) & (rng <= setting.max_distance)
-        pts = t + dirs * np.where(hit, rng, 0.0)[:, None]
+        t, pts, hit = hotel0_scan(mesh, T, d_local, setting.max_distance)
         omap.update(t.astype(np.float32), pts.astype(np.float32), hit)
         all_hits.append(pts[hit])
     # forced scalar fetch = the honest execution barrier on this backend

@@ -27,6 +27,7 @@ else:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
@@ -34,3 +35,14 @@ jax.config.update("jax_enable_x64", True)
 
 if not _USE_TPU:
     assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Shared marker for Pallas interpret-mode parity tests. On the real
+# (remote) chip they are strictly redundant with the *_tpu compiled-path
+# parity tests AND pathologically slow: interpret mode emulates each
+# DMA/op as its own dispatch, and every dispatch rides the ~30 ms tunnel
+# round trip (observed: one small gram interpret case > 5 min on-chip vs
+# 2 s on CPU).
+interpret_test = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret emulation through the remote tunnel; the *_tpu "
+           "parity tests cover these kernels on silicon")

@@ -22,15 +22,7 @@ from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
 )
 
 # Interpret-mode tests exist to pin kernel parity on CPU-only checkouts.
-# On the real (remote) chip they are strictly redundant with the *_tpu
-# compiled-path parity tests AND pathologically slow: interpret mode
-# emulates each DMA/op as its own dispatch, and every dispatch rides the
-# ~30 ms tunnel round trip (observed: one small gram interpret case > 5
-# min on-chip vs 2 s on CPU).
-interpret_test = pytest.mark.skipif(
-    jax.default_backend() == "tpu",
-    reason="interpret emulation through the remote tunnel; the *_tpu "
-           "parity tests cover these kernels on silicon")
+from tests.conftest import interpret_test
 
 
 @pytest.mark.parametrize("fam", ["rbf", "ou", "matern32"])

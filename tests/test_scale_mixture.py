@@ -23,12 +23,7 @@ from erl_gaussian_process_tpu.kernels import (
 
 FAMILIES = ["rbf", "ou", "matern32"]
 
-# see tests/test_ops.py: interpret emulation through the remote tunnel is
-# pathologically slow and redundant with the on-silicon parity tests
-interpret_test = pytest.mark.skipif(
-    jax.default_backend() == "tpu",
-    reason="interpret emulation through the remote tunnel; the *_tpu "
-           "parity tests cover these kernels on silicon")
+from tests.conftest import interpret_test
 
 
 def _dense_mixture(name, x1, x2, scale, scale_mix, weights):
