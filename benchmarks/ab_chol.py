@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PREV_REV = "74ca48a"   # pipelined revision: measured 7.08 ms @ n=8192
+# Default: the pipelined revision that measured 7.08 ms @ n=8192.
+# Override with ERL_GP_AB_PREV=<rev> (e.g. HEAD to A/B an uncommitted edit).
+PREV_REV = os.environ.get("ERL_GP_AB_PREV", "74ca48a")
 KERNEL_PATH = "erl_gaussian_process_tpu/ops/pallas_chol.py"
 
 
