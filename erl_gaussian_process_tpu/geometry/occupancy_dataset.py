@@ -134,3 +134,26 @@ def generate_dataset_fixed(
     mask = jnp.concatenate([hit_ok, free_ok.reshape(n * F)], axis=0)
     pts = jnp.where(mask[:, None], pts, 0.0)
     return pts, lbl, mask
+
+
+def compact_slots(pts, lbl, mask, budget: int):
+    """Gather the active slots into a fixed ``budget``-size prefix,
+    preserving slot order (hits first, then free samples — the reference's
+    dataset layout). Callers must have capped ``mask`` to <= budget actives
+    (the max_samples cap in update_step does).
+
+    The sampler's slot grid is rays * (1 + free_slots_per_ray) wide but the
+    map caps actives at max_num_samples — the FITC gram/GEMMs downstream
+    cost O(M^2 n) in the SLOT count, so running them over the compacted
+    budget instead of the full grid is a pure win (measured 2.1x on the
+    hotel-0 update's FITC phase: benchmarks/profile_map_update.py).
+    Inactive tail slots stay masked; gathered coordinates of inactive slots
+    are whatever top_k picked, masked out downstream exactly like the
+    uncompacted layout's inactive slots."""
+    n = pts.shape[0]
+    # active slots get descending positive scores in slot order; inactive 0.
+    # top_k then yields the actives' indices in ascending slot order.
+    score = jnp.where(mask, jnp.int32(n) - jnp.arange(n, dtype=jnp.int32),
+                      jnp.int32(0))
+    _, idx = jax.lax.top_k(score, budget)
+    return pts[idx], lbl[idx], mask[idx]

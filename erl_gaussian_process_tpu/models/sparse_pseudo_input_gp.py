@@ -148,9 +148,15 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
                          L_inv=state.L_inv, qm=state.qm + dq,
                          alpha=state.alpha + da)
 
+    # f32 perf path: beta as one GEMM against the amortized L_inv (the same
+    # trick the Pallas kernel uses) — XLA's trsm is latency-bound far below
+    # the MXU roofline. f64 keeps the triangular solve (reference parity
+    # path; L_inv at f64 is equally accurate but trsm is the reference's
+    # semantics and f64 is never the hot path).
+    l_inv = state.L_inv if state.pseudo.dtype == jnp.float32 else None
     dq, da = fitc_delta(state.pseudo, state.L_km, x, y, var, mask, scale,
                         kernel=kernel, diagonal_qm=diagonal_qm,
-                        zero_threshold=zero_threshold)
+                        zero_threshold=zero_threshold, L_inv=l_inv)
     return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
                      L_inv=state.L_inv, qm=state.qm + dq,
                      alpha=state.alpha + da)
@@ -158,7 +164,7 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
 
 def fitc_delta(pseudo, L_km, x, y, var, mask, scale, *, kernel: str,
                diagonal_qm: bool = False, reduce=lambda t: t,
-               zero_threshold: float = 0.0):
+               zero_threshold: float = 0.0, L_inv=None):
     """The per-column FITC increment (dQ_M (M, M|1), dalpha (M, q)) —
     the ONE implementation of UpdateDense's column math
     (src/sparse_pseudo_input_gp.cpp:758-780), shared by the single-chip
@@ -168,11 +174,21 @@ def fitc_delta(pseudo, L_km, x, y, var, mask, scale, *, kernel: str,
     pass a psum so the cross-shard sum rides ICI.
 
     ``zero_threshold`` > 0: UpdateSparse semantics — sub-threshold K_MN
-    entries zeroed before the solve (masked dense; see spgp_update)."""
+    entries zeroed before the solve (masked dense; see spgp_update).
+
+    ``L_inv``: when given, beta is computed as the GEMM ``L_inv @ kmn``
+    instead of a triangular solve against ``L_km`` — the f32 perf path
+    (see spgp_update); pass None to keep the trsm (f64 parity path)."""
     kmn = cross_gram(kernel, pseudo, x, scale)                 # (M, n)
     if zero_threshold:
         kmn = jnp.where(jnp.abs(kmn) >= zero_threshold, kmn, 0.0)
-    beta = solve_triangular(L_km, kmn, lower=True)             # (M, n)
+    if L_inv is not None:
+        # one MXU GEMM against the amortized inverse instead of XLA's
+        # latency-bound block trsm chain (pseudo points are fixed, so
+        # L_inv = L_KM^{-1} is computed once at init)
+        beta = L_inv @ kmn                                     # (M, n)
+    else:
+        beta = solve_triangular(L_km, kmn, lower=True)         # (M, n)
     # lambda >= 0 mathematically (FITC residual variance); float roundoff can
     # push ||beta||^2 past 1 near pseudo points, and an unclamped lambda can
     # cancel var exactly -> w = inf -> NaN state. Clamp to the math.

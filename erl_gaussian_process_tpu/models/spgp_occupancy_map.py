@@ -24,6 +24,7 @@ import numpy as np
 
 from erl_gaussian_process_tpu.geometry.aabb import Aabb
 from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
+    compact_slots,
     generate_dataset_fixed,
 )
 from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
@@ -108,6 +109,14 @@ def update_step(state: SpGpState, key, step, sensor_position, points,
     # cap at max_samples active entries (cumsum over the fixed slot order)
     order_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     mask = mask & (order_rank < max_samples)
+    # the FITC update costs O(M^2 n) in the SLOT count: compact the (capped)
+    # actives into a max_samples-aligned prefix so the gram/GEMMs never see
+    # the full rays*(1+free_slots) grid (measured 2.1x on the hotel-0 FITC
+    # phase; same active samples in the same order, so the accumulated
+    # posterior differs only by f32 GEMM reduction-order rounding)
+    budget = min(pts.shape[0], -(-max_samples // 256) * 256)
+    if budget < pts.shape[0]:
+        pts, lbl, mask = compact_slots(pts, lbl, mask, budget)
     y = jnp.where(lbl > 0, logodd_occupied, logodd_free)[:, None]
     var = jnp.full(pts.shape[0], logodd_variance, pts.dtype)
     new_state = spgp_update(state, pts, y, var, mask, scale,

@@ -118,13 +118,14 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
     """
 
     @f32_matmul
-    def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
+    def local(pseudo, L_km, L_inv, qm, alpha, xl, yl, vl, ml):
         # the column math is the single-chip fitc_delta (incl. the lambda
         # clamp); only the accumulation differs — a psum pair over ICI
         dqm, dalpha = fitc_delta(
             pseudo, L_km, xl, yl, vl, ml, scale, kernel=kernel,
             diagonal_qm=diagonal_qm, zero_threshold=zero_threshold,
-            reduce=lambda t: jax.lax.psum(t, BANK_AXIS))
+            reduce=lambda t: jax.lax.psum(t, BANK_AXIS),
+            L_inv=L_inv if pseudo.dtype == jnp.float32 else None)
         return qm + dqm, alpha + dalpha
 
     rep = P()
@@ -136,9 +137,10 @@ def sharded_spgp_update(mesh: Mesh, state: SpGpState, x, y, var, mask, scale,
     # program is pinned by tests/test_parallel.py on the CPU mesh.
     qm, alpha = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, shard, shard, shard, shard),
+        in_specs=(rep, rep, rep, rep, rep, shard, shard, shard, shard),
         out_specs=(rep, rep), check_vma=False))(
-        state.pseudo, state.L_km, state.qm, state.alpha, x, y, var, mask)
+        state.pseudo, state.L_km, state.L_inv, state.qm, state.alpha,
+        x, y, var, mask)
     return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
                      L_inv=state.L_inv, qm=qm, alpha=alpha)
 
@@ -166,6 +168,7 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
     numerical difference vs single-chip is psum reassociation of the f32
     sums — measured by tests/test_parallel.py's drift gate."""
     from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
+        compact_slots,
         generate_dataset_fixed,
     )
 
@@ -176,6 +179,13 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
         free_points_per_meter, free_slots_per_ray=free_slots)
     order_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     mask = mask & (order_rank < max_samples)
+    # same active-slot compaction as the single-chip update_step (see
+    # models/spgp_occupancy_map.py): the sharded FITC GEMMs cost
+    # O(M^2 n / n_devices) in the slot count, so each chip's share shrinks
+    # by the same grid/budget ratio
+    budget = min(pts.shape[0], -(-max_samples // 256) * 256)
+    if budget < pts.shape[0]:
+        pts, lbl, mask = compact_slots(pts, lbl, mask, budget)
     y = jnp.where(lbl > 0, logodd_occupied, logodd_free)[:, None]
     var = jnp.full(pts.shape[0], logodd_variance, pts.dtype)
     n_used = jnp.sum(mask)
@@ -184,11 +194,12 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
     (pts, y, var, mask), _ = _pad_axis([pts, y, var, mask], 0, nd)
 
     @f32_matmul
-    def local(pseudo, L_km, qm, alpha, xl, yl, vl, ml):
+    def local(pseudo, L_km, L_inv, qm, alpha, xl, yl, vl, ml):
         dqm, dalpha = fitc_delta(
             pseudo, L_km, xl, yl, vl, ml, scale, kernel=kernel,
             diagonal_qm=diagonal_qm, zero_threshold=zero_threshold,
-            reduce=lambda t: jax.lax.psum(t, BANK_AXIS))
+            reduce=lambda t: jax.lax.psum(t, BANK_AXIS),
+            L_inv=L_inv if pseudo.dtype == jnp.float32 else None)
         return qm + dqm, alpha + dalpha
 
     rep, shard = P(), P(BANK_AXIS)
@@ -199,9 +210,10 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
     # program is pinned by tests/test_parallel.py on the CPU mesh.
     qm, alpha = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, shard, shard, shard, shard),
+        in_specs=(rep, rep, rep, rep, rep, shard, shard, shard, shard),
         out_specs=(rep, rep), check_vma=False)(
-        state.pseudo, state.L_km, state.qm, state.alpha, pts, y, var, mask)
+        state.pseudo, state.L_km, state.L_inv, state.qm, state.alpha,
+        pts, y, var, mask)
     return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
                      L_inv=state.L_inv, qm=qm, alpha=alpha), n_used
 

@@ -317,6 +317,118 @@ def test_float32_matches_float64_posterior():
         np.abs(lo32 - lo64).mean() / scale)
 
 
+def test_compact_slots_preserves_actives():
+    """compact_slots must gather exactly the active slots, in slot order,
+    into the budget prefix — the invariant the compacted FITC update relies
+    on for sample-for-sample parity with the full-grid update."""
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
+        compact_slots,
+    )
+
+    rng = np.random.default_rng(7)
+    n, budget = 400, 256
+    pts = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+    lbl = jnp.asarray((rng.uniform(size=n) < 0.3).astype(np.int32))
+    mask = rng.uniform(size=n) < 0.5          # ~200 actives < budget
+    mask_j = jnp.asarray(mask)
+    cp, cl, cm = compact_slots(pts, lbl, mask_j, budget)
+    assert cp.shape == (budget, 2) and cm.shape == (budget,)
+    act = np.flatnonzero(mask)
+    k = len(act)
+    assert int(jnp.sum(cm)) == k
+    # actives land in the prefix, in original slot order
+    np.testing.assert_array_equal(np.asarray(cm[:k]), True)
+    np.testing.assert_array_equal(np.asarray(cp[:k]), np.asarray(pts)[act])
+    np.testing.assert_array_equal(np.asarray(cl[:k]), np.asarray(lbl)[act])
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_update_step_compaction_matches_full_grid(dtype):
+    """update_step compacts the capped actives into a 256-aligned budget
+    before the FITC update (compact_slots in spgp_occupancy_map.update_step):
+    same active samples in the same order, so the accumulated posterior must
+    match an uncompacted full-slot-grid spgp_update to GEMM reduction-order
+    rounding. Also covers the f32 beta-via-L_inv GEMM path against the f64
+    trsm parity path (fitc_delta's L_inv branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.geometry.occupancy_dataset import (
+        generate_dataset_fixed,
+    )
+    from erl_gaussian_process_tpu.models.spgp_occupancy_map import update_step
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        spgp_update,
+    )
+
+    setting = SpGpOccupancyMapSetting(
+        sp_gp=SpGpSetting(kernel_type="matern32",
+                          kernel=KernelSetting(x_dim=2, scale=0.3),
+                          max_num_samples=256),
+        min_distance=0.0, max_distance=10.0, free_points_per_meter=2.0,
+        free_sampling_margin=0.02, logodd_free=-1.0, logodd_occupied=1.0,
+        logodd_variance=1e-4)
+    c = np.linspace(-2, 2, 7)
+    pv, qv = np.meshgrid(c, c, indexing="ij")
+    pseudo = np.stack([pv.ravel(), qv.ravel()], axis=0)
+    box = Aabb.from_min_max([-2, -2], [2, 2])
+    omap = SpGpOccupancyMap(setting, pseudo, box, seed=5, dtype=dtype,
+                            free_slots_per_ray=6)
+    s = setting
+    rng = np.random.default_rng(1)
+    ang = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+    pts = np.stack([1.6 * np.cos(ang), 1.6 * np.sin(ang)], axis=-1)
+    hit = rng.uniform(size=48) < 0.9
+    # 48 rays * (1 + 6 slots) = 336 slots > 256 budget: compaction triggers
+    n_slots = 48 * 7
+    assert n_slots > -(-s.sp_gp.max_num_samples // 256) * 256
+
+    state0 = jax.tree_util.tree_map(jnp.copy, omap.state)
+    kw = dict(kernel=omap.sp_gp._kernel, diagonal_qm=False,
+              free_slots=omap.free_slots,
+              max_samples=s.sp_gp.max_num_samples, min_distance=s.min_distance,
+              max_distance=s.max_distance,
+              free_sampling_margin=s.free_sampling_margin,
+              free_points_per_meter=s.free_points_per_meter,
+              logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
+              logodd_variance=s.logodd_variance)
+    scale = omap.dtype.type(omap.sp_gp._scale)
+    pts_j = jnp.asarray(np.where(hit[:, None], pts, 0.0).astype(dtype))
+    st_c, n_used = update_step(
+        jax.tree_util.tree_map(jnp.copy, state0), omap.key, jnp.int32(1),
+        jnp.asarray(np.zeros(2, dtype)), pts_j, jnp.asarray(hit),
+        omap._aabb_min, omap._aabb_max, scale, **kw)
+    assert 0 < int(n_used) <= s.sp_gp.max_num_samples
+
+    # the uncompacted reference: same sampler + cap, FITC over ALL slots
+    step_key = jax.random.fold_in(omap.key, jnp.int32(1))
+    d_pts, lbl, msk = generate_dataset_fixed(
+        step_key, jnp.asarray(np.zeros(2, dtype)), pts_j, jnp.asarray(hit),
+        omap._aabb_min, omap._aabb_max, s.min_distance, s.max_distance,
+        s.free_sampling_margin, s.free_points_per_meter,
+        free_slots_per_ray=omap.free_slots)
+    rank = jnp.cumsum(msk.astype(jnp.int32)) - 1
+    msk = msk & (rank < s.sp_gp.max_num_samples)
+    assert int(jnp.sum(msk)) == int(n_used)
+    y = jnp.where(lbl > 0, s.logodd_occupied, s.logodd_free)[:, None]
+    var = jnp.full(d_pts.shape[0], s.logodd_variance, d_pts.dtype)
+    st_f = spgp_update(jax.tree_util.tree_map(jnp.copy, state0), d_pts,
+                       y.astype(d_pts.dtype), var, msk, scale,
+                       kernel=omap.sp_gp._kernel)
+    # f32: the GEMM reduction tree changes with the column count (336 vs
+    # 256) and FITC weights reach 1/logodd_variance = 1e4, so rounding
+    # drift is ~|qm| * 3e-4 (observed) — well inside the f32 path's
+    # documented posterior budget. f64 pins the math itself.
+    tol = dict(rtol=1e-3, atol=1e-4) if dtype == np.float32 else \
+        dict(rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_c.qm), np.asarray(st_f.qm),
+                               **tol)
+    np.testing.assert_allclose(np.asarray(st_c.alpha), np.asarray(st_f.alpha),
+                               **tol)
+
+
 def test_map_honors_use_sparse_threshold():
     """SpGpOccupancyMap threads use_sparse/sparse_zero_threshold through
     its fused update and predict steps (the reference's map calls
