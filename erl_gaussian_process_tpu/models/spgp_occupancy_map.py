@@ -80,6 +80,43 @@ class SpGpOccupancyMapSetting:
             yaml.safe_dump(self.to_dict(), f, sort_keys=False)
 
 
+def sample_pose(key, step, sensor_position, points, point_mask, aabb_min,
+                aabb_max, *, free_slots, max_samples, min_distance,
+                max_distance, free_sampling_margin, free_points_per_meter,
+                logodd_occupied, logodd_free, logodd_variance):
+    """Sample -> label -> cap -> compact for ONE pose: the shared front half
+    of every map update (single-chip, chunked replay, and mesh-sharded).
+    Returns (pts (budget, d), y (budget, 1), var (budget,), mask (budget,))
+    with budget = max_samples rounded up to 256 (or the full slot grid if
+    smaller).
+
+    The per-step key is derived with ``fold_in`` INSIDE the jit so the host
+    never dispatches a separate split. ``max_samples`` caps the active
+    sample count like the reference's ``max_num_samples``
+    (src/spgp_occupancy_map.cpp:91): excess actives are dropped (stable
+    order: hits first, then free samples, matching the reference's
+    hits-then-free dataset layout). The compaction exists because the FITC
+    update costs O(M^2 n) in the SLOT count — gathering the capped actives
+    into the 256-aligned prefix keeps the gram/GEMMs off the full
+    rays*(1+free_slots) grid (measured 2.1x on the hotel-0 FITC phase;
+    same active samples in the same order, so the accumulated posterior
+    differs only by f32 GEMM reduction-order rounding)."""
+    step_key = jax.random.fold_in(key, step)
+    pts, lbl, mask = generate_dataset_fixed(
+        step_key, sensor_position, points, point_mask, aabb_min, aabb_max,
+        min_distance, max_distance, free_sampling_margin,
+        free_points_per_meter, free_slots_per_ray=free_slots)
+    # cap at max_samples active entries (cumsum over the fixed slot order)
+    order_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    mask = mask & (order_rank < max_samples)
+    budget = min(pts.shape[0], -(-max_samples // 256) * 256)
+    if budget < pts.shape[0]:
+        pts, lbl, mask = compact_slots(pts, lbl, mask, budget)
+    y = jnp.where(lbl > 0, logodd_occupied, logodd_free)[:, None]
+    var = jnp.full(pts.shape[0], logodd_variance, pts.dtype)
+    return pts, y, var, mask
+
+
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "free_slots",
                                    "max_samples", "zero_threshold"),
          donate_argnames=("state",))
@@ -89,36 +126,16 @@ def update_step(state: SpGpState, key, step, sensor_position, points,
                 min_distance, max_distance, free_sampling_margin,
                 free_points_per_meter, logodd_occupied, logodd_free,
                 logodd_variance, zero_threshold: float = 0.0):
-    """One fused map update: sample dataset -> label -> FITC update.
-
-    ``key`` is the map's base PRNG key and ``step`` the update counter; the
-    per-step key is derived with ``fold_in`` INSIDE the jit so the host never
-    dispatches a separate split (each extra dispatch costs a host->device
-    round trip in online serving).
-
-    ``max_samples`` caps the active sample count like the reference's
-    ``max_num_samples`` (src/spgp_occupancy_map.cpp:91): excess actives are
-    dropped (stable order: hits first, then free samples, matching the
-    reference's hits-then-free dataset layout).
-    """
-    step_key = jax.random.fold_in(key, step)
-    pts, lbl, mask = generate_dataset_fixed(
-        step_key, sensor_position, points, point_mask, aabb_min, aabb_max,
-        min_distance, max_distance, free_sampling_margin,
-        free_points_per_meter, free_slots_per_ray=free_slots)
-    # cap at max_samples active entries (cumsum over the fixed slot order)
-    order_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    mask = mask & (order_rank < max_samples)
-    # the FITC update costs O(M^2 n) in the SLOT count: compact the (capped)
-    # actives into a max_samples-aligned prefix so the gram/GEMMs never see
-    # the full rays*(1+free_slots) grid (measured 2.1x on the hotel-0 FITC
-    # phase; same active samples in the same order, so the accumulated
-    # posterior differs only by f32 GEMM reduction-order rounding)
-    budget = min(pts.shape[0], -(-max_samples // 256) * 256)
-    if budget < pts.shape[0]:
-        pts, lbl, mask = compact_slots(pts, lbl, mask, budget)
-    y = jnp.where(lbl > 0, logodd_occupied, logodd_free)[:, None]
-    var = jnp.full(pts.shape[0], logodd_variance, pts.dtype)
+    """One fused map update: sample dataset -> label -> FITC update
+    (see sample_pose for the sampling/cap/compaction semantics)."""
+    pts, y, var, mask = sample_pose(
+        key, step, sensor_position, points, point_mask, aabb_min, aabb_max,
+        free_slots=free_slots, max_samples=max_samples,
+        min_distance=min_distance, max_distance=max_distance,
+        free_sampling_margin=free_sampling_margin,
+        free_points_per_meter=free_points_per_meter,
+        logodd_occupied=logodd_occupied, logodd_free=logodd_free,
+        logodd_variance=logodd_variance)
     new_state = spgp_update(state, pts, y, var, mask, scale,
                             kernel=kernel, diagonal_qm=diagonal_qm,
                             zero_threshold=zero_threshold)
@@ -126,42 +143,77 @@ def update_step(state: SpGpState, key, step, sensor_position, points,
 
 
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "free_slots",
-                                   "max_samples", "zero_threshold"),
+                                   "max_samples", "zero_threshold",
+                                   "poses_per_step"),
          donate_argnames=("state",))
 def update_batch_steps(state: SpGpState, key, step0, sensor_positions,
                        points, point_masks, aabb_min, aabb_max, scale, *,
                        kernel, diagonal_qm, free_slots, max_samples,
                        min_distance, max_distance, free_sampling_margin,
                        free_points_per_meter, logodd_occupied, logodd_free,
-                       logodd_variance, zero_threshold: float = 0.0):
-    """B map updates in ONE dispatch via ``lax.scan`` — same math and same
-    sequential FITC accumulation order as B ``update_step`` calls (same
-    per-step PRNG fold-in; results agree to the last f32 ulp, differing only
-    by XLA GEMM-epilogue fusion choices under scan). This is the batch-replay/ingestion
-    path: per-dispatch host/tunnel overhead is amortized over the whole
-    batch while the online single-scan semantics are preserved exactly.
+                       logodd_variance, zero_threshold: float = 0.0,
+                       poses_per_step: int = 1):
+    """B map updates in ONE dispatch via ``lax.scan``. This is the
+    batch-replay/ingestion path: per-dispatch host/tunnel overhead is
+    amortized over the whole batch while the online single-scan semantics
+    are preserved (same per-pose PRNG fold-in, same per-pose sample cap).
+
+    ``poses_per_step`` = c > 1 fuses c poses into ONE FITC call per scan
+    step. This is exact in exact arithmetic: the FITC increment is a SUM of
+    independent per-column terms (each column's weight 1/(lambda_j + var_j)
+    depends only on that column), so accumulation order is mathematically
+    free — (Q_M, alpha) after the batch equal the sequential result up to
+    f32 GEMM reduction-order rounding (gated in tests). The win is MXU
+    utilization (c*budget-wide GEMMs) and amortizing the op-count-bound
+    per-pose sampler across the vmap. B must be a multiple of c (the class
+    wrapper pads with all-masked poses, which are exact no-ops).
+
+    With c == 1 the per-step math and accumulation ORDER are identical to
+    B ``update_step`` calls (agreement to the last f32 ulp, differing only
+    by XLA GEMM-epilogue fusion choices under scan).
 
     sensor_positions (B, d); points (B, n, d); point_masks (B, n).
     """
+    sample_kw = dict(
+        free_slots=free_slots, max_samples=max_samples,
+        min_distance=min_distance, max_distance=max_distance,
+        free_sampling_margin=free_sampling_margin,
+        free_points_per_meter=free_points_per_meter,
+        logodd_occupied=logodd_occupied, logodd_free=logodd_free,
+        logodd_variance=logodd_variance)
+
     def body(carry, inp):
         st = carry
         k, sensor, pts, msk = inp
-        st, n_used = update_step(
-            st, key, k, sensor, pts, msk, aabb_min, aabb_max, scale,
-            kernel=kernel, diagonal_qm=diagonal_qm, free_slots=free_slots,
-            max_samples=max_samples, min_distance=min_distance,
-            max_distance=max_distance,
-            free_sampling_margin=free_sampling_margin,
-            free_points_per_meter=free_points_per_meter,
-            logodd_occupied=logodd_occupied, logodd_free=logodd_free,
-            logodd_variance=logodd_variance, zero_threshold=zero_threshold)
+        if poses_per_step == 1:
+            st, n_used = update_step(
+                st, key, k, sensor, pts, msk, aabb_min, aabb_max, scale,
+                kernel=kernel, diagonal_qm=diagonal_qm,
+                zero_threshold=zero_threshold, **sample_kw)
+            return st, n_used
+        # c poses -> one FITC call: vmap the sampler, flatten the sample axis
+        xp, yp, vp, mp = jax.vmap(
+            lambda k_, s_, p_, m_: sample_pose(
+                key, k_, s_, p_, m_, aabb_min, aabb_max, **sample_kw)
+        )(k, sensor, pts, msk)
+        n_used = jnp.sum(mp, axis=1)
+        st = spgp_update(
+            st, xp.reshape(-1, xp.shape[-1]), yp.reshape(-1, yp.shape[-1]),
+            vp.reshape(-1), mp.reshape(-1), scale, kernel=kernel,
+            diagonal_qm=diagonal_qm, zero_threshold=zero_threshold)
         return st, n_used
 
     b = sensor_positions.shape[0]
+    c = poses_per_step
     steps = step0 + jnp.arange(b, dtype=jnp.int32)
-    state, n_used = jax.lax.scan(
-        body, state, (steps, sensor_positions, points, point_masks))
-    return state, n_used
+    xs = (steps, sensor_positions, points, point_masks)
+    if c > 1:
+        if b % c:
+            raise ValueError(f"B={b} not a multiple of poses_per_step={c}")
+        xs = jax.tree_util.tree_map(
+            lambda a: a.reshape(b // c, c, *a.shape[1:]), xs)
+    state, n_used = jax.lax.scan(body, state, xs)
+    return state, n_used.reshape(b)
 
 
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "with_grad",
@@ -270,10 +322,17 @@ class SpGpOccupancyMap:
         self.sp_gp._cache = None
         return n_used
 
-    def update_batch(self, sensor_positions, points, point_masks=None):
+    def update_batch(self, sensor_positions, points, point_masks=None,
+                     poses_per_step: int = 1):
         """B scans in one dispatch (see update_batch_steps): identical
         results as B sequential ``update`` calls (to f32 fusion rounding),
         amortizing per-dispatch host/tunnel overhead over the batch.
+
+        ``poses_per_step`` > 1 additionally fuses that many poses into one
+        FITC call per scan step — exact up to f32 reduction-order rounding
+        (the FITC increment is an order-free sum over sample columns; see
+        update_batch_steps). The pose axis is padded with all-masked no-op
+        poses up to a multiple.
 
         sensor_positions (B, d); points (B, n, d) world end points;
         point_masks (B, n) or None.
@@ -286,6 +345,14 @@ class SpGpOccupancyMap:
         p = np.where(point_masks[..., None], p, 0.0)
         s = self.setting
         b = sp.shape[0]
+        c = int(poses_per_step)
+        if c > 1 and b % c:
+            pad = -b % c
+            sp = np.concatenate([sp, np.zeros((pad,) + sp.shape[1:],
+                                              sp.dtype)])
+            p = np.concatenate([p, np.zeros((pad,) + p.shape[1:], p.dtype)])
+            point_masks = np.concatenate(
+                [point_masks, np.zeros((pad,) + point_masks.shape[1:], bool)])
         new_state, n_used = update_batch_steps(
             self.sp_gp.state, self.key, jnp.int32(self.step + 1),
             jnp.asarray(sp), jnp.asarray(p), jnp.asarray(point_masks),
@@ -298,12 +365,12 @@ class SpGpOccupancyMap:
             free_points_per_meter=s.free_points_per_meter,
             logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
             logodd_variance=s.logodd_variance,
-            zero_threshold=self.sp_gp._zero_threshold)
+            zero_threshold=self.sp_gp._zero_threshold, poses_per_step=c)
         self.step += b
         self.sp_gp.state = new_state
         self.sp_gp._trained = True
         self.sp_gp._cache = None
-        return n_used
+        return n_used[:b]
 
     def predict(self, points, compute_gradient: bool = False,
                 parallel: bool = True):

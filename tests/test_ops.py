@@ -42,12 +42,23 @@ def test_pallas_gram_parity_interpret(fam):
 
 
 @interpret_test
-def test_pallas_fitc_parity_interpret():
-    from erl_gaussian_process_tpu.ops.pallas_fitc import pallas_fitc_update
+@pytest.mark.parametrize("m", [128, 384])
+def test_pallas_fitc_parity_interpret(m):
+    """m=128 picks nb=1 (full-GEMM dq); m=384 picks nb=3 (symmetric
+    lower-triangular block dq + mirror) — see pallas_fitc._pick_nb."""
+    from erl_gaussian_process_tpu.ops.pallas_fitc import (
+        _pick_nb,
+        pallas_fitc_update,
+    )
 
+    assert _pick_nb(m) == {128: 1, 384: 3}[m]
     rng = np.random.default_rng(1)
-    m, n, d = 128, 200, 2
-    pseudo = jnp.asarray(rng.uniform(-2, 2, (m, d)).astype(np.float32))
+    n, d = 200, 2
+    # box side scales with sqrt(m) so pseudo-point spacing (hence K_M
+    # conditioning and the 1/(lam+var) amplification of the bf16x3 dot
+    # noise) stays comparable across the two cases
+    half = 2.0 * np.sqrt(m / 128.0)
+    pseudo = jnp.asarray(rng.uniform(-half, half, (m, d)).astype(np.float32))
     st = spgp_init(pseudo, np.float32(0.5), kernel="matern32")
     x = jnp.asarray(rng.uniform(-2, 2, (n, d)).astype(np.float32))
     y = jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32))

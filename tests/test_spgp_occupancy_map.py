@@ -252,6 +252,52 @@ def test_update_batch_equals_sequential():
     assert seq.step == bat.step
 
 
+@pytest.mark.parametrize("dtype,c", [(np.float32, 3), (np.float64, 4)])
+def test_update_batch_chunked_matches_sequential(dtype, c):
+    """poses_per_step=c fuses c poses into one FITC call per scan step —
+    exact in exact arithmetic (the FITC increment is an order-free sum over
+    sample columns), so the chunked posterior must match the sequential
+    replay to reduction-order rounding. c=3 with B=7 also exercises the
+    all-masked pose padding (7 -> 9), which must be an exact no-op."""
+    rng = np.random.default_rng(2)
+    setting = SpGpOccupancyMapSetting(
+        sp_gp=SpGpSetting(kernel_type="matern32",
+                          kernel=KernelSetting(x_dim=2, scale=0.3),
+                          max_num_samples=256),
+        min_distance=0.0, max_distance=10.0, free_points_per_meter=2.0,
+        free_sampling_margin=0.02, logodd_free=-1.0, logodd_occupied=1.0,
+        logodd_variance=1e-4)
+    cg = np.linspace(-2, 2, 7)
+    pv, qv = np.meshgrid(cg, cg, indexing="ij")
+    pseudo = np.stack([pv.ravel(), qv.ravel()], axis=0)
+    box = Aabb.from_min_max([-2, -2], [2, 2])
+
+    B, n = 7, 40
+    sensors = rng.uniform(-0.5, 0.5, (B, 2)).astype(dtype)
+    pts = rng.uniform(-1.8, 1.8, (B, n, 2)).astype(dtype)
+    masks = rng.uniform(size=(B, n)) < 0.9
+
+    def make():
+        return SpGpOccupancyMap(setting, pseudo, box, seed=3, dtype=dtype,
+                                free_slots_per_ray=6)
+
+    seq = make()
+    used_seq = [int(seq.update(sensors[i], pts[i], masks[i]))
+                for i in range(B)]
+    chk = make()
+    n_used = np.asarray(chk.update_batch(sensors, pts, masks,
+                                         poses_per_step=c))
+    assert n_used.shape == (B,)
+    np.testing.assert_array_equal(n_used, used_seq)
+    assert chk.step == seq.step == B
+    tol = dict(rtol=1e-3, atol=1e-4) if dtype == np.float32 else \
+        dict(rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(seq.sp_gp.state.qm),
+                               np.asarray(chk.sp_gp.state.qm), **tol)
+    np.testing.assert_allclose(np.asarray(seq.sp_gp.state.alpha),
+                               np.asarray(chk.sp_gp.state.alpha), **tol)
+
+
 def test_float32_matches_float64_posterior():
     """BASELINE accuracy guard: with the SAME training set, the float32 FITC
     posterior must track float64 (this is what the true-f32 matmul-precision
