@@ -87,6 +87,27 @@ def test_pallas_fitc_parity_interpret(m):
         rtol=2e-3, atol=2e-3)
 
 
+def test_pallas_fitc_vmem_budget_eligibility(monkeypatch):
+    """The VMEM-budget gate (pallas_fitc.pallas_fitc_enabled): M=1152 (the
+    hotel-0 3D shape, ~14.2 MB resident) is eligible; M=1280 (~17 MB)
+    exceeds the 16 MB scoped-VMEM class and must fall back to the XLA
+    chain. Alignment/dtype/dim gates checked alongside."""
+    from erl_gaussian_process_tpu.ops import pallas_fitc
+
+    monkeypatch.delenv("ERL_GP_NO_PALLAS_FITC", raising=False)
+    monkeypatch.delenv("ERL_GP_NO_PALLAS", raising=False)
+    monkeypatch.setattr(pallas_fitc.jax, "default_backend", lambda: "tpu")
+    enabled = pallas_fitc.pallas_fitc_enabled
+    assert enabled(np.float32, 1024, 2)
+    assert enabled(np.float32, 1152, 3)      # hotel-0 shape: in budget
+    assert not enabled(np.float32, 1280, 3)  # next 128-step: over budget
+    assert not enabled(np.float32, 1000, 2)  # not 128-aligned
+    assert not enabled(np.float64, 1024, 2)  # f64 path stays on XLA
+    assert not enabled(np.float32, 1024, 4)  # d > _MAX_D
+    monkeypatch.setenv("ERL_GP_NO_PALLAS_FITC", "1")
+    assert not enabled(np.float32, 1024, 2)
+
+
 def test_far_point_padding_is_exact():
     """Padded SPGP must give bit-for-bit the same posterior as unpadded:
     far-point rows produce exactly-zero kernel values and identity L rows."""
