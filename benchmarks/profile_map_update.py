@@ -170,7 +170,8 @@ def main(n_poses=256, rounds=4):
                 from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp \
                     import SpGpState
                 return SpGpState(pseudo=c.pseudo, L_km=c.L_km, L_inv=c.L_inv,
-                                 qm=c.qm + dq, alpha=c.alpha + da), None
+                                 qm=c.qm + dq, alpha=c.alpha + da,
+                                 qm_c=c.qm_c, alpha_c=c.alpha_c), None
             st, _ = jax.lax.scan(
                 body, st, jnp.arange(n_poses, dtype=jnp.int32))
             return st.qm[0, 0]

@@ -71,6 +71,29 @@ def f32_matmul(fn):
     return wrapper
 
 
+def kahan_add(s: jnp.ndarray, c: jnp.ndarray, d: jnp.ndarray):
+    """One compensated (Kahan) accumulation step: returns ``(s', c')`` with
+    the running sum recoverable as ``s' - c'`` to ~2 ulp of the TERM
+    magnitudes, independent of how many terms have been accumulated.
+
+    Streaming FITC accumulates ~1e3 rank-N increments into (Q_M, alpha);
+    plain float32 accumulation drifts by ~sqrt(T)*eps of the RUNNING SUM
+    (measured: the r4 983-pose headline needed a 1e-4 relative jitter to
+    refactor Q_M — gp_core.host_jitter_retry fired in the shipping bench).
+    The compensation keeps the pair (s, c) at effectively double-float32
+    precision for the cost of three extra elementwise ops per update —
+    native f32 on TPU (no f64 emulation), backend-uniform, and ~1e2x
+    cheaper than carrying the accumulator in emulated f64 HBM traffic.
+
+    XLA preserves the cancellation: its algebraic simplifier does not
+    reassociate floats, verified numerically on both CPU and TPU by
+    tests/test_sparse_pseudo_input_gp.py::test_kahan_accumulation_*."""
+    y = d - c
+    t = s + y
+    c_new = (t - s) - y
+    return t, c_new
+
+
 def robust_cholesky(K: jnp.ndarray) -> jnp.ndarray:
     """Cholesky with escalating relative jitter on failure.
 

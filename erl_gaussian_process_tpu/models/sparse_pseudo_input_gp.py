@@ -49,7 +49,11 @@ from erl_gaussian_process_tpu.kernels import (
     kernel_fn,
     resolve_kernel_name,
 )
-from erl_gaussian_process_tpu.models.gp_core import f32_matmul, robust_cholesky
+from erl_gaussian_process_tpu.models.gp_core import (
+    f32_matmul,
+    kahan_add,
+    robust_cholesky,
+)
 from erl_gaussian_process_tpu.utils.serialization import (
     eq_state,
     load_pytree,
@@ -66,13 +70,25 @@ class SpGpState(NamedTuple):
     M may include far-point padding rows (see ``pad_pseudo_points``): padded
     pseudo points sit at distinct coordinates ~1e15 apart, so every kernel
     value against them underflows to exactly 0 and K_M is block-diag(K, I) —
-    all downstream linear algebra is exact without any masks."""
+    all downstream linear algebra is exact without any masks.
+
+    ``qm_c``/``alpha_c`` are the Kahan compensation buffers for the
+    streaming accumulation (see gp_core.kahan_add): ``qm - qm_c`` recovers
+    the accumulated Q_M to ~double-float32 precision after thousands of
+    rank-N updates, where the plain f32 running sum drifts by ~sqrt(T)*eps
+    and leaves chol(Q_M) numerically indefinite at the production config.
+    ``qm`` alone is still the correctly-rounded f32 estimate (|qm_c| stays
+    below one ulp of qm), so every consumer of ``qm`` is unchanged; the
+    compensation is consulted only by the exact float64 refactorization
+    (``spgp_prepare_exact_host``)."""
 
     pseudo: jnp.ndarray
     L_km: jnp.ndarray
     L_inv: jnp.ndarray
     qm: jnp.ndarray
     alpha: jnp.ndarray
+    qm_c: jnp.ndarray
+    alpha_c: jnp.ndarray
 
 
 def pad_pseudo_points(p: np.ndarray, multiple: int = 128) -> np.ndarray:
@@ -103,7 +119,8 @@ def spgp_init(pseudo, scale, *, kernel: str, diagonal_qm: bool = False,
     qm = jnp.ones((m, 1), km.dtype) if diagonal_qm else km
     alpha = jnp.zeros((m, y_dim), km.dtype)
     return SpGpState(pseudo=pseudo, L_km=L_km, L_inv=L_inv, qm=qm,
-                     alpha=alpha)
+                     alpha=alpha, qm_c=jnp.zeros_like(qm),
+                     alpha_c=jnp.zeros_like(alpha))
 
 
 @partial(jax.jit, static_argnames=("kernel", "diagonal_qm", "use_pallas",
@@ -144,9 +161,11 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
     if use_pallas:
         dq, da = pallas_fitc_update(kernel, state.pseudo, state.L_inv, x, y,
                                     var, mask, scale)
+        qm, qm_c = kahan_add(state.qm, state.qm_c, dq)
+        alpha, alpha_c = kahan_add(state.alpha, state.alpha_c, da)
         return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
-                         L_inv=state.L_inv, qm=state.qm + dq,
-                         alpha=state.alpha + da)
+                         L_inv=state.L_inv, qm=qm, alpha=alpha,
+                         qm_c=qm_c, alpha_c=alpha_c)
 
     # f32 perf path: beta as one GEMM against the amortized L_inv (the same
     # trick the Pallas kernel uses) — XLA's trsm is latency-bound far below
@@ -157,9 +176,11 @@ def spgp_update(state: SpGpState, x, y, var, mask, scale, *, kernel: str,
     dq, da = fitc_delta(state.pseudo, state.L_km, x, y, var, mask, scale,
                         kernel=kernel, diagonal_qm=diagonal_qm,
                         zero_threshold=zero_threshold, L_inv=l_inv)
+    qm, qm_c = kahan_add(state.qm, state.qm_c, dq)
+    alpha, alpha_c = kahan_add(state.alpha, state.alpha_c, da)
     return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
-                     L_inv=state.L_inv, qm=state.qm + dq,
-                     alpha=state.alpha + da)
+                     L_inv=state.L_inv, qm=qm, alpha=alpha,
+                     qm_c=qm_c, alpha_c=alpha_c)
 
 
 def fitc_delta(pseudo, L_km, x, y, var, mask, scale, *, kernel: str,
@@ -225,6 +246,74 @@ def spgp_prepare(state: SpGpState, jitter=0.0, *,
     a = solve_triangular(L_qm, state.alpha, lower=True)
     a = solve_triangular(L_qm.T, a, lower=False)
     return L_qm, a
+
+
+def spgp_prepare_exact_host(state: SpGpState, *, diagonal_qm: bool = False):
+    """Exact float64 HOST refactorization of Q_M for states whose chol is
+    numerically indefinite at the state dtype (the production f32 regime:
+    after ~1e3 accumulated rank-N updates, lambda_min(Q_M)/diag can sit
+    below f32 resolution even though Q_M is SPD — the reference NaNs here,
+    src/sparse_pseudo_input_gp.cpp:834-842).
+
+    Semantics-preserving, unlike a jitter retry: the compensated
+    (qm - qm_c, alpha - alpha_c) pair recovers the accumulated system to
+    ~double-f32 precision, the f64 factorization's backward error is far
+    below f32 resolution, and the effective observation noise is untouched.
+    Lazy-path cost only: one M^2 device->host fetch + a host chol
+    (~10 ms at M=1152), cached until the next update.
+
+    If the STORED Q_M is indefinite even at float64 — accumulated
+    GEMM-rounding noise in the increments themselves has pushed
+    lambda_min below 0, which no summation precision can prevent — the
+    noise-dominated eigendirections are repaired surgically: eigenvalues
+    below the measured breach magnitude |lambda_min^-| are clamped UP to
+    ~2x that noise floor, which bounds their contribution to the
+    posterior by 1/noise without touching the data-bearing directions
+    (unlike a global jitter, which inflates every direction and changes
+    the effective observation noise — the warning case). The repair's
+    end-to-end posterior impact is what the bench's 983-pose
+    f32-vs-f64 drift gate quantifies.
+
+    Returns (L_qm, alpha_solved) in the state dtype, or None if the
+    system is non-finite/degenerate (callers fall back to the jitter
+    ladder, which warns)."""
+    import logging
+
+    import scipy.linalg
+
+    log = logging.getLogger("erl_gaussian_process_tpu")
+    dt = np.asarray(state.qm).dtype
+    qm = np.asarray(state.qm, np.float64) - np.asarray(state.qm_c,
+                                                       np.float64)
+    al = np.asarray(state.alpha, np.float64) - np.asarray(state.alpha_c,
+                                                          np.float64)
+    if not (np.isfinite(qm).all() and np.isfinite(al).all()):
+        return None
+    if diagonal_qm:
+        if not (qm > 0).all():
+            return None
+        L = np.sqrt(qm[:, 0])
+        return jnp.asarray(np.diag(L).astype(dt)), jnp.asarray(
+            (al / qm).astype(dt))
+    try:
+        L = np.linalg.cholesky(qm)
+    except np.linalg.LinAlgError:
+        w, v = np.linalg.eigh(qm)
+        if w[-1] <= 0:
+            return None  # degenerate beyond repair
+        floor = 2.0 * max(-w[0], 0.0) + 1e-12 * w[-1]
+        n_clamped = int((w < floor).sum())
+        log.info(
+            "Q_M indefinite at float64 (lambda_min %.3e vs lambda_max "
+            "%.3e): accumulated increment-rounding noise breached PSD; "
+            "clamping %d noise-dominated eigenvalues up to %.3e "
+            "(see spgp_prepare_exact_host)", w[0], w[-1], n_clamped, floor)
+        w = np.maximum(w, floor)
+        qm = (v * w) @ v.T
+        L = np.linalg.cholesky(qm)
+    a = scipy.linalg.solve_triangular(L, al, lower=True)
+    a = scipy.linalg.solve_triangular(L.T, a, lower=False)
+    return jnp.asarray(L.astype(dt)), jnp.asarray(a.astype(dt))
 
 
 @partial(jax.jit, static_argnames=("kernel", "with_grad", "with_var",
@@ -418,15 +507,43 @@ class SparsePseudoInputGaussianProcess:
         return np.asarray(self._prepared()[0])[:m, :m]
 
     def _prepared(self):
+        """Lazily-cached (chol(Q_M), Q_M^{-1} alpha), three tiers:
+
+        1. device chol at the state dtype (the fast path — one
+           factorization, no retry structure in the jit);
+        2. on NaN: EXACT float64 host refactorization from the compensated
+           accumulators (``spgp_prepare_exact_host``) — the production-f32
+           long-horizon regime; posterior semantics unchanged, INFO log;
+        3. only if Q_M is indefinite even at f64 (genuinely singular):
+           the escalating jitter ladder, which changes the effective noise
+           and therefore WARNS (gp_core.host_jitter_retry)."""
         if self._cache is None:
-            from erl_gaussian_process_tpu.models.gp_core import (
-                host_jitter_retry,
-            )
-            self._cache = host_jitter_retry(
-                lambda j: spgp_prepare(
-                    self.state, self.dtype.type(j),
-                    diagonal_qm=self.setting.diagonal_qm),
-                lambda r: (r[1],))
+            r = spgp_prepare(self.state, self.dtype.type(0.0),
+                             diagonal_qm=self.setting.diagonal_qm)
+            if bool(np.isfinite(np.asarray(r[1])).all()):
+                self._cache = r
+            else:
+                exact = spgp_prepare_exact_host(
+                    self.state, diagonal_qm=self.setting.diagonal_qm)
+                if exact is not None and bool(
+                        np.isfinite(np.asarray(exact[1])).all()):
+                    import logging
+                    logging.getLogger("erl_gaussian_process_tpu").info(
+                        "chol(Q_M) numerically indefinite at %s — exact "
+                        "float64 host refactorization from the compensated "
+                        "accumulators (posterior unchanged; see "
+                        "spgp_prepare_exact_host)", self.dtype)
+                    self._cache = exact
+                else:
+                    from erl_gaussian_process_tpu.models.gp_core import (
+                        host_jitter_retry,
+                    )
+                    self._cache = host_jitter_retry(
+                        lambda j: spgp_prepare(
+                            self.state, self.dtype.type(j),
+                            diagonal_qm=self.setting.diagonal_qm),
+                        lambda r: (r[1],), jitters=(1e-10, 1e-8, 1e-6,
+                                                    1e-4, 1e-2))
         return self._cache
 
     def update(self, x, y, var, parallel: bool = True) -> bool:
@@ -497,8 +614,13 @@ class SparsePseudoInputGaussianProcess:
         self._trained = bool(d["trained"])
         self._y_dim = int(d["y_dim"])
         self._m_valid = int(d.get("m_valid", len(d["state"]["pseudo"])))
-        self.state = SpGpState(
-            **{k: jnp.asarray(v) for k, v in d["state"].items()})
+        st = {k: jnp.asarray(v) for k, v in d["state"].items()}
+        # pre-compensation checkpoints: zero compensation is exact (the
+        # accumulated values are unchanged; only future drift correction
+        # restarts from here)
+        st.setdefault("qm_c", jnp.zeros_like(st["qm"]))
+        st.setdefault("alpha_c", jnp.zeros_like(st["alpha"]))
+        self.state = SpGpState(**st)
         self._cache = None
 
     def save(self, path):

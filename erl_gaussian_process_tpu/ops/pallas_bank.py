@@ -58,6 +58,8 @@ ERL_GP_NO_PALLAS_BANK=1 (or ERL_GP_NO_PALLAS=1 for all Pallas kernels).
 
 from __future__ import annotations
 
+from erl_gaussian_process_tpu.ops.vma import io_vma
+
 import functools
 import os
 
@@ -289,7 +291,8 @@ def _fit_raw(scale, xc, xr, var, *, name: str, d: int, G: int, n0: int):
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fit_kernel, name=name, d=d, n0=n0),
-        out_shape=jax.ShapeDtypeStruct((B, R, 2 * n), xc[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((B, R, 2 * n), xc[0].dtype,
+                                       vma=io_vma(scale, *xc, xr, var)),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (_Z, _Z),
@@ -310,7 +313,8 @@ def _chol_raw(K, *, G: int, n0: int):
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_chol_kernel, n0=n0),
-        out_shape=jax.ShapeDtypeStruct((B, R, 2 * n), K.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, R, 2 * n), K.dtype,
+                                       vma=io_vma(K)),
         grid=(B // G,),
         in_specs=[spec((R, n))],
         out_specs=spec((R, 2 * n)),

@@ -34,6 +34,8 @@ _Z = np.int32(0)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from erl_gaussian_process_tpu.ops.vma import io_vma
+
 _TILE_M = 256
 _TILE_N = 512
 _MIN_ELEMENTS = 128 * 128  # below this, dispatch overhead dominates; use jnp
@@ -107,7 +109,8 @@ def _pallas_cross_gram_padded(scale, x1_cols, x2r, *, name: str, d: int):
     grid = (m // _TILE_M, n // _TILE_N)
     return pl.pallas_call(
         functools.partial(_gram_kernel, name=name, d=d),
-        out_shape=jax.ShapeDtypeStruct((m, n), x2r.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2r.dtype,
+                                       vma=io_vma(scale, *x1_cols, x2r)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (_Z, _Z),

@@ -32,6 +32,8 @@ from jax.scipy.linalg import solve_triangular
 from erl_gaussian_process_tpu.models.gp_core import matmul_precision
 from erl_gaussian_process_tpu.ops.pallas_fitc import _dot3x
 
+from erl_gaussian_process_tpu.ops.vma import io_vma
+
 _B = 128  # row-block: (B, n) stream = 4 MB at n=8192 f32
 # explicit int32 for index-map constants: under jax_enable_x64 a bare
 # Python literal traces as i64 and Mosaic rejects the mixed (i32, i64)
@@ -156,7 +158,8 @@ def _call(kernel, L, inv, b, reverse: bool):
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, q), L.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, q), L.dtype,
+                                       vma=io_vma(L, dinv, b)),
         grid=(nb,),
         in_specs=[l_spec, i_spec, b_spec],
         out_specs=pl.BlockSpec((n, q), lambda i: (_Z, _Z),

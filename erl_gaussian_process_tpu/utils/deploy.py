@@ -122,7 +122,9 @@ def export_map_update_step(setting, *, n_pseudo: int, n_rays: int,
     state = SpGpState(pseudo=S((n_pseudo, dim)),
                       L_km=S((n_pseudo, n_pseudo)),
                       L_inv=S((n_pseudo, n_pseudo)),
-                      qm=S((n_pseudo, n_pseudo)), alpha=S((n_pseudo, 1)))
+                      qm=S((n_pseudo, n_pseudo)), alpha=S((n_pseudo, 1)),
+                      qm_c=S((n_pseudo, n_pseudo)),
+                      alpha_c=S((n_pseudo, 1)))
     args = (state, S((2,), jnp.uint32), S((), jnp.int32), S((dim,)),
             S((n_rays, dim)), S((n_rays,), jnp.bool_), S((dim,)),
             S((dim,)), S(()))
@@ -166,7 +168,9 @@ def export_map_predict_step(*, n_pseudo: int, n_queries=None, dim: int = 2,
     state = SpGpState(pseudo=S((n_pseudo, dim)),
                       L_km=S((n_pseudo, n_pseudo)),
                       L_inv=S((n_pseudo, n_pseudo)),
-                      qm=S((n_pseudo, n_pseudo)), alpha=S((n_pseudo, 1)))
+                      qm=S((n_pseudo, n_pseudo)), alpha=S((n_pseudo, 1)),
+                      qm_c=S((n_pseudo, n_pseudo)),
+                      alpha_c=S((n_pseudo, 1)))
     args = (state, S((n_pseudo, n_pseudo)), S((n_pseudo, 1)),
             S((nq, dim)), S(()))
     return export_fn(lambda *xs: fn(*xs), *args, platforms=platforms)

@@ -70,6 +70,17 @@ def hotel0_setup(poses):
     return setting, pseudo, lo, hi, mesh, d_local
 
 
+def hotel0_query_grid(lo, hi, shape=(16, 16, 8), margin=0.3):
+    """The drift gate's FIXED posterior query grid: a deterministic
+    lattice inset ``margin`` from the workload bounding box, (prod(shape),
+    3) float32. Both the f32 chip posterior and the f64 CPU reference are
+    evaluated here (bench.py / benchmarks/drift_check.py)."""
+    axes = [np.linspace(lo[i] + margin, hi[i] - margin, shape[i])
+            for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    return g.astype(np.float32)
+
+
 def hotel0_scan(mesh, pose, d_local, max_distance):
     """Raycast one pose's depth-style scan. Returns (sensor, points, hit):
     world-frame endpoints with misses collapsed onto the sensor origin

@@ -228,3 +228,133 @@ def test_use_sparse_checkpoint_round_trip(tmp_path):
     xt = np.linspace(0, 2 * np.pi, 50)
     np.testing.assert_array_equal(gp.test(xt[None]).get_mean(0),
                                   gp2.test(xt[None]).get_mean(0))
+
+
+def test_kahan_accumulation_survives_xla():
+    """gp_core.kahan_add relies on XLA NOT reassociating float adds: if the
+    compiler simplified ``(t - s) - y`` to zero, the compensation would be
+    identically 0 and streaming accumulation would silently revert to plain
+    f32 drift. Accumulate 4096 below-ulp increments onto 1e8 under jit+scan
+    (the exact structure of the FITC replay): plain f32 loses all of them;
+    the compensated pair must recover the sum exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.models.gp_core import kahan_add
+
+    @jax.jit
+    def run():
+        def body(carry, _):
+            s, c, plain = carry
+            d = jnp.full((8, 128), 1.0, jnp.float32)
+            s, c = kahan_add(s, c, d)
+            return (s, c, plain + d), None
+        z = jnp.full((8, 128), 1e8, jnp.float32)
+        (s, c, plain), _ = jax.lax.scan(
+            body, (z, jnp.zeros_like(z), z), None, length=4096)
+        return s, c, plain
+
+    s, c, plain = run()
+    # plain f32: every add of 1.0 rounds away (ulp(1e8) = 8)
+    assert float(np.asarray(plain)[0, 0]) == 1e8
+    got = np.asarray(s, np.float64) - np.asarray(c, np.float64)
+    np.testing.assert_array_equal(got, np.full((8, 128), 1e8 + 4096))
+
+
+def test_long_horizon_compensated_accumulation_exact_sum():
+    """What the compensation guarantees: the stored (qm, qm_c) pair tracks
+    the EXACT sum of the f32 pipeline's own increments, with no growth in
+    T — where the plain f32 running sum drifts by ~sqrt(T)*eps*||Q_M||.
+
+    Repeating the identical batch makes every update's increment
+    bitwise-identical (same jitted program, same inputs), so the exact
+    reference is K_M + T*dq with dq recovered from the first update's own
+    compensated state — isolating summation error from the (separate,
+    systematic) f32-vs-f64 forward error of the increments themselves,
+    which no summation scheme can remove and which the end-to-end
+    f32-vs-f64 posterior gates measure instead
+    (test_spgp_occupancy_map.test_float32_matches_float64_posterior and
+    the bench's 983-pose drift gate)."""
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        spgp_init,
+        spgp_update,
+    )
+
+    rng = np.random.default_rng(0)
+    pseudo = rng.uniform(-1, 1, (32, 2)).astype(np.float32)
+    r = np.random.default_rng(99)
+    x = jnp.asarray(r.uniform(-1, 1, (64, 2)).astype(np.float32))
+    y = jnp.asarray(r.uniform(-1, 1, (64, 1)).astype(np.float32))
+    var = jnp.full((64,), np.float32(1e-3))
+    mask = jnp.ones((64,), bool)
+
+    def upd(st):
+        return spgp_update(st, x, y, var, mask, np.float32(0.4),
+                           kernel="matern32")
+
+    st0 = spgp_init(jnp.asarray(pseudo), np.float32(0.4), kernel="matern32")
+    km = np.asarray(st0.qm, np.float64)
+    st = upd(st0)
+    # the first update's compensated state recovers K_M + dq to ~1e-14:
+    # dq (in f64) = (qm1 - qm1_c) - K_M
+    dq = (np.asarray(st.qm, np.float64) - np.asarray(st.qm_c, np.float64)
+          - km)
+    T = 1200
+    for _ in range(T - 1):
+        st = upd(st)
+    exact = km + T * dq
+    scale = np.abs(exact).max()
+    raw_err = np.abs(np.asarray(st.qm, np.float64) - exact).max()
+    comp = (np.asarray(st.qm, np.float64)
+            - np.asarray(st.qm_c, np.float64))
+    comp_err = np.abs(comp - exact).max()
+    # compensated: no T-growth — stays ~ulp-of-one-increment above exact
+    assert comp_err / scale < 1e-6, (comp_err / scale, raw_err / scale)
+    # the compensation is live in the real update pipeline (not fused away)
+    # and at least as good as the raw estimate (identical increments are a
+    # benign case for plain f32, so the margin here is modest; the
+    # synthetic kahan test above shows the adversarial-case gap)
+    assert np.abs(np.asarray(st.qm_c)).max() > 0
+    assert comp_err <= raw_err, (comp_err, raw_err, scale)
+
+
+def test_prepare_exact_host_refactorization_no_jitter(caplog):
+    """A long-accumulated f32 Q_M whose chol is numerically indefinite at
+    f32 (lambda_min/diag below f32 resolution) but SPD at f64 must be
+    served through the EXACT float64 host refactorization — finite
+    posterior, no jitter warning (the r4 bench's host_jitter_retry fired
+    here; VERDICT r4 weak #1)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SparsePseudoInputGaussianProcess,
+        SpGpSetting,
+    )
+
+    rng = np.random.default_rng(3)
+    pseudo = rng.uniform(-1, 1, (2, 48))      # (d, M) reference layout
+    gp = SparsePseudoInputGaussianProcess(
+        SpGpSetting(kernel_type="matern32",
+                    kernel=KernelSetting(x_dim=2, scale=0.6),
+                    max_num_samples=32),
+        pseudo, dtype=np.float32)
+    # the same 24 samples re-observed many times at tiny noise: Q_M's
+    # data-spanned eigenvalues grow ~T/var while the others stay at
+    # lambda_min(K_M) -> conditioning walks past 1/eps_f32
+    x = rng.uniform(-1, 1, (24, 2)).astype(np.float32)
+    y = rng.uniform(-1, 1, (24, 1)).astype(np.float32)
+    for _ in range(400):
+        gp.update(x.T, y, np.float32(1e-6))
+    qm = np.asarray(gp.state.qm, np.float64)
+    cond = np.linalg.cond(qm)
+    assert cond > 3e7, cond  # the regime is actually reached
+    with caplog.at_level(logging.INFO, "erl_gaussian_process_tpu"):
+        res = gp.test(rng.uniform(-1, 1, (16, 2)).astype(np.float32).T)
+        mean = res.get_mean(0)
+    assert np.isfinite(mean).all()
+    warnings = [r for r in caplog.records if r.levelno >= logging.WARNING]
+    assert not warnings, [r.getMessage() for r in warnings]

@@ -517,3 +517,102 @@ def test_map_honors_use_sparse_threshold():
     # predict still works on the thresholded map
     lo, _ = coarse.predict(np.array([[0.0, 0.0], [1.5, 0.0]]))
     assert np.isfinite(lo).all()
+
+
+def _small_map_fixture(seed=3):
+    from erl_gaussian_process_tpu.geometry import Aabb
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+    from erl_gaussian_process_tpu.models import SpGpOccupancyMap
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SpGpSetting,
+    )
+    from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+        SpGpOccupancyMapSetting,
+    )
+
+    setting = SpGpOccupancyMapSetting(
+        sp_gp=SpGpSetting(kernel_type="matern32",
+                          kernel=KernelSetting(x_dim=2, scale=0.3),
+                          max_num_samples=256),
+        min_distance=0.0, max_distance=10.0, free_points_per_meter=2.0,
+        free_sampling_margin=0.02, logodd_free=-1.0, logodd_occupied=1.0,
+        logodd_variance=1e-4)
+    c = np.linspace(-2, 2, 7)
+    pv, qv = np.meshgrid(c, c, indexing="ij")
+    pseudo = np.stack([pv.ravel(), qv.ravel()], axis=0)
+    box = Aabb.from_min_max([-2, -2], [2, 2])
+    return SpGpOccupancyMap(setting, pseudo, box, seed=seed,
+                            dtype=np.float32, free_slots_per_ray=6)
+
+
+def test_update_online_chunked_matches_sequential():
+    """update_online(chunk=k) buffers scans and dispatches fused k-pose
+    replays; after a flush the state must match sequential per-pose
+    updates (same c=1 scan math), including with a partial final chunk,
+    and reads (predict) must auto-flush so they never see a stale map."""
+    rng = np.random.default_rng(0)
+    B, n = 11, 40
+    sensors = rng.uniform(-0.5, 0.5, (B, 2)).astype(np.float32)
+    pts = rng.uniform(-1.8, 1.8, (B, n, 2)).astype(np.float32)
+    masks = rng.uniform(size=(B, n)) < 0.9
+
+    seq = _small_map_fixture()
+    for i in range(B):
+        seq.update(sensors[i], pts[i], masks[i])
+
+    onl = _small_map_fixture()
+    for i in range(B):
+        onl.update_online(sensors[i], pts[i], masks[i], chunk=4)
+    # 11 = 2 full chunks of 4 + 3 pending
+    assert len(onl._online_buf) == 3
+    q = rng.uniform(-1.5, 1.5, (13, 2)).astype(np.float32)
+    lo_onl, _ = onl.predict(q)          # predict flushes the tail
+    assert len(onl._online_buf) == 0
+    assert onl.step == seq.step == B
+    np.testing.assert_allclose(np.asarray(seq.sp_gp.state.qm),
+                               np.asarray(onl.sp_gp.state.qm),
+                               rtol=2e-5, atol=1e-5)
+    lo_seq, _ = seq.predict(q)
+    np.testing.assert_allclose(lo_onl, lo_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_update_batch_collect_datasets_replay_parity():
+    """collect_datasets returns the per-pose sampled datasets exactly as
+    the fused replay consumed them: feeding them back through bare
+    spgp_update calls must reproduce the replay's accumulated state — the
+    invariant the bench's f64 drift-gate replay rests on."""
+    import jax
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        spgp_update,
+    )
+
+    rng = np.random.default_rng(1)
+    B, n = 5, 40
+    sensors = rng.uniform(-0.5, 0.5, (B, 2)).astype(np.float32)
+    pts = rng.uniform(-1.8, 1.8, (B, n, 2)).astype(np.float32)
+    masks = rng.uniform(size=(B, n)) < 0.9
+
+    m = _small_map_fixture()
+    # update_batch donates the state buffers — keep a live copy to replay from
+    st0 = jax.tree_util.tree_map(jnp.copy, m.sp_gp.state)
+    n_used, (dx, dy, dm) = m.update_batch(sensors, pts, masks,
+                                          collect_datasets=True)
+    assert dx.shape[0] == B and dx.shape[2] == 2
+    np.testing.assert_array_equal(np.asarray(n_used),
+                                  np.asarray(dm).sum(axis=1))
+
+    st = st0
+    var = jnp.full(dx.shape[1],
+                   np.float32(m.setting.logodd_variance))
+    for i in range(B):
+        st = spgp_update(st, dx[i], dy[i], var, dm[i],
+                         np.float32(m.sp_gp._scale),
+                         kernel=m.sp_gp._kernel)
+    np.testing.assert_allclose(np.asarray(st.qm),
+                               np.asarray(m.sp_gp.state.qm),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.alpha),
+                               np.asarray(m.sp_gp.state.alpha),
+                               rtol=2e-5, atol=1e-5)

@@ -119,7 +119,8 @@ def test_flagship_update_step_compiles(tpu_sharding):
     n_pts = n_rays * (1 + slots)
     state = SpGpState(
         pseudo=_f32(M, d), L_km=_f32(M, M), L_inv=_f32(M, M),
-        qm=_f32(M, M), alpha=_f32(M, 1))
+        qm=_f32(M, M), alpha=_f32(M, 1), qm_c=_f32(M, M),
+        alpha_c=_f32(M, 1))
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     _aot(lambda st, k, step, sp, pts, msk, lo, hi, sc: update_step(
              st, k, step, sp, pts, msk, lo, hi, sc,
@@ -176,7 +177,8 @@ def test_multichip_sharded_update_step_compiles(tpu8_mesh):
                                     vma=frozenset())
 
     state = SpGpState(pseudo=S((M, d)), L_km=S((M, M)), L_inv=S((M, M)),
-                      qm=S((M, M)), alpha=S((M, 1)))
+                      qm=S((M, M)), alpha=S((M, 1)), qm_c=S((M, M)),
+                      alpha_c=S((M, 1)))
     fn = functools.partial(
         sharded_update_step, tpu8_mesh,
         kernel="matern32", diagonal_qm=False, free_slots=slots,
@@ -219,7 +221,8 @@ def test_multichip_bank_and_predict_compile(tpu8_mesh):
 
     M, dq = 1024, 2
     state = SpGpState(pseudo=S((M, dq)), L_km=S((M, M)), L_inv=S((M, M)),
-                      qm=S((M, M)), alpha=S((M, 1)))
+                      qm=S((M, M)), alpha=S((M, 1)), qm_c=S((M, M)),
+                      alpha_c=S((M, 1)))
     pred = functools.partial(sharded_spgp_predict, tpu8_mesh,
                              kernel="matern32", with_var=True)
     jax.jit(lambda st, L, a, xq, sc: pred(st, L, a, xq, sc)).lower(
