@@ -414,6 +414,13 @@ class SpGpOccupancyMap:
         s = self.setting
         b = sp.shape[0]
         c = int(poses_per_step)
+        if self.mesh is not None:
+            if collect_datasets:
+                raise NotImplementedError(
+                    "collect_datasets with mesh=: run the drift-gate "
+                    "replay single-chip (the datasets are identical by "
+                    "construction — same per-pose fold_in)")
+            return self._update_batch_sharded(sp, p, point_masks, c)
         if c > 1 and b % c:
             pad = -b % c
             sp = np.concatenate([sp, np.zeros((pad,) + sp.shape[1:],
@@ -443,6 +450,47 @@ class SpGpOccupancyMap:
         if collect_datasets:
             return n_used[:b], out[2]
         return n_used[:b]
+
+    def _update_batch_sharded(self, sp, p, point_masks, c: int):
+        """Mesh route of update_batch: chunks of ``c`` poses, each fused
+        into ONE sharded rank-N update (parallel/mesh.sharded_update_many
+        — the many-scan regime where the fixed (M, M) psum amortizes; see
+        its docstring for the break-even analysis). Host-loops over
+        chunks; per-pose PRNG fold-in matches the single-chip replay
+        exactly, so sampled datasets are bitwise identical."""
+        from erl_gaussian_process_tpu.parallel.mesh import (
+            sharded_update_many,
+        )
+
+        s = self.setting
+        b = sp.shape[0]
+        kw = dict(
+            kernel=self.sp_gp._kernel, diagonal_qm=s.sp_gp.diagonal_qm,
+            free_slots=self.free_slots,
+            max_samples=int(s.sp_gp.max_num_samples),
+            min_distance=s.min_distance, max_distance=s.max_distance,
+            free_sampling_margin=s.free_sampling_margin,
+            free_points_per_meter=s.free_points_per_meter,
+            logodd_occupied=s.logodd_occupied, logodd_free=s.logodd_free,
+            logodd_variance=s.logodd_variance,
+            zero_threshold=self.sp_gp._zero_threshold)
+        used = []
+        st = self.sp_gp.state
+        for i0 in range(0, b, c):
+            sl = slice(i0, min(i0 + c, b))
+            st, n_used = sharded_update_many(
+                self.mesh, st, self.key,
+                jnp.int32(self.step + 1 + i0),
+                jnp.asarray(sp[sl]), jnp.asarray(p[sl]),
+                jnp.asarray(point_masks[sl]),
+                self._aabb_min, self._aabb_max,
+                self.dtype.type(self.sp_gp._scale), **kw)
+            used.append(np.asarray(n_used))
+        self.step += b
+        self.sp_gp.state = st
+        self.sp_gp._trained = True
+        self.sp_gp._cache = None
+        return np.concatenate(used)
 
     def predict(self, points, compute_gradient: bool = False,
                 parallel: bool = True):

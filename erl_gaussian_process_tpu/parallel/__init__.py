@@ -17,7 +17,8 @@ from erl_gaussian_process_tpu.parallel.mesh import (
     sharded_bank_fit,
     sharded_spgp_predict,
     sharded_spgp_update,
+    sharded_update_many,
 )
 
 __all__ = ["make_mesh", "sharded_bank_fit", "sharded_spgp_predict",
-           "sharded_spgp_update"]
+           "sharded_spgp_update", "sharded_update_many"]

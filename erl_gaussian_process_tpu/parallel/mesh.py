@@ -218,6 +218,82 @@ def sharded_update_step(mesh: Mesh, state: SpGpState, key, step,
                      qm_c=qm_c, alpha_c=alpha_c), n_used
 
 
+@partial(jax.jit,
+         static_argnames=("mesh", "kernel", "diagonal_qm", "free_slots",
+                          "max_samples", "zero_threshold"),
+         donate_argnames=("state",))
+def sharded_update_many(mesh: Mesh, state: SpGpState, key, step0,
+                        sensor_positions, points, point_masks, aabb_min,
+                        aabb_max, scale, *, kernel, diagonal_qm, free_slots,
+                        max_samples, min_distance, max_distance,
+                        free_sampling_margin, free_points_per_meter,
+                        logodd_occupied, logodd_free, logodd_variance,
+                        zero_threshold: float = 0.0):
+    """MANY scans fused into ONE sharded rank-N FITC update — the regime
+    the mesh actually wins (docs/architecture.md's break-even analysis:
+    the fixed (M, M) psum pays for itself only once the per-update sample
+    count N reaches ~2.6k x D at production M; a single 384-ray scan's
+    N~2k loses to one chip, but c=16 scans' N~32k is firmly past
+    break-even at D=8).
+
+    The per-pose sampler runs replicated and vmapped over the c poses
+    (bitwise-identical per-pose fold_in to the single-chip chunked replay,
+    models/spgp_occupancy_map.update_batch_steps with poses_per_step=c);
+    the flattened c*budget sample axis shards over the mesh; the
+    accumulation is ONE psum pair + the Kahan-compensated add. Exact vs
+    the single-chip chunked update up to psum reassociation of the f32
+    sums (gated in tests/test_parallel.py).
+
+    sensor_positions (c, d); points (c, n, d); point_masks (c, n).
+    Returns (state', n_used (c,))."""
+    from erl_gaussian_process_tpu.models.spgp_occupancy_map import (
+        sample_pose,
+    )
+
+    sample_kw = dict(
+        free_slots=free_slots, max_samples=max_samples,
+        min_distance=min_distance, max_distance=max_distance,
+        free_sampling_margin=free_sampling_margin,
+        free_points_per_meter=free_points_per_meter,
+        logodd_occupied=logodd_occupied, logodd_free=logodd_free,
+        logodd_variance=logodd_variance)
+    c = sensor_positions.shape[0]
+    steps = step0 + jnp.arange(c, dtype=jnp.int32)
+    xp, yp, vp, mp = jax.vmap(
+        lambda k_, s_, p_, m_: sample_pose(
+            key, k_, s_, p_, m_, aabb_min, aabb_max, **sample_kw)
+    )(steps, sensor_positions, points, point_masks)
+    n_used = jnp.sum(mp, axis=1)
+    flat = (xp.reshape(-1, xp.shape[-1]), yp.reshape(-1, yp.shape[-1]),
+            vp.reshape(-1), mp.reshape(-1))
+
+    nd = mesh.devices.size
+    (x, y, var, mask), _ = _pad_axis(list(flat), 0, nd)
+
+    @f32_matmul
+    def local(pseudo, L_km, L_inv, qm, qm_c, alpha, alpha_c, xl, yl, vl, ml):
+        dqm, dalpha = fitc_delta(
+            pseudo, L_km, xl, yl, vl, ml, scale, kernel=kernel,
+            diagonal_qm=diagonal_qm, zero_threshold=zero_threshold,
+            reduce=lambda t: jax.lax.psum(t, BANK_AXIS),
+            L_inv=L_inv if pseudo.dtype == jnp.float32 else None)
+        qm, qm_c = kahan_add(qm, qm_c, dqm)
+        alpha, alpha_c = kahan_add(alpha, alpha_c, dalpha)
+        return qm, qm_c, alpha, alpha_c
+
+    rep, shard = P(), P(BANK_AXIS)
+    qm, qm_c, alpha, alpha_c = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, rep,
+                  shard, shard, shard, shard),
+        out_specs=(rep, rep, rep, rep))(
+        state.pseudo, state.L_km, state.L_inv, state.qm, state.qm_c,
+        state.alpha, state.alpha_c, x, y, var, mask)
+    return SpGpState(pseudo=state.pseudo, L_km=state.L_km,
+                     L_inv=state.L_inv, qm=qm, alpha=alpha,
+                     qm_c=qm_c, alpha_c=alpha_c), n_used
+
+
 def sharded_spgp_predict(mesh: Mesh, state: SpGpState, L_qm, alpha_solved,
                          xq, scale, *, kernel: str, with_var: bool = True,
                          zero_threshold: float = 0.0):

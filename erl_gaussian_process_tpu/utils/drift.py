@@ -34,17 +34,25 @@ def replay_f64(pseudo, scale, kernel, dx, dy, dm, var, grid,
     dx (B, n, d) / dy (B, n, 1) / dm (B, n) the collected datasets;
     var the scalar logodd variance; grid (q, d) query points.
 
-    ``poses_per_chunk`` fuses chunks of poses into one update call for
+    ``poses_per_chunk`` fuses chunks of poses into one increment call for
     BLAS efficiency — exact at f64 up to ~1e-15 reassociation (the FITC
-    increment is an order-free sum over sample columns)."""
+    increment is an order-free sum over sample columns).
+
+    The per-column solve uses the f64 ``L_inv`` GEMM rather than the f64
+    parity path's triangular solve: XLA:CPU's f64 trsm runs
+    single-threaded (measured: a 983-pose replay took >30 min through
+    trsm vs ~1 min through dgemm), and at f64 the two differ by
+    ~cond(K_M)*eps64 ~ 1e-11 — five orders below the 1e-3 gate."""
     import jax
     import jax.numpy as jnp
 
+    from erl_gaussian_process_tpu.models.gp_core import kahan_add
     from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SpGpState,
+        fitc_delta,
         spgp_init,
         spgp_predict,
         spgp_prepare,
-        spgp_update,
     )
 
     if not jax.config.jax_enable_x64:
@@ -53,15 +61,24 @@ def replay_f64(pseudo, scale, kernel, dx, dy, dm, var, grid,
     B, n, d = dx.shape
     st = spgp_init(jnp.asarray(np.asarray(pseudo, f64)), f64(scale),
                    kernel=kernel)
+
+    @jax.jit
+    def step(st, xs, ys, vs, ms):
+        dq, da = fitc_delta(st.pseudo, st.L_km, xs, ys, vs, ms,
+                            f64(scale), kernel=kernel, L_inv=st.L_inv)
+        qm, qm_c = kahan_add(st.qm, st.qm_c, dq)
+        alpha, alpha_c = kahan_add(st.alpha, st.alpha_c, da)
+        return SpGpState(pseudo=st.pseudo, L_km=st.L_km, L_inv=st.L_inv,
+                         qm=qm, alpha=alpha, qm_c=qm_c, alpha_c=alpha_c)
+
     c = int(poses_per_chunk)
     for i0 in range(0, B, c):
         xs = np.asarray(dx[i0:i0 + c], f64).reshape(-1, d)
         ys = np.asarray(dy[i0:i0 + c], f64).reshape(-1, dy.shape[-1])
         ms = np.asarray(dm[i0:i0 + c], bool).reshape(-1)
         vs = np.full(xs.shape[0], f64(var))
-        st = spgp_update(st, jnp.asarray(xs), jnp.asarray(ys),
-                         jnp.asarray(vs), jnp.asarray(ms), f64(scale),
-                         kernel=kernel)
+        st = step(st, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
+                  jnp.asarray(ms))
     L_qm, a = spgp_prepare(st)
     mean, _, _ = spgp_predict(st, L_qm, a,
                               jnp.asarray(np.asarray(grid, f64)),

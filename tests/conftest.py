@@ -46,3 +46,36 @@ interpret_test = pytest.mark.skipif(
     jax.default_backend() == "tpu",
     reason="interpret emulation through the remote tunnel; the *_tpu "
            "parity tests cover these kernels on silicon")
+
+
+@pytest.fixture
+def artifact():
+    """Env-gated visual artifact dump, restoring the reference tests'
+    plot-the-result observability (they write plplot/OpenCV/Open3D figures
+    into GTEST_PREPARE_OUTPUT_DIR; SURVEY.md §4 asked for headless
+    matplotlib equivalents). Set ERL_GP_TEST_ARTIFACTS=<dir> to enable —
+    disabled (no-op, zero cost) in normal CI runs.
+
+        def test_x(artifact):
+            ...
+            artifact("name", lambda ax: ax.imshow(img))
+    """
+    import os as _os
+
+    out = _os.environ.get("ERL_GP_TEST_ARTIFACTS")
+
+    def save(name, draw):
+        if not out:
+            return None
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        _os.makedirs(out, exist_ok=True)
+        fig, ax = plt.subplots(figsize=(6.4, 5.2), dpi=110)
+        draw(ax)
+        path = _os.path.join(out, name + ".png")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    return save

@@ -216,7 +216,7 @@ def _make_setting_like(s, kernel_type, scale):
     return LidarGP2DSetting.from_dict(d)
 
 
-def test_real_scan_float32(frame0):
+def test_real_scan_float32(frame0, artifact):
     """Float32 path (reference F-suffixed instantiation) on the real scan:
     accuracy must stay within ~2x of the float64 golden bound."""
     gp = LidarGaussianProcess2D(_make_setting(frame0, discontinuity=False),
@@ -227,6 +227,17 @@ def test_real_scan_float32(frame0):
     assert pred.dtype == np.float32 and valid.any()
     mae = np.abs(pred[valid] - frame0.ranges[valid].astype(np.float32)).mean()
     assert mae < 0.04, mae
+
+    def draw(ax):
+        ax.plot(frame0.angles, frame0.ranges, ".k", ms=2, label="ranges")
+        ax.plot(frame0.angles[valid], pred[valid], "-r", lw=0.8,
+                label="GP mean")
+        ax.set_xlabel("angle [rad]")
+        ax.set_ylabel("range [m]")
+        ax.set_title(f"LidarGP2D real scan fit (MAE {mae:.3f})")
+        ax.legend(fontsize=8)
+
+    artifact("lidar_gp_2d_real_scan", draw)
 
 
 def test_float_variant_log_golden():

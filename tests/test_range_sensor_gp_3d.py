@@ -43,7 +43,7 @@ def _lidar_setting(nr=64, nc=33):
         mapping=MappingSetting(type=MappingType.IDENTITY))
 
 
-def test_lidar3d_scan_fit():
+def test_lidar3d_scan_fit(artifact):
     """Port of the reference's lidar test shape (271x91 rays, OU kernel,
     MSE <= 4.2e-4, test_range_sensor_gp_3d.cpp:150-151) on the analytic
     scene."""
@@ -61,6 +61,19 @@ def test_lidar3d_scan_fit():
     assert mse < 4.2e-4, mse
     var, vvalid = res.get_variance()
     assert np.all(np.isfinite(var[vvalid]))
+
+    def draw(ax):
+        shp = ranges.shape
+        err = np.where(valid, pred - ranges.reshape(-1), np.nan)
+        im = ax.imshow(err.reshape(shp).T, origin="lower", cmap="RdBu_r",
+                       vmin=-0.06, vmax=0.06, aspect="auto")
+        ax.set_xlabel("azimuth index")
+        ax.set_ylabel("elevation index")
+        ax.set_title(f"RangeSensorGP3D lidar fit error [m] "
+                     f"(MSE {mse:.1e})")
+        ax.figure.colorbar(im, ax=ax, shrink=0.8)
+
+    artifact("range_sensor_gp_3d_lidar_error", draw)
 
 
 def test_depth_frame_fit():

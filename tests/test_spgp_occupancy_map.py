@@ -64,7 +64,7 @@ def test_reference_yaml_loads():
     assert resolve_kernel_name(s.sp_gp.kernel_type) == "matern32"
 
 
-def test_online_mapping_2d(tmp_path):
+def test_online_mapping_2d(tmp_path, artifact):
     setting = _production_setting()
     boundary = Aabb.from_min_max([-3.0, -3.0], [3.0, 3.0])
     omap = SpGpOccupancyMap(setting, _hinged_grid(31), boundary, seed=0,
@@ -93,6 +93,25 @@ def test_online_mapping_2d(tmp_path):
     assert (lo_surf > 0).mean() > 0.9, (lo_surf > 0).mean()
     assert (lo_traj < 0).mean() > 0.95, (lo_traj < 0).mean()
     assert np.all(np.isfinite(grad_surf))
+
+    # eyeball artifact (reference: per-pose occupancy image dumps,
+    # test_spgp_occupancy_map_2d.cpp:307-358); env-gated no-op in CI
+    g = np.linspace(-3, 3, 121)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    lo_grid, _ = omap.predict(
+        np.stack([gx.ravel(), gy.ravel()], -1).astype(omap.dtype))
+
+    def draw(ax):
+        im = ax.imshow(np.asarray(lo_grid).reshape(121, 121).T,
+                       origin="lower", extent=[-3, 3, -3, 3],
+                       cmap="RdBu_r", vmin=-1.5, vmax=1.5)
+        ax.plot(surf[:, 0], surf[:, 1], ".k", ms=1, label="surface")
+        ax.plot(traj[:, 0], traj[:, 1], "-g", lw=1, label="trajectory")
+        ax.legend(loc="upper right", fontsize=7)
+        ax.set_title("SpGpOccupancyMap 2D: posterior log-odds (50 poses)")
+        ax.figure.colorbar(im, ax=ax, shrink=0.8)
+
+    artifact("occupancy_map_2d_logodds", draw)
 
     # IO round-trip (reference TestIo pattern)
     path = str(tmp_path / "omap.npz")
