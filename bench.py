@@ -261,19 +261,42 @@ def hotel0_drift_gate(setting, pseudo, lo, hi, sensors, pts, masks):
     grid = hotel0_query_grid(lo, hi)
     lo32, _ = gate_map.predict(grid)
 
+    dx, dy, dm = np.asarray(dx), np.asarray(dy), np.asarray(dm)
     root = os.path.dirname(os.path.abspath(__file__))
-    with tempfile.TemporaryDirectory() as td:
-        inp, outp = os.path.join(td, "in.npz"), os.path.join(td, "out.npz")
-        np.savez(inp, dx=np.asarray(dx), dy=np.asarray(dy),
-                 dm=np.asarray(dm), pseudo=np.asarray(pseudo).T,
-                 scale=np.float64(gate_map.sp_gp._scale),
-                 kernel=np.str_(gate_map.sp_gp._kernel),
-                 var=np.float64(setting.logodd_variance), grid=grid)
-        subprocess.run(
-            [sys.executable, os.path.join(root, "benchmarks",
-                                          "drift_check.py"), inp, outp],
-            check=True, timeout=3000)
-        lo64 = np.load(outp)["lo64"]
+    # content-addressed reference cache: the f64 replay is a pure function
+    # of the datasets + workload definition, so its result is cached under
+    # a hash of exactly those bytes (the chip's sampler is deterministic,
+    # so an unchanged build hits the cache; ANY change in what the f32
+    # replay consumed changes the hash and forces a fresh f64 replay —
+    # ~4 min single-core, benchmarks/drift_check.py). The committed cache
+    # entry was produced by that same child process on this host.
+    import hashlib
+    h = hashlib.sha256()
+    for a in (dx, dy, dm, grid, np.asarray(pseudo, np.float64)):
+        h.update(np.ascontiguousarray(a).tobytes())
+    h.update(f"{gate_map.sp_gp._kernel}|{gate_map.sp_gp._scale!r}|"
+             f"{setting.logodd_variance!r}".encode())
+    cache = os.path.join(root, "benchmarks", "drift_ref_cache",
+                         h.hexdigest()[:24] + ".npz")
+    if os.path.exists(cache):
+        lo64 = np.load(cache)["lo64"]
+    else:
+        with tempfile.TemporaryDirectory() as td:
+            inp = os.path.join(td, "in.npz")
+            outp = os.path.join(td, "out.npz")
+            np.savez(inp, dx=dx, dy=dy, dm=dm,
+                     pseudo=np.asarray(pseudo).T,
+                     scale=np.float64(gate_map.sp_gp._scale),
+                     kernel=np.str_(gate_map.sp_gp._kernel),
+                     var=np.float64(setting.logodd_variance), grid=grid)
+            subprocess.run(
+                [sys.executable, os.path.join(root, "benchmarks",
+                                              "drift_check.py"),
+                 inp, outp],
+                check=True, timeout=3000)
+            lo64 = np.load(outp)["lo64"]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, lo64=lo64)
     drift = drift_metric(lo32, lo64)
     if drift > DRIFT_GATE_MAX:
         raise RuntimeError(

@@ -38,52 +38,54 @@ def replay_f64(pseudo, scale, kernel, dx, dy, dm, var, grid,
     BLAS efficiency — exact at f64 up to ~1e-15 reassociation (the FITC
     increment is an order-free sum over sample columns).
 
-    The per-column solve uses the f64 ``L_inv`` GEMM rather than the f64
-    parity path's triangular solve: XLA:CPU's f64 trsm runs
-    single-threaded (measured: a 983-pose replay took >30 min through
-    trsm vs ~1 min through dgemm), and at f64 the two differ by
-    ~cond(K_M)*eps64 ~ 1e-11 — five orders below the 1e-3 gate."""
+    Implementation: kernel-gram evaluation stays in jax (the package's
+    own ``cross_gram``/``kernel_fn``, so the reference can never drift
+    from the production kernel semantics — including mixture families),
+    while the two O(M^2 N) GEMMs, the lambda/weight column math, and the
+    accumulation run in numpy/OpenBLAS f64. Measured on the 1-core host:
+    XLA:CPU runs these f64 GEMMs at ~12 GFLOP/s (and its f64 trsm
+    single-threaded: >30 min for the full 983-pose replay); OpenBLAS
+    dgemm at ~27 GFLOP/s. The L_inv GEMM vs the parity trsm differs by
+    ~cond(K_M)*eps64 ~ 1e-11 — eight orders below the 1e-3 gate."""
     import jax
     import jax.numpy as jnp
+    import scipy.linalg
 
-    from erl_gaussian_process_tpu.models.gp_core import kahan_add
-    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
-        SpGpState,
-        fitc_delta,
-        spgp_init,
-        spgp_predict,
-        spgp_prepare,
-    )
+    from erl_gaussian_process_tpu.kernels import cross_gram, kernel_fn
 
     if not jax.config.jax_enable_x64:
         raise RuntimeError("replay_f64 requires jax_enable_x64")
     f64 = np.float64
     B, n, d = dx.shape
-    st = spgp_init(jnp.asarray(np.asarray(pseudo, f64)), f64(scale),
-                   kernel=kernel)
+    p64 = np.asarray(pseudo, f64)
+    m = p64.shape[0]
+    km = np.asarray(kernel_fn(kernel)(jnp.asarray(p64), jnp.asarray(p64),
+                                      f64(scale)))
+    L_km = np.linalg.cholesky(km)
+    L_inv = scipy.linalg.solve_triangular(L_km, np.eye(m), lower=True)
+    qm = km.copy()
+    alpha = np.zeros((m, dy.shape[-1]))
 
-    @jax.jit
-    def step(st, xs, ys, vs, ms):
-        dq, da = fitc_delta(st.pseudo, st.L_km, xs, ys, vs, ms,
-                            f64(scale), kernel=kernel, L_inv=st.L_inv)
-        qm, qm_c = kahan_add(st.qm, st.qm_c, dq)
-        alpha, alpha_c = kahan_add(st.alpha, st.alpha_c, da)
-        return SpGpState(pseudo=st.pseudo, L_km=st.L_km, L_inv=st.L_inv,
-                         qm=qm, alpha=alpha, qm_c=qm_c, alpha_c=alpha_c)
-
+    gram = jax.jit(lambda xs: cross_gram(kernel, jnp.asarray(p64), xs,
+                                         f64(scale)))
     c = int(poses_per_chunk)
     for i0 in range(0, B, c):
         xs = np.asarray(dx[i0:i0 + c], f64).reshape(-1, d)
         ys = np.asarray(dy[i0:i0 + c], f64).reshape(-1, dy.shape[-1])
         ms = np.asarray(dm[i0:i0 + c], bool).reshape(-1)
-        vs = np.full(xs.shape[0], f64(var))
-        st = step(st, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs),
-                  jnp.asarray(ms))
-    L_qm, a = spgp_prepare(st)
-    mean, _, _ = spgp_predict(st, L_qm, a,
-                              jnp.asarray(np.asarray(grid, f64)),
-                              f64(scale), kernel=kernel, with_var=False)
-    return np.asarray(mean[:, 0])
+        kmn = np.asarray(gram(jnp.asarray(xs)))            # (M, nc)
+        beta = L_inv @ kmn
+        # identical column math to fitc_delta (incl. the lambda clamp)
+        lam = np.maximum(1.0 - np.einsum("mn,mn->n", beta, beta), 0.0)
+        w = np.where(ms, 1.0 / (lam + f64(var)), 0.0)
+        ksc = kmn * w[None, :]
+        qm += ksc @ kmn.T
+        alpha += ksc @ np.where(ms[:, None], ys, 0.0)
+    L_qm = np.linalg.cholesky(qm)
+    a = scipy.linalg.solve_triangular(L_qm, alpha, lower=True)
+    a = scipy.linalg.solve_triangular(L_qm.T, a, lower=False)
+    kq = np.asarray(gram(jnp.asarray(np.asarray(grid, f64))))  # (M, q)
+    return (kq.T @ a)[:, 0]
 
 
 def drift_metric(lo_test, lo_ref):

@@ -282,3 +282,118 @@ def select_scale_spgp(pseudo, x, y, var, mask=None, *, kernel: str,
         lambda s: nlml_sweep_spgp(pseudo, x, y, var, mask, s,
                                   kernel=kernel),
         scales, np.asarray(x).dtype, refine)
+
+
+# -- gradient-driven fitting (extends the reference: jax.grad replaces the
+# -- manual sweep entirely) -------------------------------------------------
+
+def _fit_loop(loss_fn, log_s0: float, steps: int, lr: float):
+    """Adam descent on log(scale) with ``jax.grad`` through the exact NLML
+    (Cholesky included — jax differentiates the factorization). One jitted
+    ``lax.scan`` over steps; returns (best_scale, scales (steps,),
+    nlml (steps,)) with best = argmin over the whole trace (descent on a
+    1-D but non-convex criterion: keep the best visited, not the last)."""
+    import optax
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(log_s0):
+        vg = jax.value_and_grad(loss_fn)
+
+        def body(carry, _):
+            log_s, opt_state = carry
+            val, g = vg(log_s)
+            # NaN guard: a candidate past the dtype's conditioning range
+            # (e.g. a huge RBF scale) must not poison the whole descent
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            upd, opt_state = opt.update(g, opt_state)
+            return (log_s + upd, opt_state), (jnp.exp(log_s), val)
+
+        (_, _), (scales, vals) = jax.lax.scan(
+            body, (log_s0, opt.init(log_s0)), None, length=steps)
+        best = jnp.nanargmin(jnp.where(jnp.isfinite(vals), vals, jnp.inf))
+        return scales[best], scales, vals
+
+    best, scales, vals = run(jnp.asarray(log_s0))
+    return float(best), np.asarray(scales), np.asarray(vals)
+
+
+def fit_scale(x, y, var, mask=None, *, kernel: str, init=None,
+              steps: int = 80, lr: float = 0.08):
+    """Fit the kernel scale by gradient descent on the exact NLML
+    (criterion: :func:`nlml_sweep` with a singleton candidate — the
+    gradient flows through the very same code the sweep ranks with).
+    Extends the reference, whose workflow was a hand-recorded sweep
+    (test_noisy_input_gp.cpp:174-178); `select_scale` automates the sweep,
+    this replaces it with ``jax.grad``. Returns (best_scale,
+    per-step scales, per-step nlml)."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    var = jnp.asarray(var)
+    if mask is None:
+        mask = jnp.ones(x.shape[0], bool)
+    mask = jnp.asarray(mask)
+    if init is None:
+        g = _auto_grid(x, mask)
+        init = float(np.sqrt(g[0] * g[-1]))
+    return _fit_loop(
+        lambda ls: nlml_sweep(x, y, var, mask, jnp.exp(ls)[None],
+                              kernel=kernel)[0],
+        np.log(init), steps, lr)
+
+
+def fit_scale_nigp(x, y, grad, var_x, var_y, var_grad, sample_mask=None,
+                   grad_mask=None, *, kernel: str, init=None,
+                   steps: int = 80, lr: float = 0.08):
+    """Gradient-driven scale fit for the NIGP joint value/gradient model
+    (criterion: :func:`nlml_sweep_nigp`) — the full jax.grad replacement
+    of the reference's recorded manual sweeps for exactly this model."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    grad = jnp.asarray(grad)
+    if grad.ndim == 2:
+        grad = grad[:, :, None]
+    var_x, var_y, var_grad = (jnp.asarray(v) for v in
+                              (var_x, var_y, var_grad))
+    if sample_mask is None:
+        sample_mask = jnp.ones(x.shape[0], bool)
+    sample_mask = jnp.asarray(sample_mask)
+    if grad_mask is None:
+        grad_mask = jnp.ones(x.shape[0], bool)
+    grad_mask = jnp.asarray(grad_mask) & sample_mask
+    if init is None:
+        g = _auto_grid(x, sample_mask)
+        init = float(np.sqrt(g[0] * g[-1]))
+    return _fit_loop(
+        lambda ls: nlml_sweep_nigp(x, y, grad, var_x, var_y, var_grad,
+                                   sample_mask, grad_mask,
+                                   jnp.exp(ls)[None], kernel=kernel)[0],
+        np.log(init), steps, lr)
+
+
+def fit_scale_spgp(pseudo, x, y, var, mask=None, *, kernel: str, init=None,
+                   steps: int = 80, lr: float = 0.08):
+    """Gradient-driven scale fit for the fixed-pseudo-point FITC model
+    (criterion: :func:`nlml_sweep_spgp`) — tunes the production map YAML's
+    hand-set ``scale`` by descent instead of a grid."""
+    pseudo = jnp.atleast_2d(jnp.asarray(pseudo))
+    x = jnp.atleast_2d(jnp.asarray(x))
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    var = jnp.asarray(var)
+    if mask is None:
+        mask = jnp.ones(x.shape[0], bool)
+    mask = jnp.asarray(mask)
+    if init is None:
+        g = _auto_grid(x, mask)
+        init = float(np.sqrt(g[0] * g[-1]))
+    return _fit_loop(
+        lambda ls: nlml_sweep_spgp(pseudo, x, y, var, mask,
+                                   jnp.exp(ls)[None], kernel=kernel)[0],
+        np.log(init), steps, lr)

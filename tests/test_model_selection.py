@@ -315,3 +315,101 @@ def test_select_scale_spgp_recovers_sensible_scale():
     assert 0.5 * best_exact < best_fitc < 2.0 * best_exact, \
         (best_fitc, best_exact)
     assert 0.25 < best_fitc < 0.9, best_fitc
+
+
+def test_fit_scale_gradient_matches_sweep_optimum():
+    """jax.grad descent on the exact NLML (fit_scale) must land at the
+    same optimum the batched sweep ranks (select_scale) on the 1D sine
+    golden config — the full gradient replacement of the reference's
+    manual sweep workflow (test_noisy_input_gp.cpp:174-178)."""
+    from erl_gaussian_process_tpu.utils.model_selection import (
+        fit_scale,
+        select_scale,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 120
+    x = np.sort(rng.uniform(0, 2 * np.pi, n))[:, None]
+    y = np.sin(x[:, 0]) + rng.normal(0, 0.01, n)
+    var = np.full(n, 1e-4)
+
+    best_sweep, _, _ = select_scale(x, y, var, kernel="rbf", refine=2)
+    best_grad, scales, vals = fit_scale(x, y, var, kernel="rbf",
+                                        steps=120, lr=0.08)
+    assert np.isfinite(vals).any()
+    # descent converges to the sweep's basin (the criterion is smooth and
+    # unimodal here; 10% tolerance covers grid quantization)
+    assert abs(best_grad - best_sweep) / best_sweep < 0.1, (
+        best_grad, best_sweep)
+    # and the descent actually descended
+    fin = vals[np.isfinite(vals)]
+    assert fin[-1] <= fin[0]
+
+
+def test_fit_scale_gradient_is_correct():
+    """The jax.grad of the NLML agrees with a central finite difference —
+    the derivative flows through gram assembly AND the Cholesky."""
+    import jax
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.utils.model_selection import nlml_sweep
+
+    rng = np.random.default_rng(1)
+    n = 40
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(rng.uniform(-1, 1, (n, 1)))
+    var = jnp.full((n,), 1e-3)
+    mask = jnp.asarray(rng.uniform(size=n) < 0.85)
+
+    def f(ls):
+        return nlml_sweep(x, y, var, mask, jnp.exp(ls)[None],
+                          kernel="matern32")[0]
+
+    ls0 = jnp.asarray(np.log(0.47))
+    g = float(jax.grad(f)(ls0))
+    h = 1e-6
+    fd = float((f(ls0 + h) - f(ls0 - h)) / (2 * h))
+    assert abs(g - fd) / max(1.0, abs(fd)) < 1e-5, (g, fd)
+
+
+def test_fit_scale_nigp_recovers_golden_config_scale():
+    """Gradient fit on the NIGP joint system recovers a scale in the
+    basin the reference's hand sweep selected for the 1D golden config
+    (test_noisy_input_gp.cpp:174-178 settled near scale ~1 for the
+    sin(x) GPIS setup), and the fitted scale meets the golden-class MAE."""
+    from erl_gaussian_process_tpu.models.noisy_input_gp import (
+        NoisyInputGPSetting,
+        NoisyInputGaussianProcess,
+    )
+    from erl_gaussian_process_tpu.utils.model_selection import (
+        fit_scale_nigp,
+        select_scale_nigp,
+    )
+    from erl_gaussian_process_tpu.kernels import KernelSetting
+
+    rng = np.random.default_rng(0)
+    n = 100
+    x = np.sort(rng.uniform(0, 2 * np.pi, n))[:, None]
+    y = np.sin(x[:, 0]) + rng.normal(0, 1e-3, n)
+    grad = np.cos(x)                                    # (n, 1)
+    var_x = np.full(n, 1e-6)
+    var_y = np.full(n, 1e-6)   # matches the generating noise (1e-3)^2
+    var_grad = np.full(n, 1e-6)
+
+    best_sweep, _, _ = select_scale_nigp(
+        x, y, grad, var_x, var_y, var_grad, kernel="rbf", refine=2)
+    best_grad, _, vals = fit_scale_nigp(
+        x, y, grad, var_x, var_y, var_grad, kernel="rbf",
+        steps=120, lr=0.08)
+    assert abs(best_grad - best_sweep) / best_sweep < 0.15, (
+        best_grad, best_sweep)
+
+    gp = NoisyInputGaussianProcess(
+        NoisyInputGPSetting(kernel_type="rbf",
+                    kernel=KernelSetting(x_dim=1, scale=float(best_grad))))
+    gp.train(x.T, y[:, None], mat_grad=grad.T, var_x=var_x, var_y=var_y,
+             var_grad=var_grad)
+    xq = np.linspace(0.3, 2 * np.pi - 0.3, 200)[None, :]
+    res = gp.test(xq, predict_gradient=False)
+    mae = np.abs(res.get_mean(0) - np.sin(xq[0])).mean()
+    assert mae < 1e-4, mae  # golden class: reference observed 4.16e-6
