@@ -51,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from erl_gaussian_process_tpu.ops.pallas_fitc import _dot3x
 
+from erl_gaussian_process_tpu.ops.vma import io_vma
+
 # explicit int32 loop/index constants (see ops/pallas_bank.py: i64 breaks
 # Mosaic's lowering under jax_enable_x64)
 _Z = np.int32(0)
@@ -705,8 +707,8 @@ def _chol_padded(A, ti, tj, *, tile: int):
     L, dinv = pl.pallas_call(
         _chol_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n, n), A.dtype),
-            jax.ShapeDtypeStruct((n, tile), A.dtype),
+            jax.ShapeDtypeStruct((n, n), A.dtype, vma=io_vma(A)),
+            jax.ShapeDtypeStruct((n, tile), A.dtype, vma=io_vma(A)),
         ),
         grid=grid,
         in_specs=[
@@ -817,8 +819,10 @@ def _chol_gram_padded(scale, xc, xr, vr, ti, tj, *, fam: str, d: int,
     L, dinv = pl.pallas_call(
         functools.partial(_chol_gram_kernel, fam=fam, d=d, joint=joint),
         out_shape=(
-            jax.ShapeDtypeStruct((n, n), xc.dtype),
-            jax.ShapeDtypeStruct((n, tile), xc.dtype),
+            jax.ShapeDtypeStruct((n, n), xc.dtype,
+                                 vma=io_vma(scale, xc, xr, vr)),
+            jax.ShapeDtypeStruct((n, tile), xc.dtype,
+                                 vma=io_vma(scale, xc, xr, vr)),
         ),
         grid=(nt,),
         in_specs=[

@@ -51,6 +51,8 @@ _Z = np.int32(0)
 
 from erl_gaussian_process_tpu.ops.pallas_gram import _apply_family
 
+from erl_gaussian_process_tpu.ops.vma import io_vma
+
 _TILE_N = 256
 
 
@@ -208,8 +210,10 @@ def _fitc_update_padded(scale, p_cols, linv_hi, linv_lo, xr, y, var_row, *,
     dq, da = pl.pallas_call(
         functools.partial(_fitc_kernel, name=name, d=d, nb=nb),
         out_shape=(
-            jax.ShapeDtypeStruct((m, m), dt),
-            jax.ShapeDtypeStruct((m, q), dt),
+            jax.ShapeDtypeStruct((m, m), dt,
+                                 vma=io_vma(linv_hi, xr, y)),
+            jax.ShapeDtypeStruct((m, q), dt,
+                                 vma=io_vma(linv_hi, xr, y)),
         ),
         grid=grid,
         in_specs=[

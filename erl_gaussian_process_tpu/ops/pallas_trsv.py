@@ -159,7 +159,7 @@ def _call(kernel, L, inv, b, reverse: bool):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, q), L.dtype,
-                                       vma=io_vma(L, dinv, b)),
+                                       vma=io_vma(L, inv, b)),
         grid=(nb,),
         in_specs=[l_spec, i_spec, b_spec],
         out_specs=pl.BlockSpec((n, q), lambda i: (_Z, _Z),
