@@ -223,8 +223,18 @@ def bench_hotel0(n_poses: int):
             f"hotel-0 map failed quality gate: surf {surf_frac:.3f} "
             f"free {free_frac:.3f}")
 
-    drift, drift_s = hotel0_drift_gate(setting, pseudo, lo, hi,
-                                       sensors, pts, masks)
+    # the drift gate is part of the certification: a BREACH raises (the
+    # artifact must not ship a silently-wrong posterior), but an INFRA
+    # failure of the f64 child (OOM, timeout) degrades to an explicit
+    # error field rather than losing the round's headline measurement
+    try:
+        drift, drift_s = hotel0_drift_gate(setting, pseudo, lo, hi,
+                                           sensors, pts, masks)
+        drift_err = None
+    except RuntimeError:
+        raise
+    except Exception as e:  # subprocess/IO infra only
+        drift, drift_s, drift_err = None, 0.0, f"{type(e).__name__}: {e}"
     return {
         "replay_hz": replay_hz,
         "online_hz": online_hz,
@@ -233,6 +243,7 @@ def bench_hotel0(n_poses: int):
         "free_frac": free_frac,
         "drift_vs_f64": drift,
         "drift_gate_seconds": drift_s,
+        "drift_error": drift_err,
     }
 
 
@@ -401,6 +412,8 @@ def main():
         "drift_gate": f"max_rel_logodds <= {DRIFT_GATE_MAX:g} over "
                       f"{n_poses}-pose exact-dataset f64 CPU replay "
                       f"({h['drift_gate_seconds']:.0f}s)",
+        **({"drift_error": h["drift_error"]} if h.get("drift_error")
+           else {}),
         "model_warnings": cap.records,
         "ellipse2d_replay_hz": round(best_hz, 2),
         "ellipse2d_online_hz": round(online_hz, 2),

@@ -44,6 +44,13 @@ def main():
     pseudo = pad_pseudo_points(
         rng.uniform(-4, 4, (m_raw, d)).astype(DTYPE))
     st0 = spgp_init(jnp.asarray(pseudo), DTYPE(0.55), kernel="matern32")
+    # spgp_update donates its state buffers (the production replay threads
+    # the state); here the SAME st0 feeds every timed iteration, so re-jit
+    # the underlying function WITHOUT donation (costs at most one in-place
+    # M^2 copy ~6 us at M=1152 — noise next to the 160+ us updates timed)
+    upd = jax.jit(spgp_update.__wrapped__,
+                   static_argnames=("kernel", "diagonal_qm", "use_pallas",
+                                    "zero_threshold"))
     print(json.dumps({"workload": "fused rank-N FITC update, M=%d d=%d "
                       "matern32 f32 (hotel-0 shape)" % (pseudo.shape[0], d),
                       "backend": jax.default_backend()}), flush=True)
@@ -57,8 +64,8 @@ def main():
         mask = jnp.ones((n,), bool)
 
         def fn(eps, x=x, y=y, var=var, mask=mask):
-            st = spgp_update(st0, x + eps, y, var, mask, DTYPE(0.55),
-                             kernel="matern32")
+            st = upd(st0, x + eps, y, var, mask, DTYPE(0.55),
+                     kernel="matern32")
             return (st.qm, st.alpha)
 
         iters = max(4, min(40, (40 * 4096) // n))
