@@ -73,7 +73,12 @@ def main():
                 out += (var,)
             return out
 
-        t_us = _time(fn, iters=40) * 1e6
+        # the mean/grad paths are tens-of-us GEMM work: at iters=40 the
+        # two-point slope (80 extra iterations) is ~1 ms against ~50 ms
+        # of fixed tunnel cost and drowns in jitter (observed: a 0.0 us
+        # "measurement" for mean_grad). 400 iterations puts the delta at
+        # 10+ ms; the var paths are ~300 us/call and keep the short loop.
+        t_us = _time(fn, iters=(40 if with_var else 400)) * 1e6
         # HBM roofline of the dominant traffic: the (M, mq*(1+d[if grad]))
         # cross gram written once and read once by the GEMM, plus the
         # whitening solves when with_var
@@ -81,7 +86,31 @@ def main():
         bytes_gram = 2 * m * cols * 4
         if with_var:
             bytes_gram += 2 * m * mq * 4 * 2  # beta + gamma passes
-        roof_us = bytes_gram / (HBM_GBPS * 1e3) * 1e6 / 1e3
+        roof_us = bytes_gram / (HBM_GBPS * 1e3)  # bytes/(GB/s) in us
+        print(json.dumps({
+            "path": label, "us": round(t_us, 1),
+            "hbm_roofline_us": round(roof_us, 1),
+            "x_roofline": round(t_us / roof_us, 2)}), flush=True)
+
+    # the serving-path variant: variance whitening as a GEMM against the
+    # prepare-cached chol(Q_M)^{-1} (fitc_variance li_qm; what the class
+    # Test() path uses at f32) instead of the per-call trsm
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        _tri_inv)
+    li = _tri_inv(L_qm)
+
+    for with_grad, label in [(False, "mean_var_amortized"),
+                             (True, "mean_grad_var_amortized")]:
+        def fn(eps, wg=with_grad):
+            mean, grad, var = spgp_predict(
+                st, L_qm, a, xq + eps, DTYPE(0.55), kernel="matern32",
+                with_grad=wg, with_var=True, li_qm=li)
+            return (mean, var) if grad is None else (mean, grad, var)
+
+        t_us = _time(fn, iters=200) * 1e6
+        cols = mq * (1 + d) if with_grad else mq
+        bytes_gram = 2 * m * cols * 4 + 2 * m * mq * 4 * 2
+        roof_us = bytes_gram / (HBM_GBPS * 1e3)
         print(json.dumps({
             "path": label, "us": round(t_us, 1),
             "hbm_roofline_us": round(roof_us, 1),

@@ -248,6 +248,14 @@ def spgp_prepare(state: SpGpState, jitter=0.0, *,
     return L_qm, a
 
 
+@jax.jit
+def _tri_inv(L):
+    """Explicit lower-triangular inverse (one trsm with M RHS); feeds
+    fitc_variance's amortized-GEMM whitening via ``li_qm``."""
+    return solve_triangular(L, jnp.eye(L.shape[0], dtype=L.dtype),
+                            lower=True)
+
+
 def spgp_prepare_exact_host(state: SpGpState, *, diagonal_qm: bool = False):
     """Exact float64 HOST refactorization of Q_M for states whose chol is
     numerically indefinite at the state dtype (the production f32 regime:
@@ -321,12 +329,17 @@ def spgp_prepare_exact_host(state: SpGpState, *, diagonal_qm: bool = False):
 @f32_matmul
 def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
                  kernel: str, with_grad: bool = False, with_var: bool = True,
-                 zero_threshold: float = 0.0):
+                 zero_threshold: float = 0.0, li_qm=None):
     """mean (m_q, q), grad (m_q, d, q) | None, var (m_q,) | None.
 
     ``zero_threshold`` > 0: the reference's sparse TestResult semantics
     (ComputeKtest[WithGradient]Sparse, src/sparse_pseudo_input_gp.cpp:
-    55-77) — sub-threshold k* entries zeroed, as masked dense."""
+    55-77) — sub-threshold k* entries zeroed, as masked dense.
+
+    ``li_qm``: optional precomputed chol(Q_M)^{-1} — turns the variance
+    whitening into a GEMM (see fitc_variance); the f32 serving path
+    passes it (class ``_prepared_inv`` cache), the f64 parity path and
+    one-shot callers leave the exact trsm."""
     mq, d = xq.shape[0], xq.shape[1]
     zeros = jnp.zeros(state.pseudo.shape[0], bool)
     if with_grad:
@@ -345,11 +358,11 @@ def spgp_predict(state: SpGpState, L_qm, alpha_solved, xq, scale, *,
         grad = g.reshape(d, mq, -1).transpose(1, 0, 2)  # (mq, d, q)
     var = None
     if with_var:
-        var = fitc_variance(state.L_inv, L_qm, kt[:, :mq])
+        var = fitc_variance(state.L_inv, L_qm, kt[:, :mq], li_qm=li_qm)
     return mean, grad, var
 
 
-def fitc_variance(L_inv, L_qm, kmean):
+def fitc_variance(L_inv, L_qm, kmean, li_qm=None):
     """FITC predictive variance 1 - ||L_km^{-1}k*||^2 + ||L_qm^{-1}k*||^2
     (src/sparse_pseudo_input_gp.cpp:280-300) — shared by the single-chip
     predict above and parallel/mesh.sharded_spgp_predict. beta via the
@@ -357,9 +370,22 @@ def fitc_variance(L_inv, L_qm, kmean):
     trsm well below matmul throughput and L_inv is amortized over every
     query — pseudo points are fixed). Clamped at 0 like
     gp_core.variance_from_whitened: X3-class whitening can push
-    1 - ||beta||^2 slightly negative near pseudo points."""
+    1 - ||beta||^2 slightly negative near pseudo points.
+
+    gamma takes the same amortized-inverse GEMM when the caller passes
+    ``li_qm`` = chol(Q_M)^{-1} (cached per prepare, like L_inv is cached
+    per pseudo grid): measured v5e M=1152 mq=2048 matern32, the per-call
+    trsm held the mean+var path at 317 us — 4.6x over its ~69 us HBM
+    roofline — while the mean-only (20.7 us, 0.9x roofline) and
+    mean+grad (73.5 us, 0.8x) paths sit AT roofline
+    (benchmarks/profile_grad_predict.py). Without ``li_qm`` the exact
+    trsm is kept: it is the f64 parity semantics and the right call for
+    one-shot queries where no prepare cache exists."""
     beta = L_inv @ kmean
-    gamma = solve_triangular(L_qm, kmean, lower=True)
+    if li_qm is not None:
+        gamma = li_qm @ kmean
+    else:
+        gamma = solve_triangular(L_qm, kmean, lower=True)
     return jnp.maximum(0.0, 1.0 - jnp.sum(beta * beta, axis=0)
                        + jnp.sum(gamma * gamma, axis=0))
 
@@ -397,10 +423,15 @@ class SpGpTestResult:
                  will_predict_gradient: bool):
         self._gp = gp
         L_qm, a = gp._prepared()
+        # f32 serving: variance whitening as a GEMM against the cached
+        # chol(Q_M)^{-1} (fitc_variance docstring has the measured trsm
+        # penalty this removes). f64 keeps the exact trsm — it is the
+        # parity dtype and golden tests pin its semantics.
+        li = gp._prepared_inv() if gp.dtype == np.float32 else None
         self._mean, self._grad, self._var = spgp_predict(
             gp.state, L_qm, a, xq, gp._scale, kernel=gp._kernel,
             with_grad=will_predict_gradient, with_var=True,
-            zero_threshold=gp._zero_threshold)
+            zero_threshold=gp._zero_threshold, li_qm=li)
         self.num_test = xq.shape[0]
 
     def get_mean(self, y_index: int = 0, parallel: bool = True):
@@ -545,6 +576,20 @@ class SparsePseudoInputGaussianProcess:
                         lambda r: (r[1],), jitters=(1e-10, 1e-8, 1e-6,
                                                     1e-4, 1e-2))
         return self._cache
+
+    def _prepared_inv(self):
+        """chol(Q_M)^{-1}, cached per prepared factor: one trsm with M
+        RHS when the lazy prepare refreshes, amortized over every
+        subsequent variance query — the same contract as state.L_inv
+        (fixed pseudo grid). Keyed on the L_qm array identity, so every
+        path that invalidates ``_cache`` (update, load, retrain)
+        invalidates this too."""
+        L_qm, _ = self._prepared()
+        li = getattr(self, "_li", None)
+        if li is None or li[0] is not L_qm:
+            li = (L_qm, _tri_inv(L_qm))
+            self._li = li
+        return li[1]
 
     def update(self, x, y, var, parallel: bool = True) -> bool:
         """Accumulate one batch. x (d, n); y (n, q) or (n,); var (n,) or

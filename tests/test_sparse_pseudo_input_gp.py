@@ -358,3 +358,70 @@ def test_prepare_exact_host_refactorization_no_jitter(caplog):
     assert np.isfinite(mean).all()
     warnings = [r for r in caplog.records if r.levelno >= logging.WARNING]
     assert not warnings, [r.getMessage() for r in warnings]
+
+
+def test_amortized_inverse_variance_matches_trsm():
+    """The f32 serving path whitens the Q_M variance term as a GEMM
+    against the cached chol(Q_M)^{-1} (fitc_variance ``li_qm``); the
+    exact-trsm path is the semantic reference. Measured motivation in
+    fitc_variance's docstring (the per-call trsm held mean+var at 4.6x
+    its HBM roofline on v5e)."""
+    import jax.numpy as jnp
+
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        _tri_inv,
+        pad_pseudo_points,
+        spgp_init,
+        spgp_predict,
+        spgp_prepare,
+        spgp_update,
+    )
+
+    rng = np.random.default_rng(7)
+    ps = pad_pseudo_points(rng.uniform(-1, 1, (100, 2)).astype(np.float32))
+    st = spgp_init(jnp.asarray(ps), np.float32(0.4), kernel="matern32")
+    st = spgp_update(
+        st, jnp.asarray(rng.uniform(-1, 1, (300, 2)).astype(np.float32)),
+        jnp.asarray(rng.uniform(-1, 1, (300, 1)).astype(np.float32)),
+        jnp.full((300,), np.float32(1e-3)), jnp.ones((300,), bool),
+        np.float32(0.4), kernel="matern32")
+    L, a = spgp_prepare(st)
+    xq = jnp.asarray(rng.uniform(-1, 1, (50, 2)).astype(np.float32))
+    kw = dict(kernel="matern32", with_grad=True, with_var=True)
+    m1, g1, v1 = spgp_predict(st, L, a, xq, np.float32(0.4), **kw)
+    m2, g2, v2 = spgp_predict(st, L, a, xq, np.float32(0.4),
+                              li_qm=_tri_inv(L), **kw)
+    # mean/grad jaxprs are identical; tiny drift is XLA re-fusing the
+    # larger program (f32 reduction order), not a semantic change
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-5)
+
+
+def test_prepared_inv_cache_invalidated_by_update():
+    """_prepared_inv is keyed on the prepared factor's identity: an
+    update must refresh it (a stale chol(Q_M)^{-1} would silently wrong
+    every subsequent variance)."""
+    from erl_gaussian_process_tpu.models.sparse_pseudo_input_gp import (
+        SpGpSetting,
+    )
+
+    rng = np.random.default_rng(8)
+    pseudo = rng.uniform(-1, 1, (2, 60))
+    gp = SparsePseudoInputGaussianProcess(
+        SpGpSetting(kernel_type="matern32",
+                    kernel=KernelSetting(x_dim=2, scale=0.5),
+                    max_num_samples=64),
+        pseudo, dtype=np.float32)
+    x = rng.uniform(-1, 1, (40, 2)).astype(np.float32)
+    y = rng.uniform(-1, 1, (40, 1)).astype(np.float32)
+    gp.update(x.T, y, np.float32(1e-3))
+    li1 = gp._prepared_inv()
+    assert gp._prepared_inv() is li1  # cached while the map is unchanged
+    gp.update(x.T, -y, np.float32(1e-3))
+    li2 = gp._prepared_inv()
+    assert li2 is not li1
+    L2, _ = gp._prepared()
+    np.testing.assert_allclose(
+        np.asarray(li2) @ np.asarray(L2),
+        np.eye(L2.shape[0], dtype=np.float32), atol=2e-4)
