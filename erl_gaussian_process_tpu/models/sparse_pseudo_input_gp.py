@@ -34,6 +34,7 @@ mathematically consistent solved-alpha form everywhere.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -542,16 +543,35 @@ class SparsePseudoInputGaussianProcess:
 
         1. device chol at the state dtype (the fast path — one
            factorization, no retry structure in the jit);
-        2. on NaN: EXACT float64 host refactorization from the compensated
-           accumulators (``spgp_prepare_exact_host``) — the production-f32
-           long-horizon regime; posterior semantics unchanged, INFO log;
+        2. on NaN OR ill-conditioning: EXACT float64 host refactorization
+           from the compensated accumulators (``spgp_prepare_exact_host``)
+           — the production-f32 long-horizon regime; posterior semantics
+           unchanged, INFO log. The conditioning trigger exists because
+           the f32 chol is a KNIFE EDGE near cond(Q_M) ~ 1/eps_f32: it
+           can stay finite while its solve carries O(0.1-1) forward
+           error (measured in-bench 2026-08-20: a finite tier-1 solve at
+           cond 6e8 drifted the 983-pose posterior 9.1e-2 from f64 where
+           the exact tier reads 7.5e-5). The estimate is the squared
+           Cholesky pivot ratio (max diag(L)/min diag(L))^2 — free from
+           the already-fetched factor — escalating above
+           ``ERL_GP_COND_ESCALATE`` (default 1e7, ~1/eps_f32/2; f64
+           states use 1e15). Cost when taken: one M^2 fetch + ~10 ms
+           host chol at M=1152, amortized by this cache;
         3. only if Q_M is indefinite even at f64 (genuinely singular):
            the escalating jitter ladder, which changes the effective noise
            and therefore WARNS (gp_core.host_jitter_retry)."""
         if self._cache is None:
             r = spgp_prepare(self.state, self.dtype.type(0.0),
                              diagonal_qm=self.setting.diagonal_qm)
-            if bool(np.isfinite(np.asarray(r[1])).all()):
+            ok = bool(np.isfinite(np.asarray(r[1])).all())
+            if ok and not self.setting.diagonal_qm:
+                dl = np.abs(np.diag(np.asarray(r[0], np.float64)))
+                dmin = dl.min()
+                thresh = float(os.environ.get(
+                    "ERL_GP_COND_ESCALATE",
+                    1e7 if self.dtype == np.float32 else 1e15))
+                ok = dmin > 0 and (dl.max() / dmin) ** 2 <= thresh
+            if ok:
                 self._cache = r
             else:
                 exact = spgp_prepare_exact_host(
@@ -560,9 +580,10 @@ class SparsePseudoInputGaussianProcess:
                         np.isfinite(np.asarray(exact[1])).all()):
                     import logging
                     logging.getLogger("erl_gaussian_process_tpu").info(
-                        "chol(Q_M) numerically indefinite at %s — exact "
-                        "float64 host refactorization from the compensated "
-                        "accumulators (posterior unchanged; see "
+                        "chol(Q_M) numerically indefinite or "
+                        "ill-conditioned at %s — exact float64 host "
+                        "refactorization from the compensated accumulators "
+                        "(posterior unchanged; see "
                         "spgp_prepare_exact_host)", self.dtype)
                     self._cache = exact
                 else:

@@ -11,10 +11,13 @@ def test_hotel0_drift_gate_small():
 
     sensors, pts, masks, hits, traj, setting, pseudo, lo, hi = \
         bench.make_hotel0_workload(12)
-    drift, secs = bench.hotel0_drift_gate(setting, pseudo, lo, hi,
-                                          sensors, pts, masks)
+    dg = bench.hotel0_drift_gate(setting, pseudo, lo, hi,
+                                 sensors, pts, masks)
+    drift = dg["alg_drift_vs_f64"]
     assert 0.0 <= drift <= bench.DRIFT_GATE_MAX, drift
     assert np.isfinite(drift)
+    assert np.isfinite(dg["chip_drift_vs_f64"])
+    assert 0.0 <= dg["chip_sign_agreement_confident"] <= 1.0
 
 
 def test_replay_f64_matches_f64_pipeline_directly():
